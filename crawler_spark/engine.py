@@ -1,0 +1,429 @@
+"""The crawl engine: deterministic batch micro-rounds over the frontier.
+
+Implements the contract defined in oracle.py (which in turn pins the
+reference's fetch-parse-store loop, engine/schedule.go:324-447, to its
+disabled-jitter batch-equivalent semantics). One round:
+
+    frontier ──expire──dedup(Bloom+anti-join)──budget top-k──host cap──▶ wave
+    wave ──salted repartition──fetch──validity──┬─▶ retries/failures
+                                                └─▶ parse ─▶ documents/items/links
+    links ──canonicalize──robots──seq──▶ frontier Δ        (next round)
+
+Every stage is DataFrame algebra or an Arrow-batched pandas UDF; the driver
+only moves scalar budget state (a few ints per task) and round counters.
+Shuffles per round: the seen anti-join (Bloom-prefiltered), the two
+budgeted top-k windows (locally pruned first), the host-salted repartition,
+and the link seq assignment (wave-bounded). All are bounded by the wave /
+politeness budget except the anti-join, which is the irreducible frontier
+cost (Iceberg MERGE at production scale).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .state import SnapshotStore
+from .textcore import (
+    LimitTier,
+    Rule,
+    TaskCfg,
+    host_round_cap,
+    initial_carry,
+    task_budget,
+    tier_carry_after,
+)
+from .operators.canon import with_canonical
+from .operators.dedup import anti_join_seen, build_bloom
+from .operators.fetch import GraphFetcher
+from .operators.parse import parse_fetched
+from .operators.seq import assign_link_seqs, assign_retry_seqs
+from .operators.topk import budgeted_topk
+
+
+@dataclass
+class RoundStats:
+    round: int
+    selected: int
+    fetched_ok: int
+    failed: int
+    new_links: int
+    items: int
+    wall_s: float
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        fetcher,
+        tasks: list[TaskCfg],
+        rules: list[Rule],
+        robots: list[dict],
+        round_s: int = 60,
+        bloom_min_seen: int = 50_000,
+        bloom_bits: int = 1 << 22,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(spark, state_dir)
+        self.fetcher = fetcher
+        self.tasks = {t.name: t for t in tasks}
+        self.rules = rules
+        self.robots = robots
+        self.round_s = round_s
+        self.bloom_min_seen = bloom_min_seen
+        self.bloom_bits = bloom_bits
+        self.host_caps = {
+            r["host"]: host_round_cap(r["crawl_delay_ms"], round_s) for r in robots
+        }
+        self.shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # tiny dims, broadcast once
+        self._tasks_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    {
+                        "task": t.name,
+                        "reload": t.reload,
+                        "max_depth": t.max_depth,
+                        "closed": t.closed,
+                    }
+                    for t in tasks
+                ]
+            )
+        )
+        self._robots_df = F.broadcast(
+            spark.createDataFrame(robots, schemas.ROBOTS).withColumnRenamed(
+                "host", "rhost"
+            )
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, seeds: DataFrame) -> None:
+        """Round-0 snapshot. Seeds must be FRONTIER-shaped."""
+        self.store.write_frontier(0, seeds)
+        empty_seen = self.spark.createDataFrame([], schemas.SEEN)
+        self.store.append("seen", 0, empty_seen)
+        self.store.append(
+            "failed_once", 0, self.spark.createDataFrame([], "key string")
+        )
+        max_seq = seeds.agg(F.max("seq")).collect()[0][0]
+        self.store.commit(
+            0,
+            {
+                "round": 0,
+                "max_seq": int(max_seq if max_seq is not None else -1),
+                "fetch_count": 0,
+                "carries": {
+                    t.name: [initial_carry(tier) for tier in t.limits]
+                    for t in self.tasks.values()
+                },
+                "done": False,
+            },
+        )
+
+    # ------------------------------------------------------------------ round
+
+    def run(self, max_rounds: int = 10_000, on_round=None) -> list[RoundStats]:
+        """Run until frontier exhaustion or max_rounds; resumes automatically."""
+        rnd = self.store.latest_round()
+        if rnd is None:
+            raise RuntimeError("call init_state(seeds) first")
+        stats: list[RoundStats] = []
+        man = self.store.manifest(rnd)
+        while not man.get("done") and len(stats) < max_rounds:
+            man = self._run_round(rnd + 1, man)
+            rnd += 1
+            s = RoundStats(**man["stats"]) if man.get("stats") else None
+            if s:
+                stats.append(s)
+            if on_round:
+                on_round(man)
+        return stats
+
+    def _run_round(self, rnd: int, man: dict) -> dict:
+        t0 = time.time()
+        spark = self.spark
+        prev = rnd - 1
+        frontier = self.store.read_frontier(prev)
+        seen = self.store.read_through("seen", prev)
+        if seen is None:
+            seen = spark.createDataFrame([], schemas.SEEN)
+        failed_once = self.store.read_through("failed_once", prev)
+        carries = {k: list(v) for k, v in man["carries"].items()}
+        max_seq = man["max_seq"]
+
+        # 1. expire (Request.Check semantics)
+        cand = (
+            frontier.join(self._tasks_df, "task")
+            .filter((F.col("depth") <= F.col("max_depth")) & ~F.col("closed"))
+            .drop("max_depth", "closed")
+        )
+
+        # 2. seen dedup: exact anti-join with Bloom pre-filter; reload bypasses
+        n_seen = seen.count()
+        bloom = (
+            build_bloom(seen, "key", self.bloom_bits)
+            if n_seen >= self.bloom_min_seen
+            else None
+        )
+        non_reload = cand.filter(~F.col("reload"))
+        reload_rows = cand.filter(F.col("reload"))
+        fresh = anti_join_seen(non_reload, seen, "key", bloom, self.bloom_bits)
+        cand = fresh.unionByName(reload_rows)
+
+        # within-round duplicate keys: first by (-priority, seq) wins
+        # (reference: first pop marks visited, later pops skip —
+        #  engine/schedule.go:343-351). Reload rows are exempt: every
+        #  discovery refetches.
+        non_reload2 = cand.filter(~F.col("reload"))
+        deduped = (
+            non_reload2.groupBy("key")
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in non_reload2.columns if c != "key"]),
+                    F.struct((-F.col("priority")).alias("p"), F.col("seq").alias("s")),
+                ).alias("r")
+            )
+            .select("key", "r.*")
+        )
+        cand = deduped.unionByName(
+            cand.filter(F.col("reload")).select(*deduped.columns)
+        ).cache()
+
+        # 3-4. budget top-k per task, then host-cap pass
+        budgets = {
+            name: task_budget(carries[name], list(t.limits), self.round_s)
+            for name, t in self.tasks.items()
+        }
+        picked = budgeted_topk(cand, "task", budgets, default_budget=1 << 40)
+        wave = budgeted_topk(picked, "host", self.host_caps, default_budget=1 << 40)
+        # host-salted repartition: hot-host fetch/parse skew is work-skew,
+        # invisible to AQE byte stats — spread deterministically by key
+        wave = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")).cache()
+
+        used = {r["task"]: r["n"] for r in wave.groupBy("task").agg(F.count("*").alias("n")).collect()}
+        n_wave = sum(used.values())
+        # budgets accrue (capped at burst) whether or not the wave is empty
+        for name, t in self.tasks.items():
+            carries[name] = [
+                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
+                for c, tier in zip(carries[name], t.limits)
+            ]
+        if n_wave == 0:
+            n_cand = cand.count()
+            done = n_cand == 0
+            # all-deferred round: budgets accrue, frontier unchanged
+            self.store.write_frontier(rnd, cand.select(*schemas.FRONTIER.fieldNames()))
+            for tbl in ("seen", "failed_once"):
+                empty = (
+                    self.spark.createDataFrame([], schemas.SEEN)
+                    if tbl == "seen"
+                    else self.spark.createDataFrame([], "key string")
+                )
+                self.store.append(tbl, rnd, empty)
+            new_man = self._advance_manifest(man, rnd, carries, used, max_seq, done)
+            new_man["stats"] = dict(
+                round=rnd, selected=0, fetched_ok=0, failed=0, new_links=0,
+                items=0, wall_s=time.time() - t0,
+            )
+            self.store.commit(rnd, new_man)
+            cand.unpersist()
+            return new_man
+
+        # 5-6. fetch (seen marking is folded into the post-fetch delta:
+        # mark-before-fetch + unmark-on-failure ≡ add iff ok or reload)
+        fetched = self.fetcher.fetch(wave).cache()
+
+        # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
+        failed = fetched.filter(~F.col("ok"))
+        fo = failed_once.select("key") if failed_once is not None else None
+        retries = (
+            failed.join(fo, "key", "left_anti") if fo is not None else failed
+        ).withColumn("attempt", F.lit(1))
+        permanent = (
+            failed.join(fo, "key", "left_semi") if fo is not None else failed.limit(0)
+        )
+
+        # 8. parse + outputs
+        ok_rows = fetched.filter(F.col("ok"))
+        parsed, documents, items, raw_links = parse_fetched(ok_rows, self.rules)
+
+        links = with_canonical(
+            raw_links.withColumn("method", F.lit("GET")), "url"
+        ).withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+        # robots disallow (north_rule addition; applied at enqueue)
+        links = (
+            links.join(self._robots_df, links["host"] == F.col("rhost"), "left")
+            .withColumn(
+                "_path", F.coalesce(F.parse_url("curl", F.lit("PATH")), F.lit("/"))
+            )
+            .filter(
+                F.coalesce(
+                    ~F.exists(
+                        "disallow_prefixes",
+                        lambda p: F.col("_path").startswith(p),
+                    ),
+                    F.lit(True),
+                )
+            )
+            .drop("rhost", "disallow_prefixes", "crawl_delay_ms", "_path")
+        )
+
+        # 9. seq assignment (dense, deterministic — operators/seq.py)
+        links = assign_link_seqs(links, max_seq).cache()
+        n_links = links.count()
+        retries = assign_retry_seqs(retries, max_seq + n_links)
+
+        frontier_cols = schemas.FRONTIER.fieldNames()
+        new_links = links.withColumn("attempt", F.lit(0)).select(*frontier_cols)
+        deferred = cand.join(wave.select("seq"), "seq", "left_anti").select(
+            *frontier_cols
+        )
+        next_frontier = deferred.unionByName(new_links).unionByName(
+            retries.select(*frontier_cols)
+        )
+
+        # ---- writes (appends first, frontier snapshot, then commit) -------
+        seen_delta = (
+            fetched.filter(F.col("ok") | F.col("reload"))
+            .select("key", F.col("curl").alias("url"))
+            .withColumn("round", F.lit(rnd))
+        )
+        self.store.append("seen", rnd, seen_delta)
+        self.store.append("failed_once", rnd, failed.select("key"))
+        self.store.append("documents", rnd, documents)
+        self.store.append(
+            "results", rnd, items.withColumn("round", F.lit(rnd)).select(
+                *schemas.RESULTS.fieldNames()
+            )
+        )
+        self.store.append(
+            "order",
+            rnd,
+            wave.select("task", "priority", "seq", "curl", "key").withColumn(
+                "round", F.lit(rnd)
+            ),
+        )
+        self.store.append(
+            "failures",
+            rnd,
+            permanent.select("key", F.col("curl").alias("url"), "task").withColumn(
+                "round", F.lit(rnd)
+            ),
+        )
+
+        # metrics + per-partition lineage (north_rule)
+        agg = (
+            fetched.groupBy("task")
+            .agg(
+                F.count("*").alias("selected"),
+                F.sum(F.col("ok").cast("long")).alias("fetched_ok"),
+                F.sum((~F.col("ok")).cast("long")).alias("failed"),
+            )
+            .collect()
+        )
+        link_counts = {r["task"]: r["n"] for r in links.groupBy("task").agg(F.count("*").alias("n")).collect()}
+        item_counts = {r["task"]: r["n"] for r in items.groupBy("task").agg(F.count("*").alias("n")).collect()}
+        retry_counts = {r["task"]: r["n"] for r in retries.groupBy("task").agg(F.count("*").alias("n")).collect()}
+        metrics_rows = [
+            {
+                "round": rnd,
+                "task": r["task"],
+                "selected": r["selected"],
+                "fetched_ok": r["fetched_ok"] or 0,
+                "failed": r["failed"] or 0,
+                "retried": retry_counts.get(r["task"], 0),
+                "new_links": link_counts.get(r["task"], 0),
+                "items": item_counts.get(r["task"], 0),
+            }
+            for r in agg
+        ]
+        self.store.append(
+            "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
+        )
+        lineage = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("round", F.lit(rnd))
+            .withColumn("stage", F.lit("fetch"))
+            .select(*schemas.LINEAGE.fieldNames())
+        )
+        self.store.append("lineage", rnd, lineage)
+
+        self.store.write_frontier(rnd, next_frontier)
+        # done iff the *new* frontier yields no candidates ever; cheap check:
+        # frontier empty (budget-deferred rows keep it alive)
+        n_frontier = self.store.read_frontier(rnd).count()
+        done = n_frontier == 0
+
+        totals = {
+            "selected": n_wave,
+            "fetched_ok": sum((m["fetched_ok"] for m in metrics_rows), 0),
+            "failed": sum((m["failed"] for m in metrics_rows), 0),
+            "items": sum((m["items"] for m in metrics_rows), 0),
+        }
+        n_retries = sum(retry_counts.values())
+        new_man = self._advance_manifest(
+            man, rnd, carries, used, max_seq + n_links + n_retries, done
+        )
+        new_man["stats"] = dict(
+            round=rnd,
+            selected=n_wave,
+            fetched_ok=int(totals["fetched_ok"]),
+            failed=int(totals["failed"]),
+            new_links=int(n_links),
+            items=int(totals["items"]),
+            wall_s=time.time() - t0,
+        )
+        new_man["fetch_count"] = man.get("fetch_count", 0) + n_wave
+        self.store.commit(rnd, new_man)
+        for df in (cand, wave, fetched, parsed, links):
+            df.unpersist()
+        return new_man
+
+    def _advance_manifest(
+        self, man: dict, rnd: int, carries: dict, used: dict, max_seq: int, done: bool
+    ) -> dict:
+        return {
+            "round": rnd,
+            "max_seq": int(max_seq),
+            "fetch_count": man.get("fetch_count", 0),
+            "carries": carries,
+            "done": bool(done),
+        }
+
+
+def run_crawl(
+    spark: SparkSession,
+    fixture_dir: str,
+    state_dir: str,
+    tasks: list[TaskCfg],
+    rules: list[Rule],
+    robots: list[dict],
+    round_s: int = 60,
+    max_rounds: int = 10_000,
+    **engine_kw,
+) -> CrawlEngine:
+    """Convenience: build engine over a materialized fixture and run it."""
+    web_graph = spark.read.parquet(f"{fixture_dir}/web_graph")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    eng = CrawlEngine(
+        spark,
+        state_dir,
+        GraphFetcher(web_graph),
+        tasks,
+        rules,
+        robots,
+        round_s,
+        **engine_kw,
+    )
+    if eng.store.latest_round() is None:
+        eng.init_state(seeds)
+    eng.run(max_rounds=max_rounds)
+    return eng

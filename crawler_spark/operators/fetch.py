@@ -1,0 +1,65 @@
+"""Fetch stage: pluggable fetchers (reference Fetcher iface, spider/task.go:56-58).
+
+- GraphFetcher: sandbox stand-in for HTTP — resolves the *canonical* URL
+  against the synthetic web-graph table (collect/collect.go:42-83 is the
+  real-network analog). A left join; at test scale AQE broadcasts the tiny
+  wave side.
+- HttpFetcher: the production path — an async-HTTP Arrow-batched
+  ``mapInPandas`` (aiohttp per partition, politeness already enforced
+  upstream by wave selection). Stubbed here: the sandbox has no network and
+  no aiohttp; the Spark-side plumbing (schema, signature) is real.
+
+Validity: ok := status==200 AND len(body) >= 6000
+(engine/schedule.go:355-372; the 6000 threshold is the reference's constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textcore import MIN_BODY_LEN
+from .canon import canonicalize_udf
+
+
+class GraphFetcher:
+    def __init__(self, web_graph: DataFrame):
+        # canonicalize graph keys once; fixture URLs are already canonical
+        # but simulated HTTP must resolve any canonically-equal spelling.
+        self.graph = web_graph.withColumn("gcurl", canonicalize_udf("url")).select(
+            "gcurl", "status", "body", "latency_ms"
+        )
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        joined = wave.join(self.graph, wave["curl"] == self.graph["gcurl"], "left")
+        return (
+            joined.drop("gcurl")
+            .withColumn("status", F.coalesce("status", F.lit(404)))
+            .withColumn("body", F.coalesce("body", F.lit("")))
+            .withColumn(
+                "ok",
+                (F.col("status") == 200) & (F.length("body") >= F.lit(MIN_BODY_LEN)),
+            )
+        )
+
+
+class HttpFetcher:
+    """Real-network fetcher skeleton (NOT runnable in this sandbox)."""
+
+    def __init__(self, timeout_s: float = 10.0, user_agents: tuple[str, ...] = ()):
+        self.timeout_s = timeout_s
+        self.user_agents = user_agents  # deterministic rotation, no RNG
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        def fetch_batches(it):
+            raise NotImplementedError(
+                "HttpFetcher needs network + aiohttp; use GraphFetcher in tests"
+            )
+
+        schema = wave.schema.add("status", "int").add("body", "string").add(
+            "latency_ms", "int"
+        )
+        fetched = wave.mapInPandas(fetch_batches, schema=schema)
+        return fetched.withColumn(
+            "ok", (F.col("status") == 200) & (F.length("body") >= F.lit(MIN_BODY_LEN))
+        )

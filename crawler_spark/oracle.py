@@ -117,9 +117,10 @@ def run_oracle(
         seen_keys_round: set[str] = set()
         dedup: list[dict] = []
         for f in kept:
-            if f["key"] in seen_keys_round and not taskmap[f["task"]].reload:
-                continue
-            seen_keys_round.add(f["key"])
+            if not taskmap[f["task"]].reload:
+                if f["key"] in seen_keys_round:
+                    continue
+                seen_keys_round.add(f["key"])
             dedup.append(f)
         if not dedup:
             break
@@ -200,14 +201,10 @@ def run_oracle(
             # spans document
             res.documents.append((f["curl"], extract_spans(body, rule)))
             # items
-            for item in extract_items(body, f["url"], f.get("tmp"), rule):
-                data = dict(item)
-                for k, v in (f.get("tmp") or {}).items():
-                    if rule.item_fields and k in rule.item_fields:
-                        data[k] = v
+            for item in extract_items(body, f["curl"], f.get("tmp"), rule):
                 res.results.append(
                     {"task": f["task"], "rule": f["rule"], "url": f["curl"],
-                     "round": rnd, "data": data}
+                     "round": rnd, "data": dict(item)}
                 )
                 m[t.name]["items"] += 1
             # links

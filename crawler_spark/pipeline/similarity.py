@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. All JVM-side: zip_with +
+  aggregate in DOUBLE precision with left-to-right summation, which is the
+  same evaluation order DuckDB's list_dot_product uses — so similarity
+  values are bit-identical and safe to hash-compare after rounding.
+- LSH-bucketed ANN (sign-random-projection): the scale path. Hyperplanes
+  are derived deterministically from md5 (no RNG), buckets join instead of
+  all-pairs; recall is approximate but the *plumbing* (bucketing, bucket
+  join, per-bucket rerank) is the real 100TB design.
+
+At cluster scale the brute-force variant broadcast-joins the (small) query
+set against the corpus — one scan, no shuffle; the LSH variant shuffles
+once on bucket id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, rank, sim6) where sim6 = cosine rounded
+    to 6 dp; ties broken by neighbor_id so ranks are deterministic.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim6"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(0, dim, 16):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            vals.extend(b - 127.5 for b in h)
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """Sign-random-projection bucket id per vector (the ANN scale path)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = None
+    for i, pl in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in pl])
+        bit = F.when(_dot(F.col("embedding"), arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, dim: int = 64, n_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: rerank only within the query's LSH bucket."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets(embeddings, dim, n_planes)
+    emb = embeddings.join(b, "vec_id")
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim6"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, max_id: int = 200, sim_threshold: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on an id-bounded subset.
+
+    The subset bound keeps the exact all-pairs check small; the scale path
+    for the full corpus is lsh_buckets + within-bucket pairs.
+    """
+    sub = embeddings.filter(F.col("vec_id") < max_id).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= sim_threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim6"))
+    )

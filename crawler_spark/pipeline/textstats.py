@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data curation.
+
+All JVM-side expressions (regexp counts, integer arithmetic) — no Python
+UDFs — so they run inside whole-stage codegen and scale with the scan.
+Scores that would naturally be floats are kept in integer basis points
+(floor(1000*x)) so results hash identically to the SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language marker words; scored by occurrence count, argmax with fixed
+# precedence (en > fr > de > es) on ties; zh wins if any CJK chars present.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+CJK = r"[一-鿿]"
+
+
+def _marker_count(lang: str):
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(1)))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-count language ID; argmax with fixed precedence on ties.
+
+    The CASE chain (zh-if-CJK, then en >= all, fr >= rest, ...) is written
+    identically in the DuckDB oracle, so predictions match exactly.
+    """
+    d = documents
+    for lang in LANG_MARKERS:
+        d = d.withColumn(f"c_{lang}", _marker_count(lang))
+    has_cjk = F.size(F.regexp_extract_all("text", F.lit(CJK), F.lit(0))) > 0
+    c = {l: F.col(f"c_{l}") for l in LANG_MARKERS}
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when((c["en"] > 0) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]) & (c["en"] >= c["es"]), F.lit("en"))
+        .when((c["fr"] > 0) & (c["fr"] >= c["de"]) & (c["fr"] >= c["es"]), F.lit("fr"))
+        .when((c["de"] > 0) & (c["de"] >= c["es"]), F.lit("de"))
+        .when(c["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals, integer bp."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    stop_pat = r"\b(the|and|of|to|is|a|in)\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(stop_pat), F.lit(1)))
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.when(n_tok > 0, (F.lit(1000) * n_stop).cast("long") / n_tok)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("stop_bp"),
+        F.when(n_tok > 0, n_chars.cast("long") * 1000 / n_tok)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_toklen_bp"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish sub-token count per document."""
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe_pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    bpe = F.size(F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(1)))
+    return documents.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint (whitespace-collapsed, lowercased)."""
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return documents.select("doc_id", F.md5(norm).alias("fp"))
