@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship document-curation pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data pipeline ops); each takes (spark, sf_dir) and returns a
+DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query; omitted only for
+genuinely non-SQL-expressible ops (the crawl-engine E2E, whose correctness
+gate is the pure-Python oracle in tests/test_golden_e2e.py, and the
+multimodal mapInPandas plumbing).
+
+Column-name parity: every computed column is aliased identically on both
+sides. Numeric parity: aggregates that would be float-order-dependent are
+kept in exact integer arithmetic (cents, basis points, integer Jaccard
+tests); cosine similarities use left-to-right double summation in both
+engines and are rounded to 6 dp.
 """
 
 from __future__ import annotations
@@ -12,27 +21,553 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document-curation snapshot over sf0.001 — exact-dedup
+    representative selection joined with quality + language-ID signals
+    (the post-crawl half of the pipeline; the crawl half is gated by
+    tests/test_golden_e2e.py)."""
+    from crawler_spark.pipeline.dedup import exact_dedup
+    from crawler_spark.pipeline.textstats import lang_id, quality_score
+
+    docs = _t(spark, DEFAULT_SF, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"), "n_docs")
+    q = quality_score(docs)
+    l = lang_id(docs).select("doc_id", "predicted")
+    return (
+        keep.join(q, "doc_id")
+        .join(l, "doc_id")
+        .select("doc_id", "n_docs", "n_tokens", "stop_bp", "predicted")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_crawl_canonical_keys(spark, sf_dir):
+    """URL canonicalization + md5 seen-key (reference spider/request.go:113-117
+    + north_rule canonicalization), through the engine's own pandas UDFs."""
+    from crawler_spark.operators.canon import with_canonical
+
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("HTTP://Orders.Example.COM:80/o/"),
+            F.col("o_orderkey"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+        F.lit("GET").alias("method"),
+    )
+    return with_canonical(urls, "url").select(
+        F.col("url").alias("raw_url"), F.col("curl").alias("curl"), F.col("key").alias("key")
+    )
+
+
+def q_crawl_seen_antijoin(spark, sf_dir):
+    """Seen-set dedup as exact anti-join (engine/schedule.go:343-351)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_crawl_wave_topk(spark, sf_dir):
+    """Budgeted top-k per group — the politeness wave pop
+    (engine/schedule.go:254-264 priority-FIFO, generalized)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_crawl_round_metrics(spark, sf_dir):
+    """Per-round metrics aggregation shape (north_rule fetch metrics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_crawl_priority_order(spark, sf_dir):
+    """Deterministic priority-class ordering with total tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+def q_crawl_retry_union(spark, sf_dir):
+    """Retry-once union semantics (engine/schedule.go:431-447): first
+    'attempt' rows unioned with retries, exactly-once per key."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    retry = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first.select("event_id"), "event_id", "left_anti")
+        .select("event_id", "user_id")
+    )
+    return first.withColumn("attempt", F.lit(0)).unionByName(
+        retry.withColumn("attempt", F.lit(1))
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON scalar extraction (reference serializes payloads as JSON,
+    storage/sqlstorage/sqlstorage.go:122-137)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization (gap > 1800s) via lag + running sum — the batch
+    analog of the streaming politeness/window state."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.withColumn("pts", F.lag("ts").over(w))
+    x = x.withColumn(
+        "brk",
+        F.when(
+            F.col("pts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("pts")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    x = x.withColumn(
+        "sess_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return x.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """Aggregation pipeline (map-side partials -> final) in exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from crawler_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from crawler_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from crawler_spark.pipeline.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from crawler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold_num=1, threshold_den=5
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_token_counts(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from crawler_spark.pipeline.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_sim_embedding_neardup(spark, sf_dir):
+    from crawler_spark.pipeline.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), max_id=100, sim_threshold=0.5
+    )
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    from crawler_spark.pipeline.similarity import ann_topk
+
+    return ann_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary-column decode plumbing (deterministic fake codec; real decode
+    stubbed — no image libs in this container)."""
+    from crawler_spark.pipeline.multimodal import decode_assets, synth_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    refs = docs.select(
+        F.concat(F.lit("img://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias(
+            "media_ref"
+        )
+    )
+    assets = synth_assets(spark, refs)
+    return decode_assets(assets, fake=True).select(
+        "asset_id", "media_ref", "width", "height", "n_bytes", "ok"
+    )
+
+
+def q_crawl_e2e_order(spark, sf_dir):
+    """Full crawl-engine micro-round E2E on the deterministic fixture
+    (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
+    equality gate lives in tests/test_golden_e2e.py."""
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.fixtures import make_fixture, write_fixture
+    from crawler_spark.operators.fetch import GraphFetcher
+
+    fx = make_fixture(n_tags=2, lists_per_tag=2, books_per_list=4, n_topics=12)
+    d = tempfile.mkdtemp(prefix="entry_crawl_")
+    write_fixture(fx, f"{d}/fx", spark)
+    web = spark.read.parquet(f"{d}/fx/web_graph")
+    eng = CrawlEngine(
+        spark, f"{d}/state", GraphFetcher(web), fx.tasks, fx.rules, fx.robots, fx.round_s
+    )
+    eng.init_state(spark.read.parquet(f"{d}/fx/seeds"))
+    eng.run(max_rounds=2)
+    rnd = eng.store.latest_round()
+    return eng.store.read_through("order", rnd).select(
+        "round", "priority", "seq", "curl"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_canonical_keys": q_crawl_canonical_keys,
+        "crawl_seen_antijoin": q_crawl_seen_antijoin,
+        "crawl_wave_topk": q_crawl_wave_topk,
+        "crawl_round_metrics": q_crawl_round_metrics,
+        "crawl_priority_order": q_crawl_priority_order,
+        "crawl_retry_union": q_crawl_retry_union,
+        "events_json_extract": q_events_json_extract,
+        "events_sessionize": q_events_sessionize,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_embedding_neardup": q_sim_embedding_neardup,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_decode": q_multimodal_decode,
+        "crawl_e2e_order": q_crawl_e2e_order,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+)
+"""
+
+_STOP_PAT = r"\b(the|and|of|to|is|a|in)\b"
+_BPE_PAT = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+
+def _lang_count(lang_words: list[str]) -> str:
+    pat = r"\b(" + "|".join(lang_words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
+
+
+def _ann_planes_sql() -> str:
+    """Inline the deterministic hyperplanes as SQL literals (same md5-derived
+    constants similarity._hyperplanes produces)."""
+    from crawler_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    bits = []
+    for i, pl in enumerate(planes):
+        arr = "[" + ", ".join(f"{v:.1f}" for v in pl) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(bits)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _lang_count(["the", "and", "of", "to", "is"])
+    fr = _lang_count(["le", "la", "et", "les", "des"])
+    de = _lang_count(["der", "die", "und", "das", "ist"])
+    es = _lang_count(["el", "los", "que", "de", "y"])
+    cjk = "len(regexp_extract_all(text, '[一-鿿]', 0)) > 0"
+    pred = f"""CASE WHEN {cjk} THEN 'zh'
+        WHEN c_en > 0 AND c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+        WHEN c_fr > 0 AND c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+        WHEN c_de > 0 AND c_de >= c_es THEN 'de'
+        WHEN c_es > 0 THEN 'es' ELSE 'und' END"""
+
+    return {
+        "crawl_canonical_keys": """
+            SELECT 'HTTP://Orders.Example.COM:80/o/' || o_orderkey || '?b=2&a=1#frag' AS raw_url,
+                   'http://orders.example.com/o/' || o_orderkey || '?a=1&b=2' AS curl,
+                   md5('http://orders.example.com/o/' || o_orderkey || '?a=1&b=2' || 'GET') AS key
+            FROM orders
+        """,
+        "crawl_seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "crawl_wave_topk": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "crawl_round_metrics": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "crawl_priority_order": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 50
+        """,
+        "crawl_retry_union": """
+            SELECT event_id, user_id, 0 AS attempt FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id, 1 AS attempt FROM events e
+            WHERE event_type = 'purchase'
+              AND NOT EXISTS (SELECT 1 FROM events c
+                              WHERE c.event_type = 'click' AND c.event_id = e.event_id)
+        """,
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+        """,
+        "events_sessionize": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                FROM events
+            ), y AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END AS brk
+                FROM x
+            ), z AS (
+                SELECT user_id,
+                       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                FROM y
+            )
+            SELECT user_id, sess_id, count(*) AS n_events FROM z GROUP BY user_id, sess_id
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH inst AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            sums AS (
+                SELECT doc_id,
+                       {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16))}
+                FROM inst GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash
+            FROM sums
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS un
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 5 * inter >= 1 * (sa.n + sb.n - inter)
+        """,
+        "text_lang_id": f"""
+            WITH c AS (
+                SELECT doc_id, lang, text,
+                       {en} AS c_en, {fr} AS c_fr, {de} AS c_de, {es} AS c_es
+                FROM documents
+            )
+            SELECT doc_id, lang AS actual, {pred} AS predicted,
+                   ({pred}) = lang AS correct
+            FROM c
+        """,
+        "text_quality": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       length(text) AS n_chars_m,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{_STOP_PAT}', 1)) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stopwords,
+                   CASE WHEN n_tokens > 0 THEN (1000 * CAST(n_stopwords AS BIGINT)) // n_tokens ELSE 0 END AS stop_bp,
+                   CASE WHEN n_tokens > 0 THEN (1000 * CAST(n_chars_m AS BIGINT)) // n_tokens ELSE 0 END AS avg_toklen_bp
+            FROM b
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_PAT}', 1)) AS bpe_tokens
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                       sim
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
+            FROM ranked WHERE rank <= 10
+        """,
+        "sim_embedding_neardup": """
+            WITH sub AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim6
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
+        """,
+        "sim_ann_lsh": f"""
+            WITH bkt AS (
+                SELECT vec_id, embedding, {_ann_planes_sql()} AS bucket FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket AS qbucket
+                FROM bkt WHERE vec_id IN (0,1,2,3,4)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM bkt e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                       sim
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
+            FROM ranked WHERE rank <= 10
+        """,
+        # multimodal_decode, crawl_e2e_order: non-SQL-expressible
+        # (mapInPandas binary plumbing / stateful round loop) — rows-only.
+    }

@@ -62,20 +62,26 @@ def quality_score(documents: DataFrame) -> DataFrame:
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     stop_pat = r"\b(the|and|of|to|is|a|in)\b"
     n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(stop_pat), F.lit(1)))
-    return documents.select(
+    base = documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_m"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stopwords"),
-        F.when(n_tok > 0, (F.lit(1000) * n_stop).cast("long") / n_tok)
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("stop_bp"),
-        F.when(n_tok > 0, n_chars.cast("long") * 1000 / n_tok)
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("avg_toklen_bp"),
+    )
+    # integer div (exact floor) so values hash identically to the SQL oracle
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "n_punct",
+        "n_stopwords",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (1000 * CAST(n_stopwords AS BIGINT)) DIV n_tokens ELSE 0 END"
+        ).alias("stop_bp"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (1000 * CAST(n_chars_m AS BIGINT)) DIV n_tokens ELSE 0 END"
+        ).alias("avg_toklen_bp"),
     )
 
 
