@@ -1,0 +1,87 @@
+"""Streaming layer tests (SURVEY.md §5.2): windowed metrics stream/batch
+parity and stateful streaming URL-seen dedup across micro-batches."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime
+
+import pandas as pd
+
+from crawler_spark.streaming.dedup import streaming_seen_dedup
+from crawler_spark.streaming.metrics import FETCH_EVENT, windowed_fetch_metrics
+
+
+def _k(url: str) -> str:
+    return hashlib.md5((url + "GET").encode()).hexdigest()
+
+
+def test_windowed_metrics_stream_batch_parity(spark, tmpdir_):
+    rows = []
+    for m in range(5):
+        for i in range(10):
+            rows.append(
+                (
+                    datetime(2026, 1, 1, 0, m, i),
+                    "book" if i % 2 == 0 else "group",
+                    f"h{i % 3}.example.com",
+                    i % 4 != 0,
+                    100 + i,
+                    10 * i,
+                )
+            )
+    src = f"{tmpdir_}/events"
+    spark.createDataFrame(rows, FETCH_EVENT).write.parquet(src)
+
+    batch = windowed_fetch_metrics(spark.read.parquet(src), window_s=60)
+    expect = sorted(map(tuple, batch.collect()))
+
+    stream = spark.readStream.schema(FETCH_EVENT).parquet(src)
+    q = (
+        windowed_fetch_metrics(stream, window_s=60, watermark_s=120)
+        .writeStream.format("memory")
+        .queryName("winmetrics")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_m")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM winmetrics").collect()))
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_streaming_dedup_exactly_once_across_batches(spark, tmpdir_):
+    src = f"{tmpdir_}/urls"
+    os.makedirs(src)
+    f1 = [("http://a.com/1",), ("http://a.com/2",), ("http://a.com/1",)]
+    f2 = [("http://a.com/2",), ("http://a.com/3",), ("http://a.com/3",)]
+    for name, rows in (("f1", f1), ("f2", f2)):
+        pdf = pd.DataFrame({"url": [r[0] for r in rows]})
+        pdf["key"] = pdf["url"].map(_k)
+        spark.createDataFrame(pdf[["key", "url"]]).coalesce(1).write.parquet(
+            f"{src}/{name}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("key string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_seen_dedup(stream, n_shards=8)
+        .writeStream.format("memory")
+        .queryName("dedupout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_d")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT key, url FROM dedupout").collect()
+    urls = sorted(r.url for r in out)
+    # exactly one emission per distinct URL, across micro-batch boundaries
+    assert urls == ["http://a.com/1", "http://a.com/2", "http://a.com/3"]
+    assert all(r.key == _k(r.url) for r in out)
