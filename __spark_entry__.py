@@ -136,6 +136,69 @@ def q_crawl_retry_union(spark, sf_dir):
     )
 
 
+def q_crawl_proxy_rotation(spark, sf_dir):
+    """Round-robin proxy selection (proxy/proxy.go:34-51): proxy =
+    urls[i % n], with the atomic counter realized as the row's stable id."""
+    o = _t(spark, sf_dir, "orders")
+    proxies = ["http://proxy0:8888", "http://proxy1:8888", "http://proxy2:8888"]
+    idx = F.pmod(F.col("o_orderkey"), F.lit(len(proxies)))
+    proxy = F.element_at(F.array(*[F.lit(p) for p in proxies]), (idx + 1).cast("int"))
+    return o.select("o_orderkey", idx.alias("proxy_idx"), proxy.alias("proxy"))
+
+
+def q_crawl_content_filter(spark, sf_dir):
+    """Content-match filter -> emit the matching page id (GetSunRoom
+    semantics, parse/doubangroup/group.go:57-71): keep only bodies matching
+    a regex, project the identifying column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.regexp_like("text", F.lit(r"(frontier|sunroom)"))).select(
+        "doc_id", "source"
+    )
+
+
+def q_crawl_field_extraction(spark, sf_dir):
+    """Named-regex field projection (ParseBookDetail,
+    parse/doubanbook/book.go:111-140): first submatch per field, int cast
+    for numeric fields (strconv.Atoi analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(\d{1,9})", 1).alias("first_num_s"),
+        F.nullif(F.regexp_extract("text", r"(\d{1,9})", 1), F.lit("")).cast("long").alias("first_num"),
+    )
+
+
+def q_crawl_body_validity(spark, sf_dir):
+    """Body-length validity filter (engine/schedule.go:364-372): responses
+    under the reference's 6000-byte constant are fetch failures."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("body_len"),
+        (F.length("text") >= 6000).alias("ok"),
+    )
+
+
+def q_crawl_budget_math(spark, sf_dir):
+    """Multi-tier token-bucket admissibility in exact integer arithmetic
+    (limiter/limiter.go:16-41 -> textcore.task_budget): per row, admissible =
+    min over two tiers of (carry_num + rate*round_s) DIV dur, burst-capped."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.selectExpr(
+        "s_suppkey",
+        "LEAST((pmod(CAST(floor(abs(s_acctbal)) AS BIGINT), 180)"
+        "       + (pmod(s_suppkey, 20) + 1) * 60) DIV 3,"
+        "      (pmod(s_suppkey, 20) + 1) * 40) AS tier1_adm",
+        "((pmod(s_suppkey, 7) + 1) * 60) DIV 60 AS tier2_adm",
+    ).selectExpr(
+        "s_suppkey",
+        "tier1_adm",
+        "tier2_adm",
+        "LEAST(tier1_adm, tier2_adm) AS admissible",
+    )
+
+
 def q_events_json_extract(spark, sf_dir):
     """JSON scalar extraction (reference serializes payloads as JSON,
     storage/sqlstorage/sqlstorage.go:122-137)."""
@@ -297,6 +360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round_metrics": q_crawl_round_metrics,
         "crawl_priority_order": q_crawl_priority_order,
         "crawl_retry_union": q_crawl_retry_union,
+        "crawl_proxy_rotation": q_crawl_proxy_rotation,
+        "crawl_content_filter": q_crawl_content_filter,
+        "crawl_field_extraction": q_crawl_field_extraction,
+        "crawl_body_validity": q_crawl_body_validity,
+        "crawl_budget_math": q_crawl_budget_math,
         "events_json_extract": q_events_json_extract,
         "events_sessionize": q_events_sessionize,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -405,6 +473,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase'
               AND NOT EXISTS (SELECT 1 FROM events c
                               WHERE c.event_type = 'click' AND c.event_id = e.event_id)
+        """,
+        "crawl_proxy_rotation": """
+            SELECT o_orderkey,
+                   o_orderkey % 3 AS proxy_idx,
+                   (['http://proxy0:8888', 'http://proxy1:8888', 'http://proxy2:8888'])[(o_orderkey % 3) + 1] AS proxy
+            FROM orders
+        """,
+        "crawl_content_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE regexp_matches(text, '(frontier|sunroom)')
+        """,
+        "crawl_field_extraction": """
+            SELECT doc_id,
+                   regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+                   regexp_extract(text, '(\\d{1,9})', 1) AS first_num_s,
+                   CAST(nullif(regexp_extract(text, '(\\d{1,9})', 1), '') AS BIGINT) AS first_num
+            FROM documents
+        """,
+        "crawl_body_validity": """
+            SELECT doc_id, length(text) AS body_len, length(text) >= 6000 AS ok
+            FROM documents
+        """,
+        "crawl_budget_math": """
+            SELECT s_suppkey, tier1_adm, tier2_adm,
+                   LEAST(tier1_adm, tier2_adm) AS admissible
+            FROM (
+                SELECT s_suppkey,
+                       LEAST((CAST(floor(abs(s_acctbal)) AS BIGINT) % 180
+                              + (s_suppkey % 20 + 1) * 60) // 3,
+                             (s_suppkey % 20 + 1) * 40) AS tier1_adm,
+                       ((s_suppkey % 7 + 1) * 60) // 60 AS tier2_adm
+                FROM supplier
+            )
         """,
         "events_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val

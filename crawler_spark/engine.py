@@ -16,6 +16,16 @@ budgeted top-k windows (locally pruned first), the host-salted repartition,
 and the link seq assignment (wave-bounded). All are bounded by the wave /
 politeness budget except the anti-join, which is the irreducible frontier
 cost (Iceberg MERGE at production scale).
+
+Per-round driver work is kept O(|wave|), never O(|seen|):
+- the seen-set size is a manifest counter, not a count() scan;
+- the Bloom pre-filter is maintained incrementally — each round ORs in a
+  bitmap built from that round's seen delta (wave-bounded); the full-table
+  build runs only once, on first crossing the threshold or after resume;
+- per-task outcome counts come from two jobs (one groupBy over the cached
+  wave, one over the union of the small outputs), and the next-frontier
+  size is derived arithmetically instead of re-scanning the written
+  snapshot.
 """
 
 from __future__ import annotations
@@ -38,7 +48,7 @@ from .textcore import (
     tier_carry_after,
 )
 from .operators.canon import with_canonical
-from .operators.dedup import anti_join_seen, build_bloom
+from .operators.dedup import anti_join_seen, build_bloom, or_blooms
 from .operators.fetch import GraphFetcher
 from .operators.parse import parse_fetched
 from .operators.seq import assign_link_seqs, assign_retry_seqs
@@ -81,6 +91,9 @@ class CrawlEngine:
         self.host_caps = {
             r["host"]: host_round_cap(r["crawl_delay_ms"], round_s) for r in robots
         }
+        # incrementally-maintained Bloom bitmap over the seen table; rebuilt
+        # from the table once per process (resume), then delta-ORed per round
+        self._bloom: bytes | None = None
         self.shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # tiny dims, broadcast once
         self._tasks_df = F.broadcast(
@@ -119,6 +132,8 @@ class CrawlEngine:
                 "round": 0,
                 "max_seq": int(max_seq if max_seq is not None else -1),
                 "fetch_count": 0,
+                "seen_count": 0,
+                "frontier_round": 0,
                 "carries": {
                     t.name: [initial_carry(tier) for tier in t.limits]
                     for t in self.tasks.values()
@@ -150,7 +165,7 @@ class CrawlEngine:
         t0 = time.time()
         spark = self.spark
         prev = rnd - 1
-        frontier = self.store.read_frontier(prev)
+        frontier = self.store.read_frontier(man.get("frontier_round", prev))
         seen = self.store.read_through("seen", prev)
         if seen is None:
             seen = spark.createDataFrame([], schemas.SEEN)
@@ -165,13 +180,18 @@ class CrawlEngine:
             .drop("max_depth", "closed")
         )
 
-        # 2. seen dedup: exact anti-join with Bloom pre-filter; reload bypasses
-        n_seen = seen.count()
-        bloom = (
-            build_bloom(seen, "key", self.bloom_bits)
-            if n_seen >= self.bloom_min_seen
-            else None
-        )
+        # 2. seen dedup: exact anti-join with Bloom pre-filter; reload bypasses.
+        # Seen size is a manifest counter (appended rows), never a table scan.
+        n_seen = man.get("seen_count")
+        if n_seen is None:  # manifest written before the counter existed
+            n_seen = seen.count()
+        bloom = None
+        if n_seen >= self.bloom_min_seen:
+            if self._bloom is None:
+                # first threshold crossing (or resume): one full build; from
+                # here on the per-round delta OR keeps it current
+                self._bloom = build_bloom(seen, "key", self.bloom_bits)
+            bloom = self._bloom
         non_reload = cand.filter(~F.col("reload"))
         reload_rows = cand.filter(F.col("reload"))
         fresh = anti_join_seen(non_reload, seen, "key", bloom, self.bloom_bits)
@@ -218,16 +238,13 @@ class CrawlEngine:
         if n_wave == 0:
             n_cand = cand.count()
             done = n_cand == 0
-            # all-deferred round: budgets accrue, frontier unchanged
-            self.store.write_frontier(rnd, cand.select(*schemas.FRONTIER.fieldNames()))
-            for tbl in ("seen", "failed_once"):
-                empty = (
-                    self.spark.createDataFrame([], schemas.SEEN)
-                    if tbl == "seen"
-                    else self.spark.createDataFrame([], "key string")
-                )
-                self.store.append(tbl, rnd, empty)
-            new_man = self._advance_manifest(man, rnd, carries, used, max_seq, done)
+            # all-deferred round: budgets accrue, frontier unchanged — no
+            # writes at all; the manifest keeps pointing at the last
+            # materialized frontier snapshot
+            new_man = self._advance_manifest(
+                man, rnd, carries, used, max_seq, done, n_seen
+            )
+            new_man["frontier_round"] = man.get("frontier_round", prev)
             new_man["stats"] = dict(
                 round=rnd, selected=0, fetched_ok=0, failed=0, new_links=0,
                 items=0, wall_s=time.time() - t0,
@@ -289,36 +306,7 @@ class CrawlEngine:
             retries.select(*frontier_cols)
         )
 
-        # ---- writes (appends first, frontier snapshot, then commit) -------
-        seen_delta = (
-            fetched.filter(F.col("ok") | F.col("reload"))
-            .select("key", F.col("curl").alias("url"))
-            .withColumn("round", F.lit(rnd))
-        )
-        self.store.append("seen", rnd, seen_delta)
-        self.store.append("failed_once", rnd, failed.select("key"))
-        self.store.append("documents", rnd, documents)
-        self.store.append(
-            "results", rnd, items.withColumn("round", F.lit(rnd)).select(
-                *schemas.RESULTS.fieldNames()
-            )
-        )
-        self.store.append(
-            "order",
-            rnd,
-            wave.select("task", "priority", "seq", "curl", "key").withColumn(
-                "round", F.lit(rnd)
-            ),
-        )
-        self.store.append(
-            "failures",
-            rnd,
-            permanent.select("key", F.col("curl").alias("url"), "task").withColumn(
-                "round", F.lit(rnd)
-            ),
-        )
-
-        # metrics + per-partition lineage (north_rule)
+        # ---- metrics first (all from cached frames), then gated writes ----
         agg = (
             fetched.groupBy("task")
             .agg(
@@ -328,9 +316,28 @@ class CrawlEngine:
             )
             .collect()
         )
-        link_counts = {r["task"]: r["n"] for r in links.groupBy("task").agg(F.count("*").alias("n")).collect()}
-        item_counts = {r["task"]: r["n"] for r in items.groupBy("task").agg(F.count("*").alias("n")).collect()}
-        retry_counts = {r["task"]: r["n"] for r in retries.groupBy("task").agg(F.count("*").alias("n")).collect()}
+        # one job for every small-output count (links/items/retries/seen Δ)
+        # instead of one job each — all four frames derive from cached parents
+        out_counts = (
+            links.select("task", F.lit("link").alias("kind"))
+            .unionByName(items.select("task", F.lit("item").alias("kind")))
+            .unionByName(retries.select("task", F.lit("retry").alias("kind")))
+            .unionByName(
+                fetched.filter(F.col("ok") | F.col("reload")).select(
+                    "task", F.lit("seen").alias("kind")
+                )
+            )
+            .groupBy("task", "kind")
+            .count()
+            .collect()
+        )
+        by_kind: dict[str, dict[str, int]] = {}
+        for r in out_counts:
+            by_kind.setdefault(r["kind"], {})[r["task"]] = r["count"]
+        link_counts = by_kind.get("link", {})
+        item_counts = by_kind.get("item", {})
+        retry_counts = by_kind.get("retry", {})
+        n_seen_delta = sum(by_kind.get("seen", {}).values())
         metrics_rows = [
             {
                 "round": rnd,
@@ -344,6 +351,49 @@ class CrawlEngine:
             }
             for r in agg
         ]
+        totals = {
+            "selected": n_wave,
+            "fetched_ok": sum((m["fetched_ok"] for m in metrics_rows), 0),
+            "failed": sum((m["failed"] for m in metrics_rows), 0),
+            "items": sum((m["items"] for m in metrics_rows), 0),
+        }
+        n_retries = sum(retry_counts.values())
+
+        # ---- writes (appends, frontier snapshot, then commit). Empty
+        # deltas are skipped entirely — read_through tolerates missing round
+        # directories, and a skipped write is one less job + commit.
+        seen_delta = (
+            fetched.filter(F.col("ok") | F.col("reload"))
+            .select("key", F.col("curl").alias("url"))
+            .withColumn("round", F.lit(rnd))
+        )
+        if n_seen_delta:
+            self.store.append("seen", rnd, seen_delta)
+        if totals["failed"]:
+            self.store.append("failed_once", rnd, failed.select("key"))
+        if totals["failed"] > n_retries:
+            self.store.append(
+                "failures",
+                rnd,
+                permanent.select("key", F.col("curl").alias("url"), "task")
+                .withColumn("round", F.lit(rnd))
+                .coalesce(1),
+            )
+        if totals["fetched_ok"]:
+            self.store.append("documents", rnd, documents)
+        if totals["items"]:
+            self.store.append(
+                "results", rnd, items.withColumn("round", F.lit(rnd)).select(
+                    *schemas.RESULTS.fieldNames()
+                )
+            )
+        self.store.append(
+            "order",
+            rnd,
+            wave.select("task", "priority", "seq", "curl", "key").withColumn(
+                "round", F.lit(rnd)
+            ),
+        )
         self.store.append(
             "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
         )
@@ -353,25 +403,27 @@ class CrawlEngine:
             .withColumn("round", F.lit(rnd))
             .withColumn("stage", F.lit("fetch"))
             .select(*schemas.LINEAGE.fieldNames())
+            .coalesce(1)
         )
         self.store.append("lineage", rnd, lineage)
 
         self.store.write_frontier(rnd, next_frontier)
-        # done iff the *new* frontier yields no candidates ever; cheap check:
-        # frontier empty (budget-deferred rows keep it alive)
-        n_frontier = self.store.read_frontier(rnd).count()
+        # done iff the new frontier is empty (budget-deferred rows keep it
+        # alive); its size is pure arithmetic over already-known counts —
+        # deferred (candidates minus wave; seq is frontier-unique) + new
+        # links + retries — so no re-scan of the written snapshot is needed
+        n_frontier = (cand.count() - n_wave) + n_links + n_retries
         done = n_frontier == 0
 
-        totals = {
-            "selected": n_wave,
-            "fetched_ok": sum((m["fetched_ok"] for m in metrics_rows), 0),
-            "failed": sum((m["failed"] for m in metrics_rows), 0),
-            "items": sum((m["items"] for m in metrics_rows), 0),
-        }
-        n_retries = sum(retry_counts.values())
         new_man = self._advance_manifest(
-            man, rnd, carries, used, max_seq + n_links + n_retries, done
+            man, rnd, carries, used, max_seq + n_links + n_retries, done,
+            n_seen + n_seen_delta,
         )
+        # keep the Bloom current with this round's delta (wave-bounded work)
+        if self._bloom is not None and n_seen_delta:
+            self._bloom = or_blooms(
+                self._bloom, build_bloom(seen_delta, "key", self.bloom_bits)
+            )
         new_man["stats"] = dict(
             round=rnd,
             selected=n_wave,
@@ -388,12 +440,21 @@ class CrawlEngine:
         return new_man
 
     def _advance_manifest(
-        self, man: dict, rnd: int, carries: dict, used: dict, max_seq: int, done: bool
+        self,
+        man: dict,
+        rnd: int,
+        carries: dict,
+        used: dict,
+        max_seq: int,
+        done: bool,
+        seen_count: int,
     ) -> dict:
         return {
             "round": rnd,
             "max_seq": int(max_seq),
             "fetch_count": man.get("fetch_count", 0),
+            "seen_count": int(seen_count),
+            "frontier_round": rnd,
             "carries": carries,
             "done": bool(done),
         }

@@ -58,6 +58,15 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 22) -> bytes:
     return merged
 
 
+def or_blooms(a: bytes, b: bytes) -> bytes:
+    """Merge two same-sized Bloom bitmaps (used for incremental maintenance:
+    the engine ORs each round's seen-delta bitmap into the running filter,
+    so per-round build cost is O(|delta|), not O(|seen|)). Safe because the
+    seen table is append-only — a key present in `seen` is always present in
+    the merged filter, preserving the no-false-negative contract."""
+    return (np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)).tobytes()
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,

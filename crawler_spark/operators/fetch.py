@@ -26,8 +26,12 @@ class GraphFetcher:
     def __init__(self, web_graph: DataFrame):
         # canonicalize graph keys once; fixture URLs are already canonical
         # but simulated HTTP must resolve any canonically-equal spelling.
-        self.graph = web_graph.withColumn("gcurl", canonicalize_udf("url")).select(
-            "gcurl", "status", "body", "latency_ms"
+        # Cached: without it every round's fetch join re-runs the canon UDF
+        # over the whole corpus — O(|graph|) per round instead of once.
+        self.graph = (
+            web_graph.withColumn("gcurl", canonicalize_udf("url"))
+            .select("gcurl", "status", "body", "latency_ms")
+            .cache()
         )
 
     def fetch(self, wave: DataFrame) -> DataFrame:

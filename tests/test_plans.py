@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: lock in the scale properties the engine
+relies on (column pruning into the parquet scan, predicate pushdown,
+broadcast joins for small sides, partial aggregation) so a refactor can't
+silently regress them. See SURVEY.md §4.2-4.3."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _read_schema_cols(plan: str) -> list[set[str]]:
+    """Column sets of every parquet ReadSchema in the plan."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+        out.append(cols)
+    return out
+
+
+def test_text_fingerprint_prunes_columns(spark):
+    from crawler_spark.pipeline.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(fingerprint(docs))
+    schemas = _read_schema_cols(plan)
+    assert schemas, plan
+    # only doc_id + text reach the scan; lang/source/n_chars are pruned
+    assert all(s <= {"doc_id", "text"} for s in schemas), schemas
+
+
+def test_content_filter_pushes_predicate(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("n_chars") > 5000).select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,5000)]" in plan, plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from crawler_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, query_ids=[0, 1, 2], k=5))
+    # the tiny query side must broadcast — no shuffle of the corpus
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_seen_antijoin_uses_join_not_cartesian(spark):
+    from crawler_spark.operators.dedup import anti_join_seen
+
+    cand = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "CAST(o_orderkey AS STRING) AS key", "o_custkey"
+    )
+    seen = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "CAST(l_orderkey AS STRING) AS key"
+    )
+    plan = _plan(anti_join_seen(cand, seen, "key"))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_agg_pricing_summary(spark, SF)
+    plan = _plan(df)
+    # map-side partial agg before the exchange, final after — two
+    # HashAggregate nodes around one shuffle
+    assert "partial_sum" in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_budgeted_topk_local_prune_bounds_shuffle(spark):
+    """The wave pop must pre-prune per physical partition before the global
+    per-group rank, so the shuffled volume is O(k x partitions), not O(n)."""
+    from crawler_spark.operators.topk import budgeted_topk
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS task", "CAST(user_id AS INT) AS priority", "event_id AS seq"
+    )
+    plan = _plan(budgeted_topk(ev, "task", {"click": 3}, default_budget=5))
+    # two Window nodes: the partition-local prune, then the global rank
+    assert plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
