@@ -115,6 +115,10 @@ class CrawlEngine:
             )
         )
 
+    def _desc(self, rnd: int, what: str) -> None:
+        """Label the next Spark jobs (shows up in UI + event logs)."""
+        self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
+
     # ------------------------------------------------------------------ init
 
     def init_state(self, seeds: DataFrame) -> None:
@@ -190,6 +194,7 @@ class CrawlEngine:
             if self._bloom is None:
                 # first threshold crossing (or resume): one full build; from
                 # here on the per-round delta OR keeps it current
+                self._desc(rnd, "bloom-full-build")
                 self._bloom = build_bloom(seen, "key", self.bloom_bits)
             bloom = self._bloom
         non_reload = cand.filter(~F.col("reload"))
@@ -227,15 +232,16 @@ class CrawlEngine:
         # invisible to AQE byte stats — spread deterministically by key
         wave = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")).cache()
 
-        used = {r["task"]: r["n"] for r in wave.groupBy("task").agg(F.count("*").alias("n")).collect()}
-        n_wave = sum(used.values())
-        # budgets accrue (capped at burst) whether or not the wave is empty
-        for name, t in self.tasks.items():
-            carries[name] = [
-                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
-                for c, tier in zip(carries[name], t.limits)
-            ]
+        self._desc(rnd, "wave-count")
+        n_wave = wave.count()
         if n_wave == 0:
+            used: dict[str, int] = {}
+            # budgets accrue (capped at burst) even when the wave is empty
+            for name, t in self.tasks.items():
+                carries[name] = [
+                    tier_carry_after(c, tier, self.round_s, 0)
+                    for c, tier in zip(carries[name], t.limits)
+                ]
             n_cand = cand.count()
             done = n_cand == 0
             # all-deferred round: budgets accrue, frontier unchanged — no
@@ -255,6 +261,7 @@ class CrawlEngine:
 
         # 5-6. fetch (seen marking is folded into the post-fetch delta:
         # mark-before-fetch + unmark-on-failure ≡ add iff ok or reload)
+        self._desc(rnd, "fetch")
         fetched = self.fetcher.fetch(wave).cache()
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
@@ -270,6 +277,9 @@ class CrawlEngine:
         # 8. parse + outputs
         ok_rows = fetched.filter(F.col("ok"))
         parsed, documents, items, raw_links = parse_fetched(ok_rows, self.rules)
+        self._desc(rnd, "parse")
+        parsed.count()  # materialize the parse ONCE before the several
+        # downstream consumers (links/documents/items/metrics) traverse it
 
         links = with_canonical(
             raw_links.withColumn("method", F.lit("GET")), "url"
@@ -294,8 +304,9 @@ class CrawlEngine:
 
         # 9. seq assignment (dense, deterministic — operators/seq.py)
         links = assign_link_seqs(links, max_seq).cache()
+        self._desc(rnd, "links(fetch+parse+canon+seq)")
         n_links = links.count()
-        retries = assign_retry_seqs(retries, max_seq + n_links)
+        retries = assign_retry_seqs(retries, max_seq + n_links).cache()
 
         frontier_cols = schemas.FRONTIER.fieldNames()
         new_links = links.withColumn("attempt", F.lit(0)).select(*frontier_cols)
@@ -307,6 +318,7 @@ class CrawlEngine:
         )
 
         # ---- metrics first (all from cached frames), then gated writes ----
+        self._desc(rnd, "metrics-agg")
         agg = (
             fetched.groupBy("task")
             .agg(
@@ -316,8 +328,17 @@ class CrawlEngine:
             )
             .collect()
         )
+        # per-task wave sizes fall out of the same aggregate — no separate
+        # groupBy job; politeness carries consume them here
+        used = {r["task"]: r["selected"] for r in agg}
+        for name, t in self.tasks.items():
+            carries[name] = [
+                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
+                for c, tier in zip(carries[name], t.limits)
+            ]
         # one job for every small-output count (links/items/retries/seen Δ)
         # instead of one job each — all four frames derive from cached parents
+        self._desc(rnd, "out-counts")
         out_counts = (
             links.select("task", F.lit("link").alias("kind"))
             .unionByName(items.select("task", F.lit("item").alias("kind")))
@@ -367,6 +388,7 @@ class CrawlEngine:
             .select("key", F.col("curl").alias("url"))
             .withColumn("round", F.lit(rnd))
         )
+        self._desc(rnd, "write-deltas")
         if n_seen_delta:
             self.store.append("seen", rnd, seen_delta)
         if totals["failed"]:
@@ -407,11 +429,13 @@ class CrawlEngine:
         )
         self.store.append("lineage", rnd, lineage)
 
+        self._desc(rnd, "write-frontier")
         self.store.write_frontier(rnd, next_frontier)
         # done iff the new frontier is empty (budget-deferred rows keep it
         # alive); its size is pure arithmetic over already-known counts —
         # deferred (candidates minus wave; seq is frontier-unique) + new
         # links + retries — so no re-scan of the written snapshot is needed
+        self._desc(rnd, "cand-count")
         n_frontier = (cand.count() - n_wave) + n_links + n_retries
         done = n_frontier == 0
 
@@ -421,6 +445,7 @@ class CrawlEngine:
         )
         # keep the Bloom current with this round's delta (wave-bounded work)
         if self._bloom is not None and n_seen_delta:
+            self._desc(rnd, "bloom-delta")
             self._bloom = or_blooms(
                 self._bloom, build_bloom(seen_delta, "key", self.bloom_bits)
             )
@@ -435,8 +460,10 @@ class CrawlEngine:
         )
         new_man["fetch_count"] = man.get("fetch_count", 0) + n_wave
         self.store.commit(rnd, new_man)
-        for df in (cand, wave, fetched, parsed, links):
-            df.unpersist()
+        for df in (cand, wave, fetched, parsed, links, retries,
+                   getattr(links, "_ranked", None)):
+            if df is not None:
+                df.unpersist()
         return new_man
 
     def _advance_manifest(

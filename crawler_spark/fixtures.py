@@ -50,17 +50,44 @@ def _h(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
+_POOL_N = 1 << 12
+_POOL_TEXT: str | None = None
+_POOL_OFFSETS: list[int] | None = None
+
+
+def _pool() -> tuple[str, list[int]]:
+    """Deterministic ~25KB word pool + per-word char offsets, built once.
+
+    Filler is then an O(n_chars) slice instead of O(n_words) md5 calls —
+    the difference between seconds and minutes when generating 10^5-page
+    bench corpora."""
+    global _POOL_TEXT, _POOL_OFFSETS
+    if _POOL_TEXT is None:
+        words = [
+            FILLER_WORDS[_h(f"pool:{i}") % len(FILLER_WORDS)] for i in range(_POOL_N)
+        ]
+        offsets, pos = [], 0
+        for w in words:
+            offsets.append(pos)
+            pos += len(w) + 1
+        _POOL_TEXT = " ".join(words) + " "
+        _POOL_OFFSETS = offsets
+    return _POOL_TEXT, _POOL_OFFSETS
+
+
 def _filler(tag: str, n_chars: int) -> str:
-    """Deterministic word salad of ~n_chars."""
-    words = []
-    size = 0
-    i = 0
-    while size < n_chars:
-        w = FILLER_WORDS[_h(f"{tag}:{i}") % len(FILLER_WORDS)]
-        words.append(w)
-        size += len(w) + 1
-        i += 1
-    return " ".join(words)
+    """Deterministic word salad of ~n_chars (pool slice keyed by md5(tag))."""
+    text, offsets = _pool()
+    start = offsets[_h(f"fill:{tag}") % _POOL_N]
+    need = n_chars
+    out = []
+    pos = start
+    while need > 0:
+        take = min(need, len(text) - pos)
+        out.append(text[pos : pos + take])
+        need -= take
+        pos = 0
+    return "".join(out).strip()
 
 
 @dataclass

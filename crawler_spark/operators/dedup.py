@@ -40,22 +40,32 @@ def _positions(h64: np.ndarray, m_bits: int) -> np.ndarray:
 
 
 def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 22) -> bytes:
-    """Distributed Bloom build: per-partition bitmaps OR-folded with treeReduce."""
+    """Distributed Bloom build: per-partition bitmaps, OR-folded on the driver.
+
+    Arrow-batched ``mapInPandas`` (vectorized numpy per batch) — NOT the
+    ``.rdd`` path, which would pickle every row through Python one at a time
+    (~1000x slower per key). Each partition ships back one m_bits/8-byte
+    bitmap; the driver ORs ~shuffle_partitions of them, microseconds of
+    numpy work."""
     hashed = keys.select(F.xxhash64(key_col).alias("h"))
 
-    def part_bitmap(rows):
+    def part_bitmap(batches):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        hs = np.fromiter((r.h for r in rows), dtype=np.int64)
-        if hs.size:
-            pos = _positions(hs, m_bits).ravel()
-            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-        return [bits.tobytes()]
+        any_rows = False
+        for pdf in batches:
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            if hs.size:
+                any_rows = True
+                pos = _positions(hs, m_bits).ravel()
+                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
 
-    parts = hashed.rdd.mapPartitions(part_bitmap)
-    merged = parts.treeReduce(
-        lambda a, b: (np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)).tobytes()
-    )
-    return merged
+    parts = hashed.mapInPandas(part_bitmap, "bm binary").collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        merged |= np.frombuffer(r["bm"], np.uint8)
+    return merged.tobytes()
 
 
 def or_blooms(a: bytes, b: bytes) -> bytes:

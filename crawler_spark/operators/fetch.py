@@ -19,27 +19,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..textcore import MIN_BODY_LEN
-from .canon import canonicalize_udf
+from .canon import canonical_col
 
 
 class GraphFetcher:
     def __init__(self, web_graph: DataFrame):
         # canonicalize graph keys once; fixture URLs are already canonical
         # but simulated HTTP must resolve any canonically-equal spelling.
-        # Cached: without it every round's fetch join re-runs the canon UDF
-        # over the whole corpus — O(|graph|) per round instead of once.
+        # Cached AND pre-hash-partitioned on the join key: the per-round
+        # fetch join then reuses this distribution, so only the (small,
+        # budget-bounded) wave side shuffles — the corpus never moves again.
+        spark = web_graph.sparkSession
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.graph = (
-            web_graph.withColumn("gcurl", canonicalize_udf("url"))
+            web_graph.withColumn("gcurl", canonical_col("url"))
             .select("gcurl", "status", "body", "latency_ms")
+            .repartition(n, "gcurl")
             .cache()
         )
 
     def fetch(self, wave: DataFrame) -> DataFrame:
-        joined = wave.join(self.graph, wave["curl"] == self.graph["gcurl"], "left")
+        # ShuffledHashJoin(LeftOuter, BuildLeft): the wave side shuffles
+        # on curl and builds the hash table (wave-bounded work); the
+        # corpus streams straight out of its hash-partitioned cache — no
+        # exchange, no sort, no driver round-trip. The two plans this
+        # replaces both had a hidden O(|corpus|)-or-worse cost per round:
+        # sort-merge re-sorted the cached corpus every round, and
+        # broadcast(wave) serialized the whole wave through the driver
+        # (~40-70s/round at 4x10^5-URL waves).
+        joined = wave.hint("shuffle_hash").join(
+            self.graph, wave["curl"] == self.graph["gcurl"], "left"
+        )
         return (
             joined.drop("gcurl")
             .withColumn("status", F.coalesce("status", F.lit(404)))
             .withColumn("body", F.coalesce("body", F.lit("")))
+            .withColumn("latency_ms", F.coalesce("latency_ms", F.lit(0)))
             .withColumn(
                 "ok",
                 (F.col("status") == 200) & (F.length("body") >= F.lit(MIN_BODY_LEN)),

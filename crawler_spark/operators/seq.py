@@ -22,17 +22,26 @@ from pyspark.sql import functions as F
 
 
 def assign_link_seqs(links: DataFrame, base_seq: int) -> DataFrame:
-    """links must carry parent_seq + match_idx; returns with dense `seq` col."""
+    """links must carry parent_seq + match_idx; returns with dense `seq` col.
+
+    ``ranked`` is cached and materialized before the offsets subquery runs:
+    the offsets branch is a broadcast-exchange job, and without the eager
+    cache it would re-execute the whole upstream fetch+parse+canonicalize
+    pipeline a second time. The caller should unpersist ``result._ranked``
+    when the round's frontier is committed."""
     w_parent = Window.partitionBy("parent_seq").orderBy("match_idx")
-    ranked = links.withColumn("_pr", F.row_number().over(w_parent))
+    ranked = links.withColumn("_pr", F.row_number().over(w_parent)).cache()
+    ranked.count()  # materialize once
     counts = ranked.groupBy("parent_seq").agg(F.max("_pr").alias("_n"))
     w_cum = Window.orderBy("parent_seq").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
-    return (
+    out = (
         ranked.join(F.broadcast(offsets.select("parent_seq", "_off")), "parent_seq")
         .withColumn("seq", F.lit(base_seq) + F.col("_off") + F.col("_pr"))
         .drop("_pr", "_off")
     )
+    out._ranked = ranked  # for caller-side unpersist
+    return out
 
 
 def assign_retry_seqs(retries: DataFrame, base_seq: int) -> DataFrame:

@@ -33,8 +33,15 @@ def get_spark(
         # per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Python workers: keep the pool warm. Without these, UDF-heavy
+        # rounds were measured spending >80% of task time re-forking and
+        # re-importing pandas ("time to initialize Python workers" ~6200s
+        # vs 840s of actual UDF run time on one bench crawl).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "96")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
