@@ -57,8 +57,8 @@ BENCH_FIXTURE = dict(
 )
 
 
-FAT_BOOKS = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_BOOKS", "100000"))
-FAT_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_PAD", "6500"))
+FAT_BOOKS = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_BOOKS", "400000"))
+FAT_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_PAD", "8000"))
 
 
 def run_crawl_bench(master: str, cpus: int, mode: str = "rounds") -> dict:

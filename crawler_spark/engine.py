@@ -220,6 +220,10 @@ class CrawlEngine:
         cand = deduped.unionByName(
             cand.filter(F.col("reload")).select(*deduped.columns)
         ).cache()
+        self._desc(rnd, "cand(expire+dedup)")
+        n_cand = cand.count()  # materialize ONCE — the budgeted top-k pass
+        # fans out into several branches that would otherwise race to
+        # compute the expire+dedup lineage before the cache is warm
 
         # 3-4. budget top-k per task, then host-cap pass
         budgets = {
@@ -242,7 +246,6 @@ class CrawlEngine:
                     tier_carry_after(c, tier, self.round_s, 0)
                     for c, tier in zip(carries[name], t.limits)
                 ]
-            n_cand = cand.count()
             done = n_cand == 0
             # all-deferred round: budgets accrue, frontier unchanged — no
             # writes at all; the manifest keeps pointing at the last
@@ -435,8 +438,7 @@ class CrawlEngine:
         # alive); its size is pure arithmetic over already-known counts —
         # deferred (candidates minus wave; seq is frontier-unique) + new
         # links + retries — so no re-scan of the written snapshot is needed
-        self._desc(rnd, "cand-count")
-        n_frontier = (cand.count() - n_wave) + n_links + n_retries
+        n_frontier = (n_cand - n_wave) + n_links + n_retries
         done = n_frontier == 0
 
         new_man = self._advance_manifest(
