@@ -42,7 +42,6 @@ from .textcore import (
     LimitTier,
     Rule,
     TaskCfg,
-    host_round_cap,
     initial_carry,
     task_budget,
     tier_carry_after,
@@ -88,9 +87,18 @@ class CrawlEngine:
         self.round_s = round_s
         self.bloom_min_seen = bloom_min_seen
         self.bloom_bits = bloom_bits
-        self.host_caps = {
-            r["host"]: host_round_cap(r["crawl_delay_ms"], round_s) for r in robots
-        }
+        # per-host round caps as a DATAFRAME derived from the robots table
+        # (never a driver dict / CASE chain: at 10^7+ hosts the budget side
+        # must stay distributed; topk joins it against per-wave host counts)
+        self._host_budgets = spark.createDataFrame(
+            robots, schemas.ROBOTS
+        ).select(
+            "host",
+            F.when(F.col("crawl_delay_ms") <= 0, F.lit(1 << 40))
+            .otherwise(F.floor(F.lit(round_s * 1000) / F.col("crawl_delay_ms")))
+            .cast("long")
+            .alias("_budget"),
+        )
         # incrementally-maintained Bloom bitmap over the seen table; rebuilt
         # from the table once per process (resume), then delta-ORed per round
         self._bloom: bytes | None = None
@@ -169,6 +177,11 @@ class CrawlEngine:
         t0 = time.time()
         spark = self.spark
         prev = rnd - 1
+        # sweep torn leftovers of a crashed prior attempt at this round:
+        # the re-run may legitimately skip gated empty-delta writes, so any
+        # stale uncommitted round=rnd directory must go BEFORE we decide
+        # what to write, or read_through would see it forever
+        self.store.clean_round(rnd)
         frontier = self.store.read_frontier(man.get("frontier_round", prev))
         seen = self.store.read_through("seen", prev)
         if seen is None:
@@ -231,7 +244,9 @@ class CrawlEngine:
             for name, t in self.tasks.items()
         }
         picked = budgeted_topk(cand, "task", budgets, default_budget=1 << 40)
-        wave = budgeted_topk(picked, "host", self.host_caps, default_budget=1 << 40)
+        wave = budgeted_topk(
+            picked, "host", self._host_budgets, default_budget=1 << 40
+        )
         # host-salted repartition: hot-host fetch/parse skew is work-skew,
         # invisible to AQE byte stats — spread deterministically by key
         wave = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")).cache()
@@ -262,13 +277,20 @@ class CrawlEngine:
             cand.unpersist()
             return new_man
 
-        # 5-6. fetch (seen marking is folded into the post-fetch delta:
-        # mark-before-fetch + unmark-on-failure ≡ add iff ok or reload)
-        self._desc(rnd, "fetch")
-        fetched = self.fetcher.fetch(wave).cache()
+        # 5-6. fetch + parse in ONE pass (seen marking is folded into the
+        # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
+        # ok or reload). The fetch join output is NEVER cached with bodies:
+        # parse_fetched masks body behind the ok flag, runs the UDF over
+        # the full frame, and caches only slim columns + parse results.
+        # Every later accounting scan column-prunes that one cache.
+        fetched = self.fetcher.fetch(wave)
+        parsed, documents, items, raw_links = parse_fetched(fetched, self.rules)
+        self._desc(rnd, "fetch+parse")
+        parsed.count()  # materialize the join+parse ONCE; all downstream
+        # consumers (links/documents/items/accounting) read the slim cache
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
-        failed = fetched.filter(~F.col("ok"))
+        failed = parsed.filter(~F.col("ok"))
         fo = failed_once.select("key") if failed_once is not None else None
         retries = (
             failed.join(fo, "key", "left_anti") if fo is not None else failed
@@ -276,13 +298,6 @@ class CrawlEngine:
         permanent = (
             failed.join(fo, "key", "left_semi") if fo is not None else failed.limit(0)
         )
-
-        # 8. parse + outputs
-        ok_rows = fetched.filter(F.col("ok"))
-        parsed, documents, items, raw_links = parse_fetched(ok_rows, self.rules)
-        self._desc(rnd, "parse")
-        parsed.count()  # materialize the parse ONCE before the several
-        # downstream consumers (links/documents/items/metrics) traverse it
 
         links = with_canonical(
             raw_links.withColumn("method", F.lit("GET")), "url"
@@ -305,11 +320,15 @@ class CrawlEngine:
             .drop("rhost", "disallow_prefixes", "crawl_delay_ms", "_path")
         )
 
-        # 9. seq assignment (dense, deterministic — operators/seq.py)
-        links = assign_link_seqs(links, max_seq).cache()
-        self._desc(rnd, "links(fetch+parse+canon+seq)")
-        n_links = links.count()
-        retries = assign_retry_seqs(retries, max_seq + n_links).cache()
+        # 9. seq assignment (dense, deterministic, two-level — operators/seq.py).
+        # The assignment's internal per-partition-counts pass doubles as the
+        # link/retry row count, so no separate count() jobs are needed.
+        self._desc(rnd, "links(canon+seq)")
+        links = assign_link_seqs(links, max_seq)
+        n_links = links._total
+        self._desc(rnd, "retries-seq")
+        retries = assign_retry_seqs(retries, max_seq + n_links)
+        n_retries = retries._total
 
         frontier_cols = schemas.FRONTIER.fieldNames()
         new_links = links.withColumn("attempt", F.lit(0)).select(*frontier_cols)
@@ -320,44 +339,41 @@ class CrawlEngine:
             retries.select(*frontier_cols)
         )
 
-        # ---- metrics first (all from cached frames), then gated writes ----
-        self._desc(rnd, "metrics-agg")
-        agg = (
-            fetched.groupBy("task")
-            .agg(
-                F.count("*").alias("selected"),
-                F.sum(F.col("ok").cast("long")).alias("fetched_ok"),
-                F.sum((~F.col("ok")).cast("long")).alias("failed"),
-            )
-            .collect()
-        )
-        # per-task wave sizes fall out of the same aggregate — no separate
-        # groupBy job; politeness carries consume them here
-        used = {r["task"]: r["selected"] for r in agg}
-        for name, t in self.tasks.items():
-            carries[name] = [
-                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
-                for c, tier in zip(carries[name], t.limits)
-            ]
-        # one job for every small-output count (links/items/retries/seen Δ)
-        # instead of one job each — all four frames derive from cached parents
-        self._desc(rnd, "out-counts")
-        out_counts = (
-            links.select("task", F.lit("link").alias("kind"))
-            .unionByName(items.select("task", F.lit("item").alias("kind")))
-            .unionByName(retries.select("task", F.lit("retry").alias("kind")))
+        # ---- accounting: ONE job for every per-task count, all from the
+        # cached slim frames (column-pruned scans, no body bytes touched).
+        # 'selected' (politeness 'used') counts the WAVE, not the fetch-join
+        # output, so a fetcher returning duplicate rows can never inflate
+        # the carries; ok/fail/seen/link/item/retry ride the same union.
+        self._desc(rnd, "accounting")
+
+        def _kind(df: DataFrame, k: str) -> DataFrame:
+            return df.select("task", F.lit(k).alias("kind"))
+
+        acct_rows = (
+            _kind(wave, "selected")
+            .unionByName(_kind(parsed.filter(F.col("ok")), "ok"))
+            .unionByName(_kind(parsed.filter(~F.col("ok")), "fail"))
             .unionByName(
-                fetched.filter(F.col("ok") | F.col("reload")).select(
-                    "task", F.lit("seen").alias("kind")
-                )
+                _kind(parsed.filter(F.col("ok") | F.col("reload")), "seen")
             )
+            .unionByName(_kind(links, "link"))
+            .unionByName(_kind(items, "item"))
+            .unionByName(_kind(retries, "retry"))
             .groupBy("task", "kind")
             .count()
             .collect()
         )
         by_kind: dict[str, dict[str, int]] = {}
-        for r in out_counts:
+        for r in acct_rows:
             by_kind.setdefault(r["kind"], {})[r["task"]] = r["count"]
+        used = by_kind.get("selected", {})
+        for name, t in self.tasks.items():
+            carries[name] = [
+                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
+                for c, tier in zip(carries[name], t.limits)
+            ]
+        ok_counts = by_kind.get("ok", {})
+        fail_counts = by_kind.get("fail", {})
         link_counts = by_kind.get("link", {})
         item_counts = by_kind.get("item", {})
         retry_counts = by_kind.get("retry", {})
@@ -365,15 +381,15 @@ class CrawlEngine:
         metrics_rows = [
             {
                 "round": rnd,
-                "task": r["task"],
-                "selected": r["selected"],
-                "fetched_ok": r["fetched_ok"] or 0,
-                "failed": r["failed"] or 0,
-                "retried": retry_counts.get(r["task"], 0),
-                "new_links": link_counts.get(r["task"], 0),
-                "items": item_counts.get(r["task"], 0),
+                "task": task,
+                "selected": n_sel,
+                "fetched_ok": ok_counts.get(task, 0),
+                "failed": fail_counts.get(task, 0),
+                "retried": retry_counts.get(task, 0),
+                "new_links": link_counts.get(task, 0),
+                "items": item_counts.get(task, 0),
             }
-            for r in agg
+            for task, n_sel in sorted(used.items())
         ]
         totals = {
             "selected": n_wave,
@@ -381,13 +397,12 @@ class CrawlEngine:
             "failed": sum((m["failed"] for m in metrics_rows), 0),
             "items": sum((m["items"] for m in metrics_rows), 0),
         }
-        n_retries = sum(retry_counts.values())
 
         # ---- writes (appends, frontier snapshot, then commit). Empty
         # deltas are skipped entirely — read_through tolerates missing round
         # directories, and a skipped write is one less job + commit.
         seen_delta = (
-            fetched.filter(F.col("ok") | F.col("reload"))
+            parsed.filter(F.col("ok") | F.col("reload"))
             .select("key", F.col("curl").alias("url"))
             .withColumn("round", F.lit(rnd))
         )
@@ -423,7 +438,7 @@ class CrawlEngine:
             "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
         )
         lineage = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            parsed.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
             .withColumn("round", F.lit(rnd))
             .withColumn("stage", F.lit("fetch"))
@@ -462,8 +477,9 @@ class CrawlEngine:
         )
         new_man["fetch_count"] = man.get("fetch_count", 0) + n_wave
         self.store.commit(rnd, new_man)
-        for df in (cand, wave, fetched, parsed, links, retries,
-                   getattr(links, "_ranked", None)):
+        for df in (cand, wave, parsed,
+                   getattr(links, "_ranked", None),
+                   getattr(retries, "_ranked", None)):
             if df is not None:
                 df.unpersist()
         return new_man

@@ -31,10 +31,16 @@ class GraphFetcher:
         # budget-bounded) wave side shuffles — the corpus never moves again.
         spark = web_graph.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # dropDuplicates on the canonical key guards the fetch join's 1:1
+        # contract (one corpus row per request): a duplicate gcurl would
+        # multiply wave rows through the left join and corrupt per-task
+        # accounting downstream. Piggybacks on the gcurl repartition — no
+        # extra shuffle.
         self.graph = (
             web_graph.withColumn("gcurl", canonical_col("url"))
             .select("gcurl", "status", "body", "latency_ms")
             .repartition(n, "gcurl")
+            .dropDuplicates(["gcurl"])
             .cache()
         )
 

@@ -3,52 +3,94 @@
 The frontier's FIFO tie-break needs a total order consistent with discovery
 order: new links ranked by (parent_seq, match_idx) (SURVEY.md §7.3 hard
 part 3). A single un-partitioned window would serialize the whole delta
-through one partition; instead:
+through one partition (WindowExec "No Partition Defined"); instead a
+two-level prefix sum:
 
-1. rank links *within* each parent by match_idx (partitioned window —
-   parallel; match_idx may have gaps after robots filtering),
-2. per-parent counts -> cumulative offsets via one tiny window over only
-   |wave| rows (bounded by the politeness budget, not the frontier),
-3. broadcast-join offsets back: seq = base + offset + within_parent_rank.
+1. range-repartition on the (unique, total) order key and sort within
+   partitions — a fully parallel shuffle that makes partition p hold
+   exactly the p-th contiguous slice of the global order;
+2. ``monotonically_increasing_id`` encodes (partition_id << 33 | local_row)
+   for free — no window, no per-partition sort beyond step 1;
+3. per-partition counts (one tiny aggregate, ≤ #partitions rows to the
+   driver) → cumulative offsets, broadcast-joined back:
+   ``seq = base + offset[pid] + local_row + 1``.
 
-Exactly the dense ranks of ORDER BY (parent_seq, match_idx), computed with
-one small-shuffle pass.
+Exactly the dense ranks of ORDER BY (order key), with the only serial work
+being a #partitions-row cumulative sum on the driver. Correctness does not
+depend on the sampled range bounds (any non-overlapping ordered
+partitioning yields the same global ranks because the key is unique).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid << 33 | row
+
+
+def _dense_seq(df: DataFrame, order_cols: list[str], base_seq: int) -> DataFrame:
+    """Add dense ``seq`` = base_seq + rank of row under ORDER BY order_cols.
+
+    order_cols must form a total (duplicate-free) order. The returned frame
+    carries a cached intermediate as ``._ranked`` for caller-side unpersist.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with_id = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .cache()
+    )
+    sizes = (
+        with_id.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_n"])
+    if not offsets:
+        offsets = [(0, 0)]
+    total = acc
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid long, _off long")
+    )
+    out = (
+        with_id.withColumn("_pid", F.shiftright("_mid", 33))
+        .join(off_df, "_pid")
+        .withColumn(
+            "seq",
+            F.lit(base_seq)
+            + F.col("_off")
+            + F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))
+            + 1,
+        )
+        .drop("_pid", "_mid", "_off")
+    )
+    out._ranked = with_id  # for caller-side unpersist
+    out._total = total  # row count, free by-product of the offsets pass
+    return out
 
 
 def assign_link_seqs(links: DataFrame, base_seq: int) -> DataFrame:
     """links must carry parent_seq + match_idx; returns with dense `seq` col.
 
-    ``ranked`` is cached and materialized before the offsets subquery runs:
-    the offsets branch is a broadcast-exchange job, and without the eager
-    cache it would re-execute the whole upstream fetch+parse+canonicalize
-    pipeline a second time. The caller should unpersist ``result._ranked``
-    when the round's frontier is committed."""
-    w_parent = Window.partitionBy("parent_seq").orderBy("match_idx")
-    ranked = links.withColumn("_pr", F.row_number().over(w_parent)).cache()
-    ranked.count()  # materialize once
-    counts = ranked.groupBy("parent_seq").agg(F.max("_pr").alias("_n"))
-    w_cum = Window.orderBy("parent_seq").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
-    out = (
-        ranked.join(F.broadcast(offsets.select("parent_seq", "_off")), "parent_seq")
-        .withColumn("seq", F.lit(base_seq) + F.col("_off") + F.col("_pr"))
-        .drop("_pr", "_off")
-    )
-    out._ranked = ranked  # for caller-side unpersist
-    return out
+    (parent_seq, match_idx) is unique per link row (match_idx is the
+    within-parent match ordinal; robots filtering may leave gaps but never
+    duplicates), so the discovery order is total.
+    """
+    return _dense_seq(links, ["parent_seq", "match_idx"], base_seq)
 
 
 def assign_retry_seqs(retries: DataFrame, base_seq: int) -> DataFrame:
-    """Retries re-enqueue after the round's links, ordered by original seq.
-
-    The retry set is bounded by the wave (politeness budget), so one small
-    window is fine.
-    """
-    w = Window.orderBy("seq")
-    return retries.withColumn("seq", F.lit(base_seq) + F.row_number().over(w))
+    """Retries re-enqueue after the round's links, ordered by original seq
+    (unique per frontier row)."""
+    slim = retries.withColumnRenamed("seq", "_oseq")
+    out = _dense_seq(slim, ["_oseq"], base_seq)
+    dropped = out.drop("_oseq")
+    dropped._ranked = out._ranked  # DataFrame ops don't carry attributes over
+    dropped._total = out._total
+    return dropped

@@ -19,9 +19,14 @@ round). Three-way split instead:
    the frontier.
 
 All three paths are deterministic and together equal the global top-k.
-The counts broadcast is O(#distinct groups); with extreme group
-cardinality (10^7+ hosts) the aggregate itself stays parallel and only
-the broadcast needs revisiting (e.g. pre-bucketed budgets).
+
+Budgets are a DATAFRAME, not an expression: with the north rule's 10^7+
+hosts, a per-group CASE chain would make the expression tree (and its
+codegen) O(#groups), and a driver-side dict would not fit at all. A
+(group, budget) frame joined onto the per-group counts keeps the plan size
+constant in #groups; at production scale it is itself a partitioned table
+(derived from robots crawl-delays) and the join of counts-to-budgets is a
+shuffle of #distinct-groups-in-wave rows, never #groups-total.
 """
 
 from __future__ import annotations
@@ -35,20 +40,44 @@ def _order_cols():
     return [F.col("priority").desc(), F.col("seq").asc()]
 
 
+def budgets_df(spark, budgets: dict[str, int], group_col: str) -> DataFrame:
+    """Small-dim convenience: lift a driver dict to a (group, budget) frame.
+
+    Only for genuinely small dims (tasks, test fixtures). Host budgets at
+    crawl scale must come straight from a robots-derived table.
+    """
+    return spark.createDataFrame(
+        [(g, int(k)) for g, k in budgets.items()],
+        f"{group_col} string, _budget long",
+    )
+
+
 def budgeted_topk(
     df: DataFrame,
     group_col: str,
-    budgets: dict[str, int],
+    budgets: DataFrame | dict[str, int],
     default_budget: int,
     local_prune: bool = True,
 ) -> DataFrame:
-    """Rows of df ranked within group_col by (-priority, seq); keep rank <= budget(group)."""
-    budget_expr = F.lit(default_budget)
-    for g, k in budgets.items():
-        budget_expr = F.when(F.col(group_col) == F.lit(g), F.lit(k)).otherwise(budget_expr)
+    """Rows of df ranked within group_col by (-priority, seq); keep rank <= budget(group).
+
+    ``budgets``: a DataFrame with columns (``group_col``, ``_budget``) —
+    or a dict, lifted via :func:`budgets_df`. Groups absent from it get
+    ``default_budget``.
+    """
+    if isinstance(budgets, dict):
+        budgets = budgets_df(df.sparkSession, budgets, group_col)
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
-    tagged = df.join(F.broadcast(counts), group_col).withColumn("_gb", budget_expr)
+    # budgets joined onto the per-group COUNTS (small: one row per distinct
+    # group in the wave), then broadcast with the counts — the data rows
+    # never join against the full budget table.
+    counts_b = (
+        counts.join(budgets, group_col, "left")
+        .withColumn("_gb", F.coalesce(F.col("_budget"), F.lit(default_budget)))
+        .drop("_budget")
+    )
+    tagged = df.join(F.broadcast(counts_b), group_col)
 
     passed = tagged.filter(F.col("_gn") <= F.col("_gb")).drop("_gn", "_gb")
     to_cut = tagged.filter(F.col("_gn") > F.col("_gb")).drop("_gn")

@@ -84,6 +84,25 @@ class SnapshotStore:
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
 
+    def clean_round(self, rnd: int) -> None:
+        """Remove ALL uncommitted leftovers of round ``rnd``.
+
+        Called at round start: a prior crashed attempt may have written any
+        subset of the round's table deltas before dying, and the re-run may
+        legitimately skip some of those writes (empty deltas are gated) —
+        without this sweep a torn ``round=rnd`` directory would stay visible
+        to ``read_through`` forever. No-op when the round committed.
+        """
+        if os.path.exists(self._manifest_path(rnd)):
+            return
+        for table in self.APPEND_TABLES:
+            path = os.path.join(self.root, table, f"round={rnd}")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        rd = self._round_dir(rnd)
+        if os.path.exists(rd):
+            shutil.rmtree(rd)
+
     def read_through(self, table: str, rnd: int) -> DataFrame | None:
         """Union of committed deltas round<=rnd (read-committed view)."""
         base = os.path.join(self.root, table)
