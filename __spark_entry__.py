@@ -262,7 +262,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from crawler_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold_num=1, threshold_den=5
+        _t(spark, sf_dir, "documents"), k=3, threshold_num=1, threshold_den=5,
+        max_df=100,
     )
 
 
@@ -408,6 +409,27 @@ _BPE_PAT = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
 def _lang_count(lang_words: list[str]) -> str:
     pat = r"\b(" + "|".join(lang_words) + r")\b"
     return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
+
+
+def _e2e_order_sql() -> str:
+    """Expected crawl order for the 2-round E2E fixture, computed by the
+    pure-Python reference-semantics oracle (crawler_spark/oracle.py — no
+    Spark involved) and inlined as a VALUES relation. This makes the
+    stateful round loop equality-checkable by the driver's SQL gate even
+    though the loop itself is not SQL-expressible."""
+    from crawler_spark.fixtures import make_fixture
+    from crawler_spark.oracle import run_oracle
+
+    fx = make_fixture(n_tags=2, lists_per_tag=2, books_per_list=4, n_topics=12)
+    o = run_oracle(
+        fx.seeds, fx.web_graph, fx.tasks, fx.rules, fx.robots, fx.round_s,
+        max_rounds=2,
+    )
+    vals = ", ".join(
+        f"(CAST({rnd} AS INT), CAST({prio} AS INT), CAST({seq} AS BIGINT), '{curl}')"
+        for rnd, prio, seq, curl in o.order_full
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(round, priority, seq, curl)"
 
 
 def _ann_planes_sql() -> str:
@@ -558,24 +580,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             WITH inst AS (
-                SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
                 FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             ),
             sums AS (
                 SELECT doc_id,
-                       {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16))}
+                       {", ".join(f"sum(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32))},
+                       {", ".join(f"sum(CASE WHEN (h_hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32, 64))}
                 FROM inst GROUP BY doc_id
             )
             SELECT doc_id,
-                   CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash
+                   CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64))} AS BIGINT) AS simhash_hi,
+                   CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))} AS BIGINT) AS simhash_lo
             FROM sums
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS un
@@ -669,6 +697,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
             FROM ranked WHERE rank <= 10
         """,
-        # multimodal_decode, crawl_e2e_order: non-SQL-expressible
-        # (mapInPandas binary plumbing / stateful round loop) — rows-only.
+        # multimodal_decode's projection is pure deterministic arithmetic
+        # over the media_ref (the fake codec's metadata + payload size);
+        # the binary payload itself (mapInPandas plumbing) is exercised by
+        # the Spark side but not projected, so the row set IS SQL-checkable.
+        "multimodal_decode": """
+            WITH refs AS (
+                SELECT DISTINCT 'img://' || source || '/' || doc_id AS media_ref
+                FROM documents
+            )
+            SELECT md5(media_ref) AS asset_id,
+                   media_ref,
+                   CAST((length(media_ref) * 7) % 640 + 1 AS INT) AS width,
+                   CAST((length(media_ref) * 13) % 480 + 1 AS INT) AS height,
+                   CAST(256 AS BIGINT) AS n_bytes,
+                   TRUE AS ok
+            FROM refs
+        """,
+        # crawl_e2e_order: the stateful round loop is not SQL-expressible,
+        # but its expected output on the deterministic fixture is — the
+        # pure-Python oracle's order, inlined as VALUES.
+        "crawl_e2e_order": _e2e_order_sql(),
     }

@@ -31,6 +31,7 @@ Per-round driver work is kept O(|wave|), never O(|seen|):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,7 @@ from .operators.canon import with_canonical
 from .operators.dedup import anti_join_seen, build_bloom, or_blooms
 from .operators.fetch import GraphFetcher
 from .operators.parse import parse_fetched
-from .operators.seq import assign_link_seqs, assign_retry_seqs
+from .operators.seq import finalize_dense_seq, pid_col, prepare_dense_seq
 from .operators.topk import budgeted_topk
 
 
@@ -251,38 +252,16 @@ class CrawlEngine:
         # invisible to AQE byte stats — spread deterministically by key
         wave = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")).cache()
 
-        self._desc(rnd, "wave-count")
-        n_wave = wave.count()
-        if n_wave == 0:
-            used: dict[str, int] = {}
-            # budgets accrue (capped at burst) even when the wave is empty
-            for name, t in self.tasks.items():
-                carries[name] = [
-                    tier_carry_after(c, tier, self.round_s, 0)
-                    for c, tier in zip(carries[name], t.limits)
-                ]
-            done = n_cand == 0
-            # all-deferred round: budgets accrue, frontier unchanged — no
-            # writes at all; the manifest keeps pointing at the last
-            # materialized frontier snapshot
-            new_man = self._advance_manifest(
-                man, rnd, carries, used, max_seq, done, n_seen
-            )
-            new_man["frontier_round"] = man.get("frontier_round", prev)
-            new_man["stats"] = dict(
-                round=rnd, selected=0, fetched_ok=0, failed=0, new_links=0,
-                items=0, wall_s=time.time() - t0,
-            )
-            self.store.commit(rnd, new_man)
-            cand.unpersist()
-            return new_man
-
         # 5-6. fetch + parse in ONE pass (seen marking is folded into the
         # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
         # ok or reload). The fetch join output is NEVER cached with bodies:
         # parse_fetched masks body behind the ok flag, runs the UDF over
         # the full frame, and caches only slim columns + parse results.
         # Every later accounting scan column-prunes that one cache.
+        # No wave.count() barrier: the wave cache materializes inside this
+        # job (the top-k broadcast sub-jobs warm cand first), and every
+        # per-round row count falls out of the fused accounting job below —
+        # an all-deferred (empty-wave) round just makes this job trivial.
         fetched = self.fetcher.fetch(wave)
         parsed, documents, items, raw_links = parse_fetched(fetched, self.rules)
         self._desc(rnd, "fetch+parse")
@@ -292,7 +271,7 @@ class CrawlEngine:
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
         failed = parsed.filter(~F.col("ok"))
         fo = failed_once.select("key") if failed_once is not None else None
-        retries = (
+        retries_base = (
             failed.join(fo, "key", "left_anti") if fo is not None else failed
         ).withColumn("attempt", F.lit(1))
         permanent = (
@@ -320,15 +299,104 @@ class CrawlEngine:
             .drop("rhost", "disallow_prefixes", "crawl_delay_ms", "_path")
         )
 
-        # 9. seq assignment (dense, deterministic, two-level — operators/seq.py).
-        # The assignment's internal per-partition-counts pass doubles as the
-        # link/retry row count, so no separate count() jobs are needed.
-        self._desc(rnd, "links(canon+seq)")
-        links = assign_link_seqs(links, max_seq)
+        # 9. seq assignment, fused (operators/seq.py): prepare the
+        # range-partitioned, id-tagged frames here (cached, still lazy);
+        # their per-partition counts ride the accounting union below and
+        # finalize_dense_seq attaches the dense seqs with no extra barrier.
+        links_prep = prepare_dense_seq(links, ["parent_seq", "match_idx"])
+        retries_prep = prepare_dense_seq(
+            retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"]
+        )
+
+        # ---- accounting: ONE job for every per-round count, all from the
+        # cached slim frames (column-pruned scans, no body bytes touched).
+        # 'selected' (politeness 'used') counts the WAVE, not the fetch-join
+        # output, so a fetcher returning duplicate rows can never inflate
+        # the carries; cand/ok/fail/seen/link/item/retry ride the same
+        # union, and the link/retry branches also carry their seq partition
+        # id so the dense-seq offsets need no separate job.
+        self._desc(rnd, "accounting")
+
+        def _kind(df: DataFrame, k: str) -> DataFrame:
+            return df.select(
+                F.lit(k).alias("kind"),
+                F.col("task").alias("k2a"),
+                F.lit("").alias("k2b"),
+            )
+
+        def _kind_pid(df: DataFrame, k: str) -> DataFrame:
+            return df.select(
+                F.lit(k).alias("kind"),
+                F.col("task").alias("k2a"),
+                pid_col().cast("string").alias("k2b"),
+            )
+
+        acct_rows = (
+            _kind(cand, "cand")
+            .unionByName(_kind(wave, "selected"))
+            .unionByName(_kind(parsed.filter(F.col("ok")), "ok"))
+            .unionByName(_kind(parsed.filter(~F.col("ok")), "fail"))
+            .unionByName(
+                _kind(parsed.filter(F.col("ok") | F.col("reload")), "seen")
+            )
+            .unionByName(_kind(items, "item"))
+            .unionByName(_kind_pid(links_prep, "link"))
+            .unionByName(_kind_pid(retries_prep, "retry"))
+            .groupBy("kind", "k2a", "k2b")
+            .count()
+            .collect()
+        )
+        cnt: dict[str, dict[tuple[str, str], int]] = {}
+        for r in acct_rows:
+            cnt.setdefault(r["kind"], {})[(r["k2a"], r["k2b"])] = r["count"]
+
+        def by_task(kind: str) -> dict[str, int]:
+            out: dict[str, int] = {}
+            for (a, _), c in cnt.get(kind, {}).items():
+                out[a] = out.get(a, 0) + c
+            return out
+
+        def by_pid(kind: str) -> dict[int, int]:
+            out: dict[int, int] = {}
+            for (_, b), c in cnt.get(kind, {}).items():
+                out[int(b)] = out.get(int(b), 0) + c
+            return out
+
+        n_cand = sum(by_task("cand").values())
+        used = by_task("selected")
+        n_wave = sum(used.values())
+        for name, t in self.tasks.items():
+            carries[name] = [
+                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
+                for c, tier in zip(carries[name], t.limits)
+            ]
+
+        if n_wave == 0:
+            # all-deferred round: budgets accrue, frontier unchanged — no
+            # writes at all; the manifest keeps pointing at the last
+            # materialized frontier snapshot
+            done = n_cand == 0
+            new_man = self._advance_manifest(
+                man, rnd, carries, used, max_seq, done, n_seen
+            )
+            new_man["frontier_round"] = man.get("frontier_round", prev)
+            new_man["stats"] = dict(
+                round=rnd, selected=0, fetched_ok=0, failed=0, new_links=0,
+                items=0, wall_s=time.time() - t0,
+            )
+            self.store.commit(rnd, new_man)
+            for df in (cand, wave, parsed, links_prep, retries_prep):
+                df.unpersist()
+            return new_man
+
+        # finalize dense seqs from the fused partition counts
+        links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
         n_links = links._total
-        self._desc(rnd, "retries-seq")
-        retries = assign_retry_seqs(retries, max_seq + n_links)
+        retries = finalize_dense_seq(
+            retries_prep, by_pid("retry"), max_seq + n_links
+        )
         n_retries = retries._total
+        retries = retries.drop("_oseq")
 
         frontier_cols = schemas.FRONTIER.fieldNames()
         new_links = links.withColumn("attempt", F.lit(0)).select(*frontier_cols)
@@ -339,45 +407,12 @@ class CrawlEngine:
             retries.select(*frontier_cols)
         )
 
-        # ---- accounting: ONE job for every per-task count, all from the
-        # cached slim frames (column-pruned scans, no body bytes touched).
-        # 'selected' (politeness 'used') counts the WAVE, not the fetch-join
-        # output, so a fetcher returning duplicate rows can never inflate
-        # the carries; ok/fail/seen/link/item/retry ride the same union.
-        self._desc(rnd, "accounting")
-
-        def _kind(df: DataFrame, k: str) -> DataFrame:
-            return df.select("task", F.lit(k).alias("kind"))
-
-        acct_rows = (
-            _kind(wave, "selected")
-            .unionByName(_kind(parsed.filter(F.col("ok")), "ok"))
-            .unionByName(_kind(parsed.filter(~F.col("ok")), "fail"))
-            .unionByName(
-                _kind(parsed.filter(F.col("ok") | F.col("reload")), "seen")
-            )
-            .unionByName(_kind(links, "link"))
-            .unionByName(_kind(items, "item"))
-            .unionByName(_kind(retries, "retry"))
-            .groupBy("task", "kind")
-            .count()
-            .collect()
-        )
-        by_kind: dict[str, dict[str, int]] = {}
-        for r in acct_rows:
-            by_kind.setdefault(r["kind"], {})[r["task"]] = r["count"]
-        used = by_kind.get("selected", {})
-        for name, t in self.tasks.items():
-            carries[name] = [
-                tier_carry_after(c, tier, self.round_s, used.get(name, 0))
-                for c, tier in zip(carries[name], t.limits)
-            ]
-        ok_counts = by_kind.get("ok", {})
-        fail_counts = by_kind.get("fail", {})
-        link_counts = by_kind.get("link", {})
-        item_counts = by_kind.get("item", {})
-        retry_counts = by_kind.get("retry", {})
-        n_seen_delta = sum(by_kind.get("seen", {}).values())
+        ok_counts = by_task("ok")
+        fail_counts = by_task("fail")
+        link_counts = by_task("link")
+        item_counts = by_task("item")
+        retry_counts = by_task("retry")
+        n_seen_delta = sum(by_task("seen").values())
         metrics_rows = [
             {
                 "round": rnd,
@@ -407,36 +442,6 @@ class CrawlEngine:
             .withColumn("round", F.lit(rnd))
         )
         self._desc(rnd, "write-deltas")
-        if n_seen_delta:
-            self.store.append("seen", rnd, seen_delta)
-        if totals["failed"]:
-            self.store.append("failed_once", rnd, failed.select("key"))
-        if totals["failed"] > n_retries:
-            self.store.append(
-                "failures",
-                rnd,
-                permanent.select("key", F.col("curl").alias("url"), "task")
-                .withColumn("round", F.lit(rnd))
-                .coalesce(1),
-            )
-        if totals["fetched_ok"]:
-            self.store.append("documents", rnd, documents)
-        if totals["items"]:
-            self.store.append(
-                "results", rnd, items.withColumn("round", F.lit(rnd)).select(
-                    *schemas.RESULTS.fieldNames()
-                )
-            )
-        self.store.append(
-            "order",
-            rnd,
-            wave.select("task", "priority", "seq", "curl", "key").withColumn(
-                "round", F.lit(rnd)
-            ),
-        )
-        self.store.append(
-            "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
-        )
         lineage = (
             parsed.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
@@ -445,10 +450,57 @@ class CrawlEngine:
             .select(*schemas.LINEAGE.fieldNames())
             .coalesce(1)
         )
-        self.store.append("lineage", rnd, lineage)
-
-        self._desc(rnd, "write-frontier")
-        self.store.write_frontier(rnd, next_frontier)
+        writes: list[tuple[str, object]] = []
+        if n_seen_delta:
+            writes.append(("seen", seen_delta))
+        if totals["failed"]:
+            writes.append(("failed_once", failed.select("key")))
+        if totals["failed"] > n_retries:
+            writes.append(
+                (
+                    "failures",
+                    permanent.select("key", F.col("curl").alias("url"), "task")
+                    .withColumn("round", F.lit(rnd))
+                    .coalesce(1),
+                )
+            )
+        if totals["fetched_ok"]:
+            writes.append(("documents", documents))
+        if totals["items"]:
+            writes.append(
+                (
+                    "results",
+                    items.withColumn("round", F.lit(rnd)).select(
+                        *schemas.RESULTS.fieldNames()
+                    ),
+                )
+            )
+        writes.append(
+            (
+                "order",
+                wave.select("task", "priority", "seq", "curl", "key").withColumn(
+                    "round", F.lit(rnd)
+                ),
+            )
+        )
+        writes.append(
+            ("metrics", spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS))
+        )
+        writes.append(("lineage", lineage))
+        # all table writes are independent jobs over warm caches — run them
+        # concurrently (Spark job scheduling is thread-safe; local mode
+        # shares the task-slot pool, so wall time ≈ the largest write, not
+        # the sum). The frontier snapshot rides the same pool.
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self.store.append, table, rnd, df)
+                for table, df in writes
+            ]
+            futs.append(
+                pool.submit(self.store.write_frontier, rnd, next_frontier)
+            )
+            for f in futs:
+                f.result()
         # done iff the new frontier is empty (budget-deferred rows keep it
         # alive); its size is pure arithmetic over already-known counts —
         # deferred (candidates minus wave; seq is frontier-unique) + new

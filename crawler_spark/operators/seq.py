@@ -11,14 +11,25 @@ two-level prefix sum:
    exactly the p-th contiguous slice of the global order;
 2. ``monotonically_increasing_id`` encodes (partition_id << 33 | local_row)
    for free — no window, no per-partition sort beyond step 1;
-3. per-partition counts (one tiny aggregate, ≤ #partitions rows to the
-   driver) → cumulative offsets, broadcast-joined back:
+3. per-partition counts (≤ #partitions rows to the driver) → cumulative
+   offsets, broadcast-joined back:
    ``seq = base + offset[pid] + local_row + 1``.
 
 Exactly the dense ranks of ORDER BY (order key), with the only serial work
 being a #partitions-row cumulative sum on the driver. Correctness does not
 depend on the sampled range bounds (any non-overlapping ordered
 partitioning yields the same global ranks because the key is unique).
+
+The prepare/finalize split lets the engine fuse the per-partition counts
+into its single round-accounting job (the counts are just rows in a shared
+union-aggregate) instead of paying one barrier per seq assignment:
+
+    prep = prepare_dense_seq(df, cols)        # cached, still lazy
+    ... count rows of pid_tags(prep, 'lpid') in the accounting job ...
+    out = finalize_dense_seq(prep, sizes, base)
+
+``assign_link_seqs`` / ``assign_retry_seqs`` wrap the pair for standalone
+use (tests, non-fused callers) at the cost of one collect each.
 """
 
 from __future__ import annotations
@@ -29,37 +40,43 @@ from pyspark.sql import functions as F
 _LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid << 33 | row
 
 
-def _dense_seq(df: DataFrame, order_cols: list[str], base_seq: int) -> DataFrame:
-    """Add dense ``seq`` = base_seq + rank of row under ORDER BY order_cols.
+def prepare_dense_seq(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Range-partition + local sort + encoded (pid, row) ids; cached, lazy.
 
-    order_cols must form a total (duplicate-free) order. The returned frame
-    carries a cached intermediate as ``._ranked`` for caller-side unpersist.
+    order_cols must form a total (duplicate-free) order.
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    with_id = (
+    return (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .cache()
     )
-    sizes = (
-        with_id.groupBy(F.shiftright("_mid", 33).alias("_pid"))
-        .agg(F.count("*").alias("_n"))
-        .collect()
-    )
+
+
+def pid_col() -> F.Column:
+    return F.shiftright("_mid", 33)
+
+
+def finalize_dense_seq(
+    with_id: DataFrame, sizes: dict[int, int], base_seq: int
+) -> DataFrame:
+    """Attach the dense ``seq`` given per-partition row counts.
+
+    ``sizes``: {partition_id: row_count} as counted from ``with_id`` (e.g.
+    via the engine's fused accounting job, or count_partition_sizes below).
+    """
+    spark = with_id.sparkSession
     offsets, acc = [], 0
-    for r in sorted(sizes, key=lambda r: r["_pid"]):
-        offsets.append((int(r["_pid"]), acc))
-        acc += int(r["_n"])
+    for pid in sorted(sizes):
+        offsets.append((int(pid), acc))
+        acc += int(sizes[pid])
     if not offsets:
         offsets = [(0, 0)]
-    total = acc
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "_pid long, _off long")
-    )
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_pid long, _off long"))
     out = (
-        with_id.withColumn("_pid", F.shiftright("_mid", 33))
+        with_id.withColumn("_pid", pid_col())
         .join(off_df, "_pid")
         .withColumn(
             "seq",
@@ -71,8 +88,20 @@ def _dense_seq(df: DataFrame, order_cols: list[str], base_seq: int) -> DataFrame
         .drop("_pid", "_mid", "_off")
     )
     out._ranked = with_id  # for caller-side unpersist
-    out._total = total  # row count, free by-product of the offsets pass
+    out._total = acc  # row count, free by-product of the offsets pass
     return out
+
+
+def count_partition_sizes(with_id: DataFrame) -> dict[int, int]:
+    rows = with_id.groupBy(pid_col().alias("_pid")).agg(
+        F.count("*").alias("_n")
+    ).collect()
+    return {int(r["_pid"]): int(r["_n"]) for r in rows}
+
+
+def _dense_seq(df: DataFrame, order_cols: list[str], base_seq: int) -> DataFrame:
+    with_id = prepare_dense_seq(df, order_cols)
+    return finalize_dense_seq(with_id, count_partition_sizes(with_id), base_seq)
 
 
 def assign_link_seqs(links: DataFrame, base_seq: int) -> DataFrame:

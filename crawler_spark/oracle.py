@@ -71,6 +71,9 @@ from .textcore import (
 @dataclass
 class OracleResult:
     order: list[tuple[int, str, int]] = field(default_factory=list)  # (i, curl, round)
+    # (round, priority, seq, curl) — the engine's order-table projection,
+    # used to inline an equality oracle for the E2E driver query
+    order_full: list[tuple[int, int, int, str]] = field(default_factory=list)
     seen: set[str] = field(default_factory=set)
     documents: list[tuple[str, list[tuple[str, str, str, int]]]] = field(default_factory=list)
     results: list[dict] = field(default_factory=list)
@@ -179,6 +182,7 @@ def run_oracle(
         }
         for f in wave:
             res.order.append((fetch_i, f["curl"], rnd))
+            res.order_full.append((rnd, f["priority"], f["seq"], f["curl"]))
             fetch_i += 1
             t = taskmap[f["task"]]
             m[t.name]["selected"] += 1

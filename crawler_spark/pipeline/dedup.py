@@ -108,41 +108,85 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
-    """16-bit SimHash: sign of per-bit sums of token-instance hashes.
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint of ``bits`` width (1..64): sign of per-bit sums
+    of token-instance hashes.
 
-    Token hash = first 32 bits of md5 (hex -> int via conv), identical to
-    the DuckDB oracle's ('0x'||substr(md5(t),1,8))::BIGINT.
+    Per-token hash bits come from md5 32-bit words (hex chars 1-8 → bits
+    0-31, chars 9-16 → bits 32-63), identical to the DuckDB oracle's
+    ('0x'||substr(md5(t),...))::BIGINT. Widths over 32 are emitted as two
+    32-bit halves (simhash_hi, simhash_lo) so both engines stay in exact
+    signed-64 arithmetic — no 1<<63 sign traps on either side. The round-1
+    default of 16 bits collides massively at corpus scale (2^16 buckets);
+    64-bit is the production default for near-dup keying.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
     toks = tokens_col()
     inst = documents.select("doc_id", F.explode(toks).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    inst = inst.select("doc_id", h.alias("h"))
+    h_lo = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    inst = inst.select("doc_id", h_lo.alias("h_lo"), h_hi.alias("h_hi"))
+
+    def bit(b: int):
+        col, off = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        return F.shiftright(col, off).bitwiseAND(F.lit(1))
+
     sums = inst.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
             for b in range(bits)
         ]
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+    def pack(lo: int, hi_excl: int):
+        fp = None
+        for b in range(lo, hi_excl):
+            term = F.when(F.col(f"s{b}") > 0, F.lit(1 << (b - lo))).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return fp.cast("long")
+
+    if bits <= 32:
+        return sums.select("doc_id", pack(0, bits).alias("simhash"))
+    return sums.select(
+        "doc_id",
+        pack(32, bits).alias("simhash_hi"),
+        pack(0, 32).alias("simhash_lo"),
+    )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold_num: int = 4, threshold_den: int = 5
+    documents: DataFrame,
+    k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int = 100,
 ) -> DataFrame:
     """Pairs with shingle-Jaccard >= num/den, exact integer test.
 
     jaccard >= n/d  <=>  d*inter >= n*(|A|+|B|-inter) — no floats, so the
     Spark result hashes identically to the SQL oracle.
+
+    ``max_df`` caps the inverted index by shingle document-frequency: a
+    shingle shared by d documents contributes d^2 rows to the self-join,
+    so one boilerplate shingle across 10^6 docs would create 10^12 join
+    rows. Shingles with df > max_df are dropped from the INTERSECTION only
+    (set sizes keep the full shingle sets), bounding the join at
+    max_df^2 per shingle. Recall trade-off: a pair whose overlap lives
+    exclusively in ultra-common shingles is missed — precisely the pairs
+    that are near-dups of boilerplate, not of content (the minhash path
+    de-weights them the same way). The DuckDB oracle mirrors the cap
+    exactly, so correctness comparison is unaffected.
     """
     sh = doc_shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
