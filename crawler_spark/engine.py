@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,20 +104,10 @@ class CrawlEngine:
         # from the table once per process (resume), then delta-ORed per round
         self._bloom: bytes | None = None
         self.shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        # tiny dims, broadcast once
-        self._tasks_df = F.broadcast(
-            spark.createDataFrame(
-                [
-                    {
-                        "task": t.name,
-                        "reload": t.reload,
-                        "max_depth": t.max_depth,
-                        "closed": t.closed,
-                    }
-                    for t in tasks
-                ]
-            )
-        )
+        # tiny dims, broadcast once (rebuilt on dynamic task open/close)
+        self._rebuild_tasks_df()
+        # seeds queued by run_task, seq-stamped at next round start
+        self._pending_seeds: list[dict] = []
         self._robots_df = F.broadcast(
             spark.createDataFrame(robots, schemas.ROBOTS).withColumnRenamed(
                 "host", "rhost"
@@ -127,6 +117,50 @@ class CrawlEngine:
     def _desc(self, rnd: int, what: str) -> None:
         """Label the next Spark jobs (shows up in UI + event logs)."""
         self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
+
+    def _rebuild_tasks_df(self) -> None:
+        self._tasks_df = F.broadcast(
+            self.spark.createDataFrame(
+                [
+                    {
+                        "task": t.name,
+                        "reload": t.reload,
+                        "max_depth": t.max_depth,
+                        "closed": t.closed,
+                    }
+                    for t in self.tasks.values()
+                ]
+            )
+        )
+
+    # ------------------------------------------------- dynamic tasks
+    # Reference: the etcd resource watch flips preset tasks at runtime —
+    # deleteTasks sets Closed=true (engine/schedule.go:526-534), runTasks
+    # re-opens the task and pushes its Root seeds (schedule.go:536-563).
+    # Here the control plane is the driver: call these between rounds
+    # (e.g. from run(on_round=...)). The closed flag takes effect at the
+    # next round's expire filter, dropping the task's in-flight frontier
+    # rows exactly like Request.Check.
+
+    def set_task_closed(self, name: str, closed: bool = True) -> None:
+        t = self.tasks[name]
+        if t.closed == closed:
+            return
+        self.tasks[name] = replace(t, closed=closed)
+        self._rebuild_tasks_df()
+
+    def run_task(self, name: str, seed_rows: list[dict]) -> None:
+        """Open a preset task and queue its Root seeds (runTasks analog).
+
+        ``seed_rows``: FRONTIER-shaped dicts; ``seq``/``attempt`` are
+        stamped at the start of the next round (after the previous round's
+        links/retries), matching push-after-current-work queue arrival.
+        The queue is in-memory, as is the reference's scheduler queue —
+        on crash+resume the watch/loadResource layer re-issues runTasks
+        (engine/schedule.go:500-523), i.e. the caller re-calls this.
+        """
+        self.set_task_closed(name, False)
+        self._pending_seeds.extend(dict(r) for r in seed_rows)
 
     # ------------------------------------------------------------------ init
 
@@ -190,6 +224,22 @@ class CrawlEngine:
         failed_once = self.store.read_through("failed_once", prev)
         carries = {k: list(v) for k, v in man["carries"].items()}
         max_seq = man["max_seq"]
+
+        # dynamic seeds queued by run_task: seq-stamped here, AFTER the
+        # previous round's links/retries (manifest max_seq), so queue
+        # arrival order matches the oracle's end-of-round push
+        if self._pending_seeds:
+            rows = []
+            for i, r in enumerate(self._pending_seeds):
+                rr = dict(r)
+                rr["seq"] = max_seq + 1 + i
+                rr.setdefault("attempt", 0)
+                rows.append(rr)
+            max_seq += len(rows)
+            self._pending_seeds = []
+            frontier = frontier.unionByName(
+                spark.createDataFrame(rows, schemas.FRONTIER)
+            )
 
         # 1. expire (Request.Check semantics)
         cand = (

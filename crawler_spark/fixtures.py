@@ -98,6 +98,11 @@ class Fixture:
     rules: list[Rule]
     robots: list[dict]  # host, disallow_prefixes, crawl_delay_ms
     round_s: int
+    # pages served as GBK-encoded bytes (write_fixture stores them in a
+    # body_bytes binary column; GraphFetcher sniffs + transcodes — the
+    # DeterminEncoding path, collect/collect.go:85-97). The in-memory str
+    # body stays authoritative for the oracle.
+    gbk_urls: set[str] = None  # type: ignore[assignment]
 
 
 def _page(url: str, body_core: str, *, pad_to: int = 6200) -> dict:
@@ -141,6 +146,7 @@ def make_fixture(
     group_limits: tuple[tuple[int, int, int], ...] = ((10, 60, 10),),
 ) -> Fixture:
     pages: list[dict] = []
+    gbk_urls: set[str] = set()
 
     # --- books site -------------------------------------------------------
     tag_links = []
@@ -171,6 +177,15 @@ def make_fixture(
                     book_id += 1
                 rows.append(f'<a href="{link}" title="{title}">{title}</a>')
             body = f"<h2>List {t}/{p}</h2>\n" + "\n".join(rows)
+            if t == 0 and p == 0:
+                # one list page is served as GBK bytes (write_fixture
+                # encodes it): meta tag for the charset sniff + CJK text
+                # that round-trips only if the transcode is correct
+                body = (
+                    '<meta charset="gbk">\n<h2>图书列表 List 0/0 网页</h2>\n'
+                    + "\n".join(rows)
+                )
+                gbk_urls.add(list_url)
             pages.append(_page(list_url, body))
 
     for bid in range(book_id):
@@ -293,7 +308,8 @@ def make_fixture(
         )
 
     return Fixture(
-        web_graph=pages, seeds=seeds, tasks=tasks, rules=rules, robots=robots, round_s=round_s
+        web_graph=pages, seeds=seeds, tasks=tasks, rules=rules, robots=robots,
+        round_s=round_s, gbk_urls=gbk_urls,
     )
 
 
@@ -306,7 +322,22 @@ def write_fixture(fx: Fixture, out_dir: str, spark) -> None:
     from . import schemas
 
     os.makedirs(out_dir, exist_ok=True)
-    spark.createDataFrame(fx.web_graph, schemas.WEB_GRAPH).repartition(8).write.mode(
+    gbk = fx.gbk_urls or set()
+    if gbk:
+        # serve marked pages as raw GBK bytes: the str body is the
+        # oracle's truth; the parquet carries only the encoded bytes, so
+        # the engine MUST transcode correctly to stay byte-equal
+        rows = [
+            {**p, "body": None, "body_bytes": p["body"].encode("gbk")}
+            if p["url"] in gbk
+            else {**p, "body_bytes": None}
+            for p in fx.web_graph
+        ]
+        wg_schema = schemas.WEB_GRAPH_BYTES
+    else:
+        rows = fx.web_graph
+        wg_schema = schemas.WEB_GRAPH
+    spark.createDataFrame(rows, wg_schema).repartition(8).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/web_graph")
     spark.createDataFrame(fx.seeds, schemas.FRONTIER).write.mode("overwrite").parquet(

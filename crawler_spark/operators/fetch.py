@@ -15,8 +15,11 @@ Validity: ok := status==200 AND len(body) >= 6000
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField
 
 from ..textcore import MIN_BODY_LEN
 from .canon import canonical_col
@@ -31,6 +34,20 @@ class GraphFetcher:
         # budget-bounded) wave side shuffles — the corpus never moves again.
         spark = web_graph.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # pages served as raw encoded bytes (body_bytes) get the client's
+        # charset sniff + UTF-8 transcode here — the DeterminEncoding
+        # analog (collect/collect.go:85-97), Arrow-batched, paid once at
+        # corpus prep rather than per fetch join
+        if "body_bytes" in web_graph.columns:
+            from .decode import decode_series
+
+            @pandas_udf(StringType())
+            def _decode(blobs: pd.Series) -> pd.Series:
+                return decode_series(blobs)
+
+            web_graph = web_graph.withColumn(
+                "body", F.coalesce("body", _decode("body_bytes"))
+            ).drop("body_bytes")
         # dropDuplicates on the canonical key guards the fetch join's 1:1
         # contract (one corpus row per request): a duplicate gcurl would
         # multiply wave rows through the left join and corrupt per-task
@@ -68,21 +85,148 @@ class GraphFetcher:
         )
 
 
-class HttpFetcher:
-    """Real-network fetcher skeleton (NOT runnable in this sandbox)."""
+def urllib_transport(
+    url: str,
+    headers: dict[str, str],
+    proxy: str | None,
+    timeout_s: float,
+) -> tuple[int, bytes, str | None, int]:
+    """Default transport: stdlib urllib (per-request, blocking).
 
-    def __init__(self, timeout_s: float = 10.0, user_agents: tuple[str, ...] = ()):
+    Returns (status, raw_body_bytes, charset_hint, latency_ms). Any
+    transport-level error (DNS, connect, timeout) maps to status 0 with an
+    empty body — the engine's validity check then routes the row through
+    retry-once (SetFailure, engine/schedule.go:431-447), mirroring the
+    reference treating client.Do errors as fetch failures
+    (collect/collect.go:71-75).
+    """
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    opener = urllib.request.build_opener(
+        *(
+            [urllib.request.ProxyHandler({"http": proxy, "https": proxy})]
+            if proxy
+            else []
+        )
+    )
+    t0 = _time.time()
+    try:
+        with opener.open(req, timeout=timeout_s) as resp:
+            raw = resp.read()
+            ctype = resp.headers.get_content_charset()
+            return resp.status, raw, ctype, int((_time.time() - t0) * 1000)
+    except urllib.error.HTTPError as e:  # non-2xx still has a status
+        return e.code, e.read() or b"", None, int((_time.time() - t0) * 1000)
+    except Exception:
+        return 0, b"", None, int((_time.time() - t0) * 1000)
+
+
+class HttpFetcher:
+    """Production HTTP fetch stage (reference BrowserFetch, collect/collect.go:42-83).
+
+    Arrow-batched ``mapInPandas``: each Spark task drains its partition of
+    the wave through an in-partition thread pool (latency hiding — the
+    analog of the reference's goroutine worker pool, engine/schedule.go
+    CreateWork), with per-request:
+
+    - **User-Agent rotation** — deterministic, config-driven: the request's
+      frontier ``seq`` indexes ``user_agents`` (``seq % len``). The
+      reference draws a random UA per request (extensions/randomua.go:22-24
+      GenerateRandomUA); determinism here is the same documented
+      no-wall-clock/no-RNG deviation the engine applies everywhere, and the
+      rotation DISTRIBUTION is identical under a uniform seq stream.
+    - **Proxy rotation** — round-robin by the same seq index
+      (proxy/proxy.go:17-27 rotates by an atomic counter; seq is the
+      deterministic, executor-local-order-free equivalent).
+    - **Cookie header** — the task's configured cookie verbatim
+      (collect/collect.go:65-67, spider/task.go Cookie).
+    - **Charset sniff + UTF-8 transcode** — operators/decode.py reproduces
+      DeterminEncoding (collect/collect.go:85-97): Content-Type charset
+      wins, else BOM/meta/probe sniff of the first 1024 bytes.
+
+    The transport is injectable (``transport(url, headers, proxy,
+    timeout_s) -> (status, raw, charset_hint, latency_ms)``) so the full
+    request-assembly + decode path unit-tests with a mock and no network;
+    the default is stdlib urllib (aiohttp is not in this sandbox — on a
+    real deployment swap an async transport in unchanged, the rotation /
+    header / decode logic is transport-agnostic).
+
+    Politeness is enforced UPSTREAM by wave selection (per-host budgets),
+    so the fetch stage itself never sleeps; ``max_pool`` bounds in-flight
+    requests per partition, and the wave's host-salted repartition bounds
+    per-host concurrency cluster-wide.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        user_agents: tuple[str, ...] = (),
+        proxies: tuple[str, ...] = (),
+        cookies: dict[str, str] | None = None,  # task -> Cookie header
+        transport=None,
+        max_pool: int = 16,
+    ):
         self.timeout_s = timeout_s
-        self.user_agents = user_agents  # deterministic rotation, no RNG
+        self.user_agents = tuple(user_agents)
+        self.proxies = tuple(proxies)
+        self.cookies = dict(cookies or {})
+        self.transport = transport or urllib_transport
+        self.max_pool = max_pool
 
     def fetch(self, wave: DataFrame) -> DataFrame:
-        def fetch_batches(it):
-            raise NotImplementedError(
-                "HttpFetcher needs network + aiohttp; use GraphFetcher in tests"
-            )
+        import pandas as pd
 
-        schema = wave.schema.add("status", "int").add("body", "string").add(
-            "latency_ms", "int"
+        uas, proxies, cookies = self.user_agents, self.proxies, self.cookies
+        transport, timeout_s, max_pool = self.transport, self.timeout_s, self.max_pool
+        out_fields = [f.name for f in wave.schema.fields] + [
+            "status", "body", "latency_ms"
+        ]
+
+        def fetch_batches(batches):
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .decode import decode_body
+
+            def one(url: str, seq: int, task: str):
+                headers = {}
+                if uas:
+                    headers["User-Agent"] = uas[seq % len(uas)]
+                ck = cookies.get(task, "")
+                if ck:
+                    headers["Cookie"] = ck
+                proxy = proxies[seq % len(proxies)] if proxies else None
+                return transport(url, headers, proxy, timeout_s)
+
+            with ThreadPoolExecutor(max_workers=max_pool) as pool:
+                for pdf in batches:
+                    results = list(
+                        pool.map(one, pdf["url"], pdf["seq"], pdf["task"])
+                    )
+                    pdf = pdf.copy()
+                    pdf["status"] = pd.Series(
+                        [r[0] for r in results], index=pdf.index, dtype="int32"
+                    )
+                    pdf["body"] = pd.Series(
+                        [decode_body(r[1], r[2]) for r in results],
+                        index=pdf.index,
+                    )
+                    pdf["latency_ms"] = pd.Series(
+                        [r[3] for r in results], index=pdf.index, dtype="int32"
+                    )
+                    yield pdf[out_fields]
+
+        from pyspark.sql.types import IntegerType, StructType
+
+        schema = StructType(
+            wave.schema.fields
+            + [
+                StructField("status", IntegerType(), True),
+                StructField("body", StringType(), True),
+                StructField("latency_ms", IntegerType(), True),
+            ]
         )
         fetched = wave.mapInPandas(fetch_batches, schema=schema)
         return fetched.withColumn(

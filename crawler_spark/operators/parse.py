@@ -208,7 +208,7 @@ def _rules_df(spark, rules: list[Rule]) -> DataFrame:
     )
 
 
-def parse_fetched(fetched: DataFrame, rules: list[Rule]):
+def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None):
     """Returns (parsed, documents, items, raw_links) DataFrames.
 
     ``fetched`` is the FULL fetch-join output (ok and failed rows). The
@@ -219,18 +219,36 @@ def parse_fetched(fetched: DataFrame, rules: list[Rule]):
     seen counts) reads this one columnar cache with column pruning, so no
     body bytes are ever cached or rescanned.
 
+    ``jvm``: force (True) / forbid (False) the pure-codegen parse path
+    (operators/parse_jvm.py); default auto — use it whenever every rule is
+    in its domain. The JVM path keeps bodies out of Python entirely (the
+    Arrow transfer of the wave's bodies was the one stage that refused to
+    scale with cores); the pandas UDF remains the fallback and the parity
+    oracle (tests/test_parse_jvm.py pins byte-equality).
+
     raw_links still carry the parent's depth/seq and the un-canonicalized
     URL; canonicalization, robots filtering, and seq assignment happen in
     the engine round (they need frontier-global state).
     """
-    parse_udf = make_parse_udf(rules)
+    from .parse_jvm import rules_jvm_ok, with_jvm_parse
+
+    if jvm is None:
+        jvm = rules_jvm_ok(rules)
     slim_cols = [c for c in fetched.columns if c != "body"]
-    parsed = fetched.select(
-        *slim_cols,
-        parse_udf(
-            "task", "rule", "curl", F.when(F.col("ok"), F.col("body")), "tmp"
-        ).alias("_p"),
-    ).cache()
+    if jvm:
+        parsed = (
+            with_jvm_parse(fetched, rules, b="if(ok, body, cast(null as string))")
+            .select(*slim_cols, "_p")
+            .cache()
+        )
+    else:
+        parse_udf = make_parse_udf(rules)
+        parsed = fetched.select(
+            *slim_cols,
+            parse_udf(
+                "task", "rule", "curl", F.when(F.col("ok"), F.col("body")), "tmp"
+            ).alias("_p"),
+        ).cache()
     ok_rows = parsed.filter(F.col("ok"))
 
     spans = F.transform(

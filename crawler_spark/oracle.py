@@ -47,7 +47,7 @@ Stops when the frontier is empty or max_rounds is hit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from urllib.parse import urlsplit
 
 from .textcore import (
@@ -82,6 +82,35 @@ class OracleResult:
     rounds: int = 0
 
 
+class OracleCtl:
+    """Between-rounds task control handed to ``run_oracle(on_round=...)``.
+
+    Mirrors CrawlEngine.set_task_closed / run_task (the etcd-watch
+    runTasks/deleteTasks analog, engine/schedule.go:449-563) so an engine
+    run driven by the same schedule is row-equal to the oracle.
+    """
+
+    def __init__(self, taskmap: dict, frontier: list[dict], max_seq: int):
+        self.taskmap = taskmap
+        self.frontier = frontier
+        self.max_seq = max_seq
+
+    def close_task(self, name: str) -> None:
+        self.taskmap[name] = replace(self.taskmap[name], closed=True)
+
+    def open_task(self, name: str) -> None:
+        self.taskmap[name] = replace(self.taskmap[name], closed=False)
+
+    def push_seeds(self, name: str, seed_rows: list[dict]) -> None:
+        self.open_task(name)
+        for r in seed_rows:
+            rr = dict(r)
+            self.max_seq += 1
+            rr["seq"] = self.max_seq
+            rr.setdefault("attempt", 0)
+            self.frontier.append(rr)
+
+
 def run_oracle(
     seeds: list[dict],
     web_graph: list[dict],
@@ -90,6 +119,7 @@ def run_oracle(
     robots: list[dict],
     round_s: int = 60,
     max_rounds: int = 10_000,
+    on_round=None,
 ) -> OracleResult:
     graph = {canonicalize(p["url"]): p for p in web_graph}
     taskmap = {t.name: t for t in tasks}
@@ -255,5 +285,14 @@ def run_oracle(
         frontier = deferred + new_links + retries
         res.metrics.extend(m[t.name] for t in tasks if m[t.name]["selected"])
         res.rounds = rnd
+
+        # dynamic task control between rounds (etcd watch analog; see
+        # OracleCtl). Seeds pushed here get seqs after this round's
+        # links/retries — identical stamping to the engine's round-start
+        # pending-seed drain.
+        if on_round is not None:
+            ctl = OracleCtl(taskmap, frontier, max_seq)
+            on_round(rnd, ctl)
+            max_seq = ctl.max_seq
 
     return res

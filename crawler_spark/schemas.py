@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -48,6 +49,20 @@ WEB_GRAPH = StructType(
         StructField("status", IntegerType(), False),
         StructField("body", StringType(), False),
         StructField("latency_ms", IntegerType(), False),
+    ]
+)
+
+# WEB_GRAPH variant serving raw encoded bytes for some pages (body NULL,
+# body_bytes set): the fetch stage must charset-sniff + transcode
+# (collect/collect.go:85-97) to recover the canonical str body.
+WEB_GRAPH_BYTES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("status", IntegerType(), False),
+        StructField("body", StringType(), True),
+        StructField("latency_ms", IntegerType(), False),
+        StructField("body_bytes", BinaryType(), True),
     ]
 )
 

@@ -102,6 +102,9 @@ class TaskCfg:
     max_depth: int = 5  # spider/option.go:25
     limits: tuple[LimitTier, ...] = ()
     closed: bool = False
+    # sent verbatim as the Cookie header on every request of this task
+    # (spider/task.go:10,18 Cookie; collect/collect.go:65-67)
+    cookie: str = ""
 
 
 # --------------------------------------------------------------------------
