@@ -281,13 +281,21 @@ class CrawlEngine:
             )
             .select("key", "r.*")
         )
+        self._desc(rnd, "cand(expire+dedup)")
+        # localCheckpoint (not cache): materializes ONCE and — critically —
+        # TRUNCATES the logical plan to a flat LogicalRDD. Every stage of
+        # the round builds on the previous one's frame; with plain .cache()
+        # the full expression lineage (canon let-bindings, the 4-rule parse
+        # CASE, topk windows) stays in every downstream job's logical plan,
+        # and Catalyst analysis+optimization over that tree was measured at
+        # 30-70s of pure DRIVER time per job (executors idle) — constant in
+        # cluster size, i.e. the direct N->4N scaling killer. Checkpointed
+        # frames keep every downstream plan O(round-stage), not O(round
+        # lineage).
         cand = deduped.unionByName(
             cand.filter(F.col("reload")).select(*deduped.columns)
-        ).cache()
-        self._desc(rnd, "cand(expire+dedup)")
-        n_cand = cand.count()  # materialize ONCE — the budgeted top-k pass
-        # fans out into several branches that would otherwise race to
-        # compute the expire+dedup lineage before the cache is warm
+        ).localCheckpoint(eager=True)
+        n_cand = cand.count()
 
         # 3-4. budget top-k per task, then host-cap pass
         budgets = {
@@ -299,24 +307,23 @@ class CrawlEngine:
             picked, "host", self._host_budgets, default_budget=1 << 40
         )
         # host-salted repartition: hot-host fetch/parse skew is work-skew,
-        # invisible to AQE byte stats — spread deterministically by key
-        wave = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")).cache()
+        # invisible to AQE byte stats — spread deterministically by key.
+        # localCheckpoint cuts the topk-window lineage out of the fetch job.
+        self._desc(rnd, "wave(topk)")
+        wave = wave.repartition(
+            self.shuffle_parts, F.xxhash64("host", "key")
+        ).localCheckpoint(eager=True)
 
         # 5-6. fetch + parse in ONE pass (seen marking is folded into the
         # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
-        # ok or reload). The fetch join output is NEVER cached with bodies:
-        # parse_fetched masks body behind the ok flag, runs the UDF over
-        # the full frame, and caches only slim columns + parse results.
-        # Every later accounting scan column-prunes that one cache.
-        # No wave.count() barrier: the wave cache materializes inside this
-        # job (the top-k broadcast sub-jobs warm cand first), and every
-        # per-round row count falls out of the fused accounting job below —
-        # an all-deferred (empty-wave) round just makes this job trivial.
+        # ok or reload). The fetch join output is NEVER materialized with
+        # bodies: parse_fetched masks body behind the ok flag, runs the
+        # parse over the full frame, and checkpoints only slim columns +
+        # parse results (plan truncated — see the cand note above). All
+        # per-round row counts fall out of the fused accounting job below.
+        self._desc(rnd, "fetch+parse")
         fetched = self.fetcher.fetch(wave)
         parsed, documents, items, raw_links = parse_fetched(fetched, self.rules)
-        self._desc(rnd, "fetch+parse")
-        parsed.count()  # materialize the join+parse ONCE; all downstream
-        # consumers (links/documents/items/accounting) read the slim cache
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
         failed = parsed.filter(~F.col("ok"))

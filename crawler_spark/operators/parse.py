@@ -236,11 +236,9 @@ def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None
         jvm = rules_jvm_ok(rules)
     slim_cols = [c for c in fetched.columns if c != "body"]
     if jvm:
-        parsed = (
-            with_jvm_parse(fetched, rules, b="if(ok, body, cast(null as string))")
-            .select(*slim_cols, "_p")
-            .cache()
-        )
+        parsed = with_jvm_parse(
+            fetched, rules, b="if(ok, body, cast(null as string))"
+        ).select(*slim_cols, "_p")
     else:
         parse_udf = make_parse_udf(rules)
         parsed = fetched.select(
@@ -248,7 +246,16 @@ def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None
             parse_udf(
                 "task", "rule", "curl", F.when(F.col("ok"), F.col("body")), "tmp"
             ).alias("_p"),
-        ).cache()
+        )
+    # localCheckpoint, not cache: materializes the join+parse ONCE and
+    # truncates the plan to a flat LogicalRDD. The parse expressions (the
+    # per-rule CASE + span aggregates of the JVM path) are large trees;
+    # with .cache() they stay in the LOGICAL plan of every downstream
+    # consumer (links/documents/items/accounting) and Catalyst re-walks
+    # them per job — measured as tens of seconds of driver CPU per round,
+    # independent of cluster size. Checkpointing pays the same single
+    # execution but downstream plans see only the slim output schema.
+    parsed = parsed.localCheckpoint(eager=True)
     ok_rows = parsed.filter(F.col("ok"))
 
     spans = F.transform(

@@ -46,4 +46,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Warm the ICU collation machinery ONCE, single-threaded. Spark 4.x
+    # routes interpreted-path lower() (e.g. inside higher-order-function
+    # lambdas, which are CodegenFallback) through CollationAwareUTF8String,
+    # whose static init runs ICU case-map table construction; when N
+    # executor threads race to trigger that class-init inside a fat stage,
+    # the one initializing thread was measured burning minutes of CPU while
+    # the rest block on the class-init monitor (~5s when done alone here).
+    spark.sql(
+        "select element_at(transform(array('A'), x -> lower(x)), 1)"
+    ).collect()
+    return spark
