@@ -30,6 +30,8 @@ Per-round driver work is kept O(|wave|), never O(|seen|):
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, replace
@@ -117,6 +119,31 @@ class CrawlEngine:
     def _desc(self, rnd: int, what: str) -> None:
         """Label the next Spark jobs (shows up in UI + event logs)."""
         self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
+
+    def _scratch(self, df, rnd: int, name: str):
+        """Materialize a hot round frame via a scratch-parquet roundtrip.
+
+        This is the round's materialization barrier AND its plan cut: the
+        reread frame is a flat columnar scan — prunable, splittable, and
+        O(1) to analyze. The alternatives both lose: .cache() keeps the
+        full expression lineage in every consumer's LOGICAL plan, and the
+        CacheManager re-canonicalizes that tree per referencing job for
+        cache matching (measured ~4s of driver time just to PLAN the
+        8-branch accounting job — a per-round constant that caps N->4N
+        scaling); .localCheckpoint() cuts the plan but stores object rows,
+        losing column pruning + Tungsten format (measured 6x slower on a
+        400k fat wave). At production scale these scratch frames are the
+        per-round working tables next to the Iceberg frontier snapshots.
+        """
+        path = os.path.join(self.store.root, "scratch", f"r{rnd:05d}", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _drop_scratch(self, rnd: int) -> None:
+        shutil.rmtree(
+            os.path.join(self.store.root, "scratch", f"r{rnd:05d}"),
+            ignore_errors=True,
+        )
 
     def _rebuild_tasks_df(self) -> None:
         self._tasks_df = F.broadcast(
@@ -217,6 +244,7 @@ class CrawlEngine:
         # stale uncommitted round=rnd directory must go BEFORE we decide
         # what to write, or read_through would see it forever
         self.store.clean_round(rnd)
+        self._drop_scratch(rnd)
         frontier = self.store.read_frontier(man.get("frontier_round", prev))
         seen = self.store.read_through("seen", prev)
         if seen is None:
@@ -282,20 +310,14 @@ class CrawlEngine:
             .select("key", "r.*")
         )
         self._desc(rnd, "cand(expire+dedup)")
-        # localCheckpoint (not cache): materializes ONCE and — critically —
-        # TRUNCATES the logical plan to a flat LogicalRDD. Every stage of
-        # the round builds on the previous one's frame; with plain .cache()
-        # the full expression lineage (canon let-bindings, the 4-rule parse
-        # CASE, topk windows) stays in every downstream job's logical plan,
-        # and Catalyst analysis+optimization over that tree was measured at
-        # 30-70s of pure DRIVER time per job (executors idle) — constant in
-        # cluster size, i.e. the direct N->4N scaling killer. Checkpointed
-        # frames keep every downstream plan O(round-stage), not O(round
-        # lineage).
-        cand = deduped.unionByName(
-            cand.filter(F.col("reload")).select(*deduped.columns)
-        ).localCheckpoint(eager=True)
-        n_cand = cand.count()
+        cand = self._scratch(
+            deduped.unionByName(
+                cand.filter(F.col("reload")).select(*deduped.columns)
+            ),
+            rnd,
+            "cand",
+        )
+        n_cand = cand.count()  # parquet footer count — no data scan
 
         # 3-4. budget top-k per task, then host-cap pass
         budgets = {
@@ -307,23 +329,27 @@ class CrawlEngine:
             picked, "host", self._host_budgets, default_budget=1 << 40
         )
         # host-salted repartition: hot-host fetch/parse skew is work-skew,
-        # invisible to AQE byte stats — spread deterministically by key.
-        # localCheckpoint cuts the topk-window lineage out of the fetch job.
+        # invisible to AQE byte stats — spread deterministically by key
         self._desc(rnd, "wave(topk)")
-        wave = wave.repartition(
-            self.shuffle_parts, F.xxhash64("host", "key")
-        ).localCheckpoint(eager=True)
+        wave = self._scratch(
+            wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")),
+            rnd,
+            "wave",
+        )
 
         # 5-6. fetch + parse in ONE pass (seen marking is folded into the
         # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
         # ok or reload). The fetch join output is NEVER materialized with
         # bodies: parse_fetched masks body behind the ok flag, runs the
-        # parse over the full frame, and checkpoints only slim columns +
-        # parse results (plan truncated — see the cand note above). All
-        # per-round row counts fall out of the fused accounting job below.
+        # parse over the full frame, and persists only slim columns + parse
+        # results via the scratch roundtrip; every downstream consumer
+        # column-prunes that flat parquet scan.
         self._desc(rnd, "fetch+parse")
         fetched = self.fetcher.fetch(wave)
-        parsed, documents, items, raw_links = parse_fetched(fetched, self.rules)
+        parsed, documents, items, raw_links = parse_fetched(
+            fetched, self.rules,
+            persist=lambda df: self._scratch(df, rnd, "parsed"),
+        )
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
         failed = parsed.filter(~F.col("ok"))
@@ -442,8 +468,9 @@ class CrawlEngine:
                 items=0, wall_s=time.time() - t0,
             )
             self.store.commit(rnd, new_man)
-            for df in (cand, wave, parsed, links_prep, retries_prep):
+            for df in (links_prep, retries_prep):
                 df.unpersist()
+            self._drop_scratch(rnd)
             return new_man
 
         # finalize dense seqs from the fused partition counts
@@ -586,11 +613,11 @@ class CrawlEngine:
         )
         new_man["fetch_count"] = man.get("fetch_count", 0) + n_wave
         self.store.commit(rnd, new_man)
-        for df in (cand, wave, parsed,
-                   getattr(links, "_ranked", None),
+        for df in (getattr(links, "_ranked", None),
                    getattr(retries, "_ranked", None)):
             if df is not None:
                 df.unpersist()
+        self._drop_scratch(rnd)
         return new_man
 
     def _advance_manifest(

@@ -43,6 +43,8 @@ parse/doubangroup/group.go) and the otto-JS rule scripts
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -208,7 +210,12 @@ def _rules_df(spark, rules: list[Rule]) -> DataFrame:
     )
 
 
-def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None):
+def parse_fetched(
+    fetched: DataFrame,
+    rules: list[Rule],
+    jvm: bool | None = None,
+    persist=None,
+):
     """Returns (parsed, documents, items, raw_links) DataFrames.
 
     ``fetched`` is the FULL fetch-join output (ok and failed rows). The
@@ -233,7 +240,13 @@ def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None
     from .parse_jvm import rules_jvm_ok, with_jvm_parse
 
     if jvm is None:
-        jvm = rules_jvm_ok(rules)
+        env = os.environ.get("SPARK_GRAFT_JVM_PARSE")
+        if env is not None:
+            jvm = env not in ("0", "false", "no")
+        else:
+            jvm = rules_jvm_ok(rules)
+    if jvm:
+        jvm = rules_jvm_ok(rules)  # env can force OFF, never force past the domain check
     slim_cols = [c for c in fetched.columns if c != "body"]
     if jvm:
         parsed = with_jvm_parse(
@@ -247,15 +260,13 @@ def parse_fetched(fetched: DataFrame, rules: list[Rule], jvm: bool | None = None
                 "task", "rule", "curl", F.when(F.col("ok"), F.col("body")), "tmp"
             ).alias("_p"),
         )
-    # localCheckpoint, not cache: materializes the join+parse ONCE and
-    # truncates the plan to a flat LogicalRDD. The parse expressions (the
-    # per-rule CASE + span aggregates of the JVM path) are large trees;
-    # with .cache() they stay in the LOGICAL plan of every downstream
-    # consumer (links/documents/items/accounting) and Catalyst re-walks
-    # them per job — measured as tens of seconds of driver CPU per round,
-    # independent of cluster size. Checkpointing pays the same single
-    # execution but downstream plans see only the slim output schema.
-    parsed = parsed.localCheckpoint(eager=True)
+    # ``persist`` materializes the slim parse output ONCE and returns the
+    # frame every downstream consumer (links/documents/items/accounting)
+    # reads. The engine passes its scratch-parquet roundtrip (flat columnar
+    # scan — prunable AND plan-size O(1); see CrawlEngine._scratch for why
+    # cache()/localCheckpoint() both lose here). Default: columnar cache,
+    # for standalone/test callers that only fan out once.
+    parsed = persist(parsed) if persist is not None else parsed.cache()
     ok_rows = parsed.filter(F.col("ok"))
 
     spans = F.transform(

@@ -66,6 +66,12 @@ def _q(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _jlet(var: str, value: str, body: str) -> str:
+    """let-binding via a 1-element HOF lambda (see operators/canon._let):
+    ``value`` evaluates once, references in ``body`` are variable lookups."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
 def rules_jvm_ok(rules: list[Rule]) -> bool:
     """Are all rules inside the JVM fast path's domain?
 
@@ -97,27 +103,6 @@ def _dispatch(rules: list[Rule], arm) -> str:
     return f"CASE {arms} "
 
 
-def _urls_expr(r: Rule, b: str) -> str:
-    if not r.link_regex:
-        return _EMPTY_STR_ARR
-    urls = f"regexp_extract_all({b}, {_q(r.link_regex)}, 1)"
-    if r.url_prefix:
-        pre = _q(r.url_prefix)
-        urls = (
-            f"transform({urls}, u -> if(startswith(u, 'http://') OR "
-            f"startswith(u, 'https://'), u, concat({pre}, u)))"
-        )
-    return urls
-
-
-def _carries_expr(r: Rule, b: str) -> str:
-    if not r.link_regex:
-        return _EMPTY_STR_ARR
-    if _re.compile(r.link_regex).groups >= 2:
-        return f"regexp_extract_all({b}, {_q(r.link_regex)}, 2)"
-    return f"transform(regexp_extract_all({b}, {_q(r.link_regex)}, 1), x -> '')"
-
-
 def _item_expr(r: Rule, b: str, curl: str, tmp: str) -> str:
     if not (r.item_fields or r.emit_url_as):
         return _EMPTY_ITEM
@@ -139,48 +124,84 @@ def _item_expr(r: Rule, b: str, curl: str, tmp: str) -> str:
     return mp
 
 
-def _spans_expr(r: Rule, b: str) -> str:
-    """Sentinel pipeline -> array<span struct> (see module docstring)."""
+def _combined_expr(r: Rule, b: str) -> str:
+    """Sentinel pipeline -> struct<u,c,sp> (links, carries, spans) from ONE
+    link-regex pass over the body.
+
+    The link replacement captures $0 (full match, for exact offset
+    advance), $1 (URL) and — when the rule regex has one — $2 (carry), so
+    link URLS and CARRIES are derived from the decoded pieces instead of
+    two additional full-body ``regexp_extract_all`` passes (the body is
+    the fat-wave unit of work; every avoided pass is ~8 KB x |wave| of
+    regex scanning). Offsets are a prefix sum over piece LENGTHS (an
+    int-array aggregate), then the span structs are built in one linear
+    ``zip_with`` + ``filter`` pass — the previous formulation carried the
+    growing span-struct array through ``aggregate``/``array_append``,
+    O(pieces^2) struct copies per body, measured as the dominant per-row
+    cost on fat waves.
+    """
     marked = b
+    ngroups = _re.compile(r.link_regex).groups if r.link_regex else 0
     if r.link_regex:
-        repl_l = _q(f"{_S}L{_P}$0{_P}$1{_S}")
+        g2 = "$2" if ngroups >= 2 else ""
+        repl_l = _q(f"{_S}L{_P}$0{_P}$1{_P}{g2}{_S}")
         marked = f"regexp_replace({marked}, {_q(r.link_regex)}, {repl_l})"
-    repl_m = _q(f"{_S}M{_P}$0{_P}$1{_S}")
+    repl_m = _q(f"{_S}M{_P}$0{_P}$1{_P}{_S}")
     marked = f"regexp_replace({marked}, {_q(MEDIA_REGEX.pattern)}, {repl_m})"
     sep = _q(_P)
     is_match = f"(startswith(p, {_q('L' + _P)}) OR startswith(p, {_q('M' + _P)}))"
-    # decode each piece once: match records -> (null, kind, full, g1),
-    # text pieces -> (p, null, null, null)
+    # decode each piece once: match records -> (null, kind, full, g1, g2),
+    # text pieces -> (p, null, null, null, null)
     pieces = (
         f"transform(split({marked}, {_q(_S)}), p -> if({is_match},"
         f" named_struct('txt', cast(null as string),"
         f"  'k', element_at(split(p, {sep}), 1),"
         f"  'full', element_at(split(p, {sep}), 2),"
-        f"  'g1', element_at(split(p, {sep}), 3)),"
+        f"  'g1', element_at(split(p, {sep}), 3),"
+        f"  'g2', element_at(split(p, {sep}), 4)),"
         f" named_struct('txt', p, 'k', cast(null as string),"
-        f"  'full', cast(null as string), 'g1', cast(null as string))))"
+        f"  'full', cast(null as string), 'g1', cast(null as string),"
+        f"  'g2', cast(null as string))))"
     )
-    match_span = (
-        "named_struct("
-        "'kind', if(e.k = 'L', 'link', 'media'),"
-        "'text', if(e.k = 'L', e.g1, ''),"
-        "'media_ref', if(e.k = 'M', e.g1, ''),"
-        "'offset', st.pos)"
+    lens = "transform(_pc, e -> if(e.txt IS NULL, length(e.full), length(e.txt)))"
+    offs = (
+        f"aggregate({lens}, array(0),"
+        f" (a, l) -> array_append(a, element_at(a, -1) + l))"
     )
-    text_span = (
-        "named_struct('kind', 'text', 'text', e.txt, 'media_ref', '',"
-        " 'offset', st.pos)"
+    span_or_null = (
+        "if(e.txt IS NULL,"
+        " named_struct("
+        "  'kind', if(e.k = 'L', 'link', 'media'),"
+        "  'text', if(e.k = 'L', e.g1, ''),"
+        "  'media_ref', if(e.k = 'M', e.g1, ''),"
+        "  'offset', o),"
+        " if(e.txt rlike '\\\\S',"
+        "  named_struct('kind', 'text', 'text', e.txt, 'media_ref', '',"
+        "   'offset', o),"
+        "  cast(null as struct<kind:string,text:string,media_ref:string,offset:int>)))"
     )
-    return (
-        f"aggregate({pieces},"
-        f" named_struct('pos', 0, 'sp', {_EMPTY_SPANS}),"
-        f" (st, e) -> if(e.txt IS NULL,"
-        f"  named_struct('pos', st.pos + length(e.full),"
-        f"   'sp', array_append(st.sp, {match_span})),"
-        f"  named_struct('pos', st.pos + length(e.txt),"
-        f"   'sp', if(e.txt rlike '\\\\S',"
-        f"    array_append(st.sp, {text_span}), st.sp))),"
-        f" st -> st.sp)"
+    spans = (
+        f"filter(zip_with(_pc, slice(_of, 1, size(_pc)), (e, o) -> {span_or_null}),"
+        f" x -> x IS NOT NULL)"
+    )
+    if r.url_prefix:
+        pre = _q(r.url_prefix)
+        url = (
+            f"if(startswith(e.g1, 'http://') OR startswith(e.g1, 'https://'),"
+            f" e.g1, concat({pre}, e.g1))"
+        )
+    else:
+        url = "e.g1"
+    body_expr = (
+        f"named_struct("
+        f"'u', transform(_lk, e -> {url}),"
+        f"'c', transform(_lk, e -> e.g2),"
+        f"'sp', {spans})"
+    )
+    return _jlet(
+        "_pc", pieces,
+        _jlet("_of", offs,
+              _jlet("_lk", "filter(_pc, e -> e.k = 'L')", body_expr)),
     )
 
 
@@ -197,35 +218,26 @@ def with_jvm_parse(
     ``b`` may be an expression (e.g. the ok-masked body); NULL body rows
     get the same empty-arrays/null-item struct as the pandas path.
     """
-    spans = _dispatch(rules, lambda r: _spans_expr(r, b)) + f"ELSE {_EMPTY_SPANS} END"
-    df = df.withColumn("_sp", F.expr(f"if({b} IS NULL, {_EMPTY_SPANS}, {spans})"))
-    struct_expr = (
-        "named_struct("
-        f"'l_url', if({b} IS NULL, {_EMPTY_STR_ARR}, "
-        + _dispatch(rules, lambda r: _urls_expr(r, b))
-        + f"ELSE {_EMPTY_STR_ARR} END),"
-        f"'l_carry', if({b} IS NULL, {_EMPTY_STR_ARR}, "
-        + _dispatch(rules, lambda r: _carries_expr(r, b))
-        + f"ELSE {_EMPTY_STR_ARR} END),"
-        f"'item', if({b} IS NULL, {_EMPTY_ITEM}, "
+    empty_comb = (
+        f"named_struct('u', {_EMPTY_STR_ARR}, 'c', {_EMPTY_STR_ARR},"
+        f" 'sp', {_EMPTY_SPANS})"
+    )
+    comb = _dispatch(rules, lambda r: _combined_expr(r, b)) + f"ELSE {empty_comb} END"
+    df = df.withColumn("_cb", F.expr(f"if({b} IS NULL, {empty_comb}, {comb})"))
+    item = (
+        f"if({b} IS NULL, {_EMPTY_ITEM}, "
         + _dispatch(rules, lambda r: _item_expr(r, b, curl, tmp))
-        + f"ELSE {_EMPTY_ITEM} END),"
-        "'s_kind', transform(_sp, x -> x.kind),"
-        "'s_text', transform(_sp, x -> x.text),"
-        "'s_ref', transform(_sp, x -> x.media_ref),"
-        "'s_off', transform(_sp, x -> x.offset))"
+        + f"ELSE {_EMPTY_ITEM} END)"
     )
-    # l_idx depends only on l_url's size; add it by rebuilding the struct
-    # with a second expression would re-evaluate urls — instead compute the
-    # struct once, then append l_idx from it (cheap array op).
-    df = df.withColumn("_p0", F.expr(struct_expr)).drop("_sp")
-    p_with_idx = (
+    p_expr = (
         "named_struct("
-        "'l_url', _p0.l_url, 'l_carry', _p0.l_carry,"
-        "'l_idx', if(size(_p0.l_url) = 0, " + _EMPTY_INT_ARR + ","
-        " cast(sequence(0, size(_p0.l_url) - 1) as array<int>)),"
-        "'item', _p0.item,"
-        "'s_kind', _p0.s_kind, 's_text', _p0.s_text,"
-        "'s_ref', _p0.s_ref, 's_off', _p0.s_off)"
+        "'l_url', _cb.u, 'l_carry', _cb.c,"
+        "'l_idx', if(size(_cb.u) = 0, " + _EMPTY_INT_ARR + ","
+        " cast(sequence(0, size(_cb.u) - 1) as array<int>)),"
+        f"'item', {item},"
+        "'s_kind', transform(_cb.sp, x -> x.kind),"
+        "'s_text', transform(_cb.sp, x -> x.text),"
+        "'s_ref', transform(_cb.sp, x -> x.media_ref),"
+        "'s_off', transform(_cb.sp, x -> x.offset))"
     )
-    return df.withColumn(out, F.expr(p_with_idx)).drop("_p0")
+    return df.withColumn(out, F.expr(p_expr)).drop("_cb")

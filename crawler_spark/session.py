@@ -41,11 +41,26 @@ def get_spark(
         .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.python.factory.idleWorkerMaxPoolSize", "96")
         .config("spark.sql.session.timeZone", "UTC")
+        # AQE re-plans fire a SparkListenerSQLAdaptiveExecutionUpdate whose
+        # payload is the FULL pretty-printed physical plan; with this
+        # engine's wide per-round plans (parse rule CASEs, canon bindings,
+        # the 8-branch accounting union) the driver was measured spending
+        # most of a fat round inside TreeNode.generateTreeString — per
+        # query stage, per job, independent of cluster size. Capping the
+        # plan-string length bounds that cost; explain() output for humans
+        # truncates past 256 KiB, which no debugging session ever reads.
+        .config("spark.sql.maxPlanStringLength", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # ad-hoc conf overrides for profiling experiments:
+    #   SPARK_GRAFT_CONF="k1=v1;k2=v2"
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
     spark = b.getOrCreate()
     # Warm the ICU collation machinery ONCE, single-threaded. Spark 4.x
     # routes interpreted-path lower() (e.g. inside higher-order-function

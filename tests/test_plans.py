@@ -96,3 +96,23 @@ def test_budgeted_topk_local_prune_bounds_shuffle(spark):
     # two Window nodes: the partition-local prune, then the global rank
     assert plan.count("Window") >= 2, plan
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
+def test_budgeted_topk_plan_size_independent_of_group_count(spark):
+    """Budgets enter the plan as a joined DataFrame, never a per-group CASE
+    chain: with the north rule's 10^7+ hosts an O(#groups) expression tree
+    (or a driver dict) cannot exist. The plan's textual size must stay flat
+    as the budget table grows 100x."""
+    from crawler_spark.operators.topk import budgeted_topk, budgets_df
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS task", "CAST(user_id AS INT) AS priority", "event_id AS seq"
+    )
+    small = budgets_df(spark, {f"h{i}": 5 for i in range(10)}, "task")
+    big = budgets_df(spark, {f"h{i}": 5 for i in range(1000)}, "task")
+    plan_small = _plan(budgeted_topk(ev, "task", small, default_budget=5))
+    plan_big = _plan(budgeted_topk(ev, "task", big, default_budget=5))
+    assert len(plan_big) < len(plan_small) * 2, (
+        len(plan_small), len(plan_big),
+    )
+    assert "CASE WHEN" not in plan_big or plan_big.count("CASE WHEN") < 10
