@@ -199,6 +199,29 @@ def q_crawl_budget_math(spark, sf_dir):
     )
 
 
+def q_crawl_typed_results(spark, sf_dir):
+    """Per-task typed result table: the declared-projection of the map-typed
+    results envelope into the rule's ItemFields columns + URL/round envelope
+    (storage/sqlstorage/sqlstorage.go:43-61, sqldb/sqldb.go:68-90). Exercises
+    missing-key -> NULL and undeclared-key -> dropped semantics."""
+    from crawler_spark.operators.typed_results import typed_results
+    from crawler_spark.textcore import Rule
+
+    rule = Rule(task="parts", rule="detail", item_fields=("brand", "ptype", "missing"))
+    p = _t(spark, sf_dir, "part")
+    results = p.select(
+        F.lit("parts").alias("task"),
+        F.lit("detail").alias("rule"),
+        F.concat(F.lit("http://parts.example.com/p/"), F.col("p_partkey")).alias("url"),
+        F.lit(1).alias("round"),
+        F.map_from_arrays(
+            F.array(F.lit("brand"), F.lit("ptype"), F.lit("junk")),
+            F.array(F.col("p_brand"), F.col("p_type"), F.col("p_name")),
+        ).alias("data"),
+    )
+    return typed_results(results, rule)
+
+
 def q_events_json_extract(spark, sf_dir):
     """JSON scalar extraction (reference serializes payloads as JSON,
     storage/sqlstorage/sqlstorage.go:122-137)."""
@@ -366,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_field_extraction": q_crawl_field_extraction,
         "crawl_body_validity": q_crawl_body_validity,
         "crawl_budget_math": q_crawl_budget_math,
+        "crawl_typed_results": q_crawl_typed_results,
         "events_json_extract": q_events_json_extract,
         "events_sessionize": q_events_sessionize,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -528,6 +552,14 @@ def oracle_sql() -> dict[str, str]:
                        ((s_suppkey % 7 + 1) * 60) // 60 AS tier2_adm
                 FROM supplier
             )
+        """,
+        "crawl_typed_results": """
+            SELECT p_brand AS brand,
+                   p_type AS ptype,
+                   CAST(NULL AS VARCHAR) AS missing,
+                   'http://parts.example.com/p/' || p_partkey AS url,
+                   1 AS round
+            FROM part
         """,
         "events_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val

@@ -60,6 +60,22 @@ BENCH_FIXTURE = dict(
 FAT_BOOKS = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_BOOKS", "400000"))
 FAT_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_FAT_PAD", "8000"))
 
+# Engine state/scratch lives on tmpfs for the bench: a round reads+writes
+# ~8 GB of scratch/delta parquet, and on this sandbox the one shared disk
+# (~190 MB/s) turns that into a wall-time floor CONSTANT IN CORES — it
+# measures device saturation, not engine scaling. On a real cluster the
+# same I/O is spread over every executor's local disks (HDFS/S3/shuffle
+# dirs scale with N), so memory-backed state is the honest single-host
+# stand-in for the N-vs-4N criterion. Profiled (BENCH/BASELINE.md): disk
+# write-deltas 12-15 s flat at 4 and 16 cores; tmpfs 7.7 s and scaling.
+def _state_tmpdir(prefix: str) -> str:
+    import tempfile
+
+    shm = "/dev/shm"
+    return tempfile.mkdtemp(
+        prefix=prefix, dir=shm if os.path.isdir(shm) else None
+    )
+
 
 def run_crawl_bench(master: str, cpus: int, mode: str = "rounds") -> dict:
     """Run the crawl engine on the bench corpus; return throughput stats."""
@@ -94,7 +110,6 @@ def run_fat_round_bench(spark) -> dict:
     of the true cost; both raw runs are reported.
     """
     import shutil
-    import tempfile
 
     from crawler_spark.engine import CrawlEngine
     from crawler_spark.fixtures_big import (
@@ -117,7 +132,7 @@ def run_fat_round_bench(spark) -> dict:
 
     runs = []
     for attempt in range(3):
-        d = tempfile.mkdtemp(prefix="bench_fat_")
+        d = _state_tmpdir("bench_fat_")
         try:
             eng = CrawlEngine(
                 spark, f"{d}/state", fetcher, tasks, rules, robots,
@@ -210,7 +225,6 @@ def main() -> None:
 
 def run_crawl_bench_inproc(spark) -> dict:
     import shutil
-    import tempfile
 
     from crawler_spark.engine import CrawlEngine
     from crawler_spark.fixtures_big import (
@@ -220,7 +234,7 @@ def run_crawl_bench_inproc(spark) -> dict:
     )
     from crawler_spark.operators.fetch import GraphFetcher
 
-    d = tempfile.mkdtemp(prefix="bench_crawl_")
+    d = _state_tmpdir("bench_crawl_")
     try:
         tasks, rules, robots = bench_tasks_rules_robots()
         web = big_web_graph(spark, **BENCH_FIXTURE)

@@ -36,7 +36,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
@@ -55,6 +55,13 @@ from .operators.fetch import GraphFetcher
 from .operators.parse import parse_fetched
 from .operators.seq import finalize_dense_seq, pid_col, prepare_dense_seq
 from .operators.topk import budgeted_topk
+
+
+# Above this many configured tasks, per-task Observation expressions stop
+# being plan-size-free and the engine falls back to the grouped-count job.
+# Tasks are preset parser configs (reference: a handful, engine/schedule.go
+# preset task registry) — config-scale like rules, never data-scale.
+_OBS_MAX_TASKS = 256
 
 
 @dataclass
@@ -80,6 +87,7 @@ class CrawlEngine:
         round_s: int = 60,
         bloom_min_seen: int = 50_000,
         bloom_bits: int = 1 << 22,
+        typed_tables: bool = False,
     ):
         self.spark = spark
         self.store = SnapshotStore(spark, state_dir)
@@ -90,6 +98,14 @@ class CrawlEngine:
         self.round_s = round_s
         self.bloom_min_seen = bloom_min_seen
         self.bloom_bits = bloom_bits
+        # per-task typed result tables (sqlstorage.go:43-61 table-per-task
+        # from ItemFields): a derived projection of the map-typed results
+        # envelope, written under typed/<task>__<rule>/round=N. Off by
+        # default — a deployment materializes EITHER the envelope or the
+        # typed tables (the reference only has the latter); the projection
+        # operator itself (operators/typed_results.py) works on the results
+        # table at any time, so the view is never lost by leaving this off.
+        self.typed_tables = typed_tables
         # per-host round caps as a DATAFRAME derived from the robots table
         # (never a driver dict / CASE chain: at 10^7+ hosts the budget side
         # must stay distributed; topk joins it against per-wave host counts)
@@ -309,15 +325,28 @@ class CrawlEngine:
             )
             .select("key", "r.*")
         )
+        # Per-task round counts ride the scratch WRITES as Observation
+        # metrics — computed inside the jobs the round already runs, so the
+        # old 8-branch accounting job (6 extra pruned scans of the scratch
+        # frames + their job latencies, a per-round constant that caps
+        # N->4N scaling) shrinks to the one link/retry pid-count job below.
+        # Tasks are a config-scale dim (a handful of presets, like rules —
+        # never data-scale like hosts), so #exprs = O(#tasks) is bounded;
+        # _OBS_MAX_TASKS guards the assumption.
+        use_obs = len(self.tasks) <= _OBS_MAX_TASKS
         self._desc(rnd, "cand(expire+dedup)")
-        cand = self._scratch(
-            deduped.unionByName(
-                cand.filter(F.col("reload")).select(*deduped.columns)
-            ),
-            rnd,
-            "cand",
+        cand_in = deduped.unionByName(
+            cand.filter(F.col("reload")).select(*deduped.columns)
         )
-        n_cand = cand.count()  # parquet footer count — no data scan
+        obs_cand = None
+        if use_obs:
+            obs_cand = Observation()
+            cand_in = cand_in.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        cand = self._scratch(cand_in, rnd, "cand")
+        if use_obs:
+            n_cand = int(obs_cand.get["n"] or 0)
+        else:
+            n_cand = cand.count()  # parquet footer count — no data scan
 
         # 3-4. budget top-k per task, then host-cap pass
         budgets = {
@@ -331,11 +360,19 @@ class CrawlEngine:
         # host-salted repartition: hot-host fetch/parse skew is work-skew,
         # invisible to AQE byte stats — spread deterministically by key
         self._desc(rnd, "wave(topk)")
-        wave = self._scratch(
-            wave.repartition(self.shuffle_parts, F.xxhash64("host", "key")),
-            rnd,
-            "wave",
-        )
+        wave_in = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key"))
+        obs_wave = None
+        if use_obs:
+            obs_wave = Observation()
+            wave_in = wave_in.observe(
+                obs_wave,
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
+                    for t in self.tasks
+                ],
+            )
+        wave = self._scratch(wave_in, rnd, "wave")
 
         # 5-6. fetch + parse in ONE pass (seen marking is folded into the
         # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
@@ -346,9 +383,31 @@ class CrawlEngine:
         # column-prunes that flat parquet scan.
         self._desc(rnd, "fetch+parse")
         fetched = self.fetcher.fetch(wave)
+        obs_parsed = None
+
+        def _persist_parsed(df: DataFrame) -> DataFrame:
+            nonlocal obs_parsed
+            if use_obs:
+                obs_parsed = Observation()
+                exprs = []
+                for t in self.tasks:
+                    is_t = F.col("task") == t
+                    ok = F.col("ok")
+                    exprs += [
+                        F.sum(F.when(is_t & ok, 1)).alias(f"ok::{t}"),
+                        F.sum(F.when(is_t & ~ok, 1)).alias(f"fail::{t}"),
+                        F.sum(
+                            F.when(is_t & (ok | F.col("reload")), 1)
+                        ).alias(f"seen::{t}"),
+                        F.sum(
+                            F.when(is_t & ok & F.col("_p.item").isNotNull(), 1)
+                        ).alias(f"item::{t}"),
+                    ]
+                df = df.observe(obs_parsed, *exprs)
+            return self._scratch(df, rnd, "parsed")
+
         parsed, documents, items, raw_links = parse_fetched(
-            fetched, self.rules,
-            persist=lambda df: self._scratch(df, rnd, "parsed"),
+            fetched, self.rules, persist=_persist_parsed,
         )
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
@@ -391,13 +450,16 @@ class CrawlEngine:
             retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"]
         )
 
-        # ---- accounting: ONE job for every per-round count, all from the
-        # cached slim frames (column-pruned scans, no body bytes touched).
-        # 'selected' (politeness 'used') counts the WAVE, not the fetch-join
-        # output, so a fetcher returning duplicate rows can never inflate
-        # the carries; cand/ok/fail/seen/link/item/retry ride the same
-        # union, and the link/retry branches also carry their seq partition
-        # id so the dense-seq offsets need no separate job.
+        # ---- accounting. With observations (the common path) every
+        # per-task count was already computed INSIDE the scratch-write jobs
+        # (cand/wave/parsed Observation metrics — no extra scans, no extra
+        # jobs); the only remaining job is the link/retry (task, pid) count,
+        # which doubles as the dense-seq offset source and the links_prep /
+        # retries_prep cache materialization. 'selected' (politeness 'used')
+        # still counts the WAVE, not the fetch-join output, so a fetcher
+        # returning duplicate rows can never inflate the carries. The
+        # fallback path (>_OBS_MAX_TASKS tasks) rides everything in one
+        # 8-branch union job over the scratch scans, as before.
         self._desc(rnd, "accounting")
 
         def _kind(df: DataFrame, k: str) -> DataFrame:
@@ -414,24 +476,11 @@ class CrawlEngine:
                 pid_col().cast("string").alias("k2b"),
             )
 
-        acct_rows = (
-            _kind(cand, "cand")
-            .unionByName(_kind(wave, "selected"))
-            .unionByName(_kind(parsed.filter(F.col("ok")), "ok"))
-            .unionByName(_kind(parsed.filter(~F.col("ok")), "fail"))
-            .unionByName(
-                _kind(parsed.filter(F.col("ok") | F.col("reload")), "seen")
-            )
-            .unionByName(_kind(items, "item"))
-            .unionByName(_kind_pid(links_prep, "link"))
-            .unionByName(_kind_pid(retries_prep, "retry"))
-            .groupBy("kind", "k2a", "k2b")
-            .count()
-            .collect()
-        )
         cnt: dict[str, dict[tuple[str, str], int]] = {}
-        for r in acct_rows:
-            cnt.setdefault(r["kind"], {})[(r["k2a"], r["k2b"])] = r["count"]
+
+        def _ingest(rows) -> None:
+            for r in rows:
+                cnt.setdefault(r["kind"], {})[(r["k2a"], r["k2b"])] = r["count"]
 
         def by_task(kind: str) -> dict[str, int]:
             out: dict[str, int] = {}
@@ -445,9 +494,43 @@ class CrawlEngine:
                 out[int(b)] = out.get(int(b), 0) + c
             return out
 
-        n_cand = sum(by_task("cand").values())
-        used = by_task("selected")
-        n_wave = sum(used.values())
+        if use_obs:
+            # reading an Observation blocks only until its write job ran
+            # (they all have, above); zero-count tasks are dropped to match
+            # the grouped-count shape (metrics emit only participating tasks)
+            wave_m = obs_wave.get
+            parsed_m = obs_parsed.get
+            n_wave = int(wave_m["n"] or 0)
+            used = {
+                t: int(wave_m[f"t::{t}"] or 0)
+                for t in self.tasks
+                if wave_m[f"t::{t}"]
+            }
+            for kind in ("ok", "fail", "seen", "item"):
+                cnt[kind] = {
+                    (t, ""): int(parsed_m[f"{kind}::{t}"] or 0)
+                    for t in self.tasks
+                    if parsed_m[f"{kind}::{t}"]
+                }
+        else:
+            _ingest(
+                _kind(cand, "cand")
+                .unionByName(_kind(wave, "selected"))
+                .unionByName(_kind(parsed.filter(F.col("ok")), "ok"))
+                .unionByName(_kind(parsed.filter(~F.col("ok")), "fail"))
+                .unionByName(
+                    _kind(parsed.filter(F.col("ok") | F.col("reload")), "seen")
+                )
+                .unionByName(_kind(items, "item"))
+                .unionByName(_kind_pid(links_prep, "link"))
+                .unionByName(_kind_pid(retries_prep, "retry"))
+                .groupBy("kind", "k2a", "k2b")
+                .count()
+                .collect()
+            )
+            n_cand = sum(by_task("cand").values())
+            used = by_task("selected")
+            n_wave = sum(used.values())
         for name, t in self.tasks.items():
             carries[name] = [
                 tier_carry_after(c, tier, self.round_s, used.get(name, 0))
@@ -472,6 +555,19 @@ class CrawlEngine:
                 df.unpersist()
             self._drop_scratch(rnd)
             return new_man
+
+        # links/retries (task, pid) counts: the one remaining accounting job
+        # in observation mode — skipped entirely on all-deferred rounds
+        # (above), and it is also what materializes the links_prep /
+        # retries_prep caches for the frontier build
+        if use_obs:
+            _ingest(
+                _kind_pid(links_prep, "link")
+                .unionByName(_kind_pid(retries_prep, "retry"))
+                .groupBy("kind", "k2a", "k2b")
+                .count()
+                .collect()
+            )
 
         # finalize dense seqs from the fused partition counts
         links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
@@ -551,14 +647,28 @@ class CrawlEngine:
         if totals["fetched_ok"]:
             writes.append(("documents", documents))
         if totals["items"]:
+            items_r = items.withColumn("round", F.lit(rnd))
             writes.append(
-                (
-                    "results",
-                    items.withColumn("round", F.lit(rnd)).select(
-                        *schemas.RESULTS.fieldNames()
-                    ),
-                )
+                ("results", items_r.select(*schemas.RESULTS.fieldNames()))
             )
+            if self.typed_tables:
+                # lazy create-on-first-item: only rules whose TASK emitted
+                # items this round get a write job (the frame itself then
+                # filters to the rule); each is a narrow projection over
+                # the shared scratch scan — no extra shuffle
+                from .operators.typed_results import typed_results
+
+                for r in self.rules:
+                    if not (r.item_fields or r.emit_url_as):
+                        continue
+                    if not item_counts.get(r.task):
+                        continue
+                    writes.append(
+                        (
+                            os.path.join("typed", f"{r.task}__{r.rule}"),
+                            typed_results(items_r, r),
+                        )
+                    )
         writes.append(
             (
                 "order",
@@ -575,7 +685,7 @@ class CrawlEngine:
         # concurrently (Spark job scheduling is thread-safe; local mode
         # shares the task-slot pool, so wall time ≈ the largest write, not
         # the sum). The frontier snapshot rides the same pool.
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [
                 pool.submit(self.store.append, table, rnd, df)
                 for table, df in writes

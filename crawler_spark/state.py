@@ -99,6 +99,14 @@ class SnapshotStore:
             path = os.path.join(self.root, table, f"round={rnd}")
             if os.path.exists(path):
                 shutil.rmtree(path)
+        # per-task typed result tables are dynamic (lazy-created on first
+        # item, sqlstorage.go:43-61) — sweep whatever exists under typed/
+        typed_base = os.path.join(self.root, "typed")
+        if os.path.isdir(typed_base):
+            for d in os.listdir(typed_base):
+                path = os.path.join(typed_base, d, f"round={rnd}")
+                if os.path.exists(path):
+                    shutil.rmtree(path)
         rd = self._round_dir(rnd)
         if os.path.exists(rd):
             shutil.rmtree(rd)

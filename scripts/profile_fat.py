@@ -60,7 +60,7 @@ def main() -> None:
     all_stage_times = []
     for attempt in range(runs):
         marks.clear()
-        d = tempfile.mkdtemp(prefix="profile_fat_")
+        d = tempfile.mkdtemp(prefix="profile_fat_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         try:
             eng = CrawlEngine(
                 spark, f"{d}/state", fetcher, tasks, rules, robots,

@@ -77,7 +77,7 @@ def main() -> None:
 
     walls = []
     for attempt in range(runs):
-        d = tempfile.mkdtemp(prefix="pj_")
+        d = tempfile.mkdtemp(prefix="pj_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         try:
             eng = CrawlEngine(
                 spark, f"{d}/state", fetcher, tasks, rules, robots,
