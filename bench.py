@@ -81,13 +81,17 @@ def run_crawl_bench(master: str, cpus: int, mode: str = "rounds") -> dict:
     """Run the crawl engine on the bench corpus; return throughput stats."""
     from crawler_spark.session import get_spark
 
-    # fat mode pins shuffle partitions to 32 at BOTH levels: on a real
-    # cluster the partitioning stays fixed while executors scale, and
-    # tying partition size to core count would conflate per-task memory
-    # effects with core scaling.
+    # fat mode pins shuffle partitions IDENTICALLY at both levels: on a
+    # real cluster the partitioning is sized to the data (thousands of
+    # partitions for a 10^10-URL frontier) and stays fixed while executors
+    # scale — so the pinned count must be >> cores at BOTH levels, or the
+    # last task wave of every stage strands (cores - remainder) slots and
+    # the bigger cluster pays proportionally more for the tail. 128 keeps
+    # 8+ waves per stage at 16 cores while costing only ~10ms/task at 4.
+    fat_parts = int(os.environ.get("SPARK_GRAFT_FAT_PARTS", "128"))
     spark = get_spark(
         "bench-crawl", master=master,
-        shuffle_partitions=32 if mode == "fat" else cpus,
+        shuffle_partitions=fat_parts if mode == "fat" else cpus,
     )
     try:
         if mode == "fat":
@@ -130,8 +134,9 @@ def run_fat_round_bench(spark) -> dict:
     frontier = fat_frontier(spark, FAT_BOOKS).cache()
     frontier.count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_FAT_RUNS", "4"))
     runs = []
-    for attempt in range(3):
+    for attempt in range(n_runs):
         d = _state_tmpdir("bench_fat_")
         try:
             eng = CrawlEngine(
@@ -151,7 +156,9 @@ def run_fat_round_bench(spark) -> dict:
         finally:
             shutil.rmtree(d, ignore_errors=True)
     # first run is JIT/codegen/worker-pool warmup; host interference noise
-    # is additive, so min of the warm runs estimates the true cost
+    # (hypervisor steal + neighbor load, measured as 2-4x swings between
+    # identical runs) is strictly additive, so min of the warm runs is the
+    # least-biased estimate of the true cost
     best = min(runs[1:], key=lambda r: r["wall_s"])
     return {"n_pages": n_pages, "mode": "fat_round", "runs": runs, **best}
 

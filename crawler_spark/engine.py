@@ -22,10 +22,11 @@ Per-round driver work is kept O(|wave|), never O(|seen|):
 - the Bloom pre-filter is maintained incrementally — each round ORs in a
   bitmap built from that round's seen delta (wave-bounded); the full-table
   build runs only once, on first crossing the threshold or after resume;
-- per-task outcome counts come from two jobs (one groupBy over the cached
-  wave, one over the union of the small outputs), and the next-frontier
-  size is derived arithmetically instead of re-scanning the written
-  snapshot.
+- per-task outcome counts ride the scratch WRITES as Observation metrics
+  (no extra jobs or scans; the only remaining accounting job is the
+  link/retry (task, pid) count that doubles as the dense-seq offset
+  source), and the next-frontier size is derived arithmetically instead
+  of re-scanning the written snapshot.
 """
 
 from __future__ import annotations
@@ -685,7 +686,11 @@ class CrawlEngine:
         # concurrently (Spark job scheduling is thread-safe; local mode
         # shares the task-slot pool, so wall time ≈ the largest write, not
         # the sum). The frontier snapshot rides the same pool.
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        # concurrent write jobs overlap their per-job latency, but each one
+        # brings a full task wave — beyond ~cores/2 submitters they just
+        # time-slice the same slots and thrash caches
+        n_writers = max(2, min(8, self.spark.sparkContext.defaultParallelism // 2))
+        with ThreadPoolExecutor(max_workers=n_writers) as pool:
             futs = [
                 pool.submit(self.store.append, table, rnd, df)
                 for table, df in writes

@@ -35,7 +35,8 @@ def main() -> None:
     pad = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
     runs = int(os.environ.get("PROFILE_RUNS", "3"))
 
-    spark = get_spark("profile-fat", master=master, shuffle_partitions=32)
+    spark = get_spark("profile-fat", master=master,
+                  shuffle_partitions=int(os.environ.get("SPARK_GRAFT_FAT_PARTS", "128")))
     tasks, rules, robots = bench_tasks_rules_robots(task_budget_per_round=n_books * 2)
     web = big_web_graph(
         spark, n_tags=1, lists_per_tag=max(1, n_books // 60), books_per_list=60,
