@@ -334,6 +334,19 @@ def q_sim_ann_lsh(spark, sf_dir):
     return ann_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_sim_ann_multitable(spark, sf_dir):
+    """Multi-table LSH ANN — the production recall fix over single-table
+    sign-LSH (one p-plane table finds a neighbor with prob (1-theta/pi)^p;
+    T independent tables lift recall to 1-(1-r^p)^T while every per-table
+    bucket stays ~N/2^p). Reference has no ANN surface; this is the
+    training-data-pipeline extension."""
+    from crawler_spark.pipeline.similarity import ann_topk_multitable
+
+    return ann_topk_multitable(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, n_tables=4
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary-column decode plumbing (deterministic fake codec; real decode
     stubbed — no image libs in this container)."""
@@ -404,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multitable": q_sim_ann_multitable,
         "multimodal_decode": q_multimodal_decode,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
@@ -456,12 +470,12 @@ def _e2e_order_sql() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(round, priority, seq, curl)"
 
 
-def _ann_planes_sql() -> str:
+def _ann_planes_sql(table: int = 0) -> str:
     """Inline the deterministic hyperplanes as SQL literals (same md5-derived
     constants similarity._hyperplanes produces)."""
     from crawler_spark.pipeline.similarity import _hyperplanes
 
-    planes = _hyperplanes(64, 8)
+    planes = _hyperplanes(64, 8, table=table)
     bits = []
     for i, pl in enumerate(planes):
         arr = "[" + ", ".join(f"{v:.1f}" for v in pl) + "]::DOUBLE[]"
@@ -720,6 +734,37 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                           * sqrt(list_dot_product(q.qv, q.qv))) AS sim
                 FROM bkt e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                       sim
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
+            FROM ranked WHERE rank <= 10
+        """,
+        # candidate = shares the query's bucket in ANY of the 4 independent
+        # tables (OR of per-table equality), then exact-cosine rerank —
+        # mirrors ann_topk_multitable's union-distinct exactly
+        "sim_ann_multitable": f"""
+            WITH bkt AS (
+                SELECT vec_id, embedding,
+                       {_ann_planes_sql(0)} AS b0,
+                       {_ann_planes_sql(1)} AS b1,
+                       {_ann_planes_sql(2)} AS b2,
+                       {_ann_planes_sql(3)} AS b3
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                       b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+                FROM bkt WHERE vec_id IN (0,1,2,3,4)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM bkt e JOIN q ON e.vec_id <> q.query_id
+                 AND (e.b0 = q.qb0 OR e.b1 = q.qb1 OR e.b2 = q.qb2 OR e.b3 = q.qb3)
             ), ranked AS (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_multitable",
     "agg_pricing_summary",
     "events_sessionize",
     "crawl_wave_topk",

@@ -240,6 +240,9 @@ class CrawlEngine:
         rnd = self.store.latest_round()
         if rnd is None:
             raise RuntimeError("call init_state(seeds) first")
+        # resume point: replay/roll back any compaction a crash interrupted
+        # so the read-through view is never a mix of pre/post states
+        self.store.recover_compactions()
         stats: list[RoundStats] = []
         man = self.store.manifest(rnd)
         while not man.get("done") and len(stats) < max_rounds:

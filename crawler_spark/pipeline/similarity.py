@@ -70,27 +70,65 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes."""
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes.
+
+    ``table`` selects an independent plane family (table 0 keeps the
+    original ``plane:{p}:{d}`` seeds so single-table results are stable;
+    tables >= 1 salt the seed with the table id).
+    """
     planes = []
     for p in range(n_planes):
         vals = []
         for d in range(0, dim, 16):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            seed = f"plane:{p}:{d}" if table == 0 else f"plane:t{table}:{p}:{d}"
+            h = hashlib.md5(seed.encode()).digest()
             vals.extend(b - 127.5 for b in h)
         planes.append(vals[:dim])
     return planes
 
 
-def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Sign-random-projection bucket id per vector (the ANN scale path)."""
-    planes = _hyperplanes(dim, n_planes)
+def _bucket_col(planes: list[list[float]]):
     bucket = None
     for i, pl in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in pl])
         bit = F.when(_dot(F.col("embedding"), arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """Sign-random-projection bucket id per vector (the ANN scale path)."""
+    return embeddings.select(
+        "vec_id", _bucket_col(_hyperplanes(dim, n_planes)).alias("bucket")
+    )
+
+
+def lsh_buckets_multitable(
+    embeddings: DataFrame, dim: int = 64, n_planes: int = 8, n_tables: int = 4
+) -> DataFrame:
+    """(vec_id, table, bucket) — one row per independent LSH table.
+
+    A single table of p planes makes 2^p buckets; at corpus scale each
+    bucket holds ~N/2^p vectors AND a near neighbor falls in the query's
+    bucket only with probability (1 - theta/pi)^p, so recall collapses as
+    p grows. The standard fix is T independent tables: a candidate matches
+    if it shares the query's bucket in ANY table — recall
+    1 - (1 - r^p)^T — while each per-table bucket stays small. Cost is one
+    shuffle on (table, bucket), T· the index size, never all-pairs.
+    """
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_col(_hyperplanes(dim, n_planes, table=t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(per_table).alias("tb")).select(
+        "vec_id", "tb.table", "tb.bucket"
+    )
 
 
 def ann_topk(
@@ -109,6 +147,52 @@ def ann_topk(
     cand = emb.join(
         F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
     )
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim6"))
+    )
+
+
+def ann_topk_multitable(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k with T independent LSH tables (the production
+    recall fix): candidates = vectors sharing the query's bucket in ANY
+    table, deduped, then exact-cosine reranked. Same output contract as
+    ann_topk/cosine_topk: (query_id, neighbor_id, rank, sim6)."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets_multitable(embeddings, dim, n_planes, n_tables)
+    qb = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand_ids = (
+        b.join(
+            F.broadcast(qb),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = cand_ids.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
     sim = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )

@@ -131,3 +131,100 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(rnd))
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots analogs) --
+    #
+    # A long crawl accretes one delta directory per table per round; at 10^5
+    # rounds read_through unions 10^5 parquet dirs — listing alone becomes
+    # the bottleneck, exactly the small-files problem Iceberg solves with
+    # rewrite_data_files + expire_snapshots. Same two ops here:
+    #
+    # - compact(table, upto): merge all deltas with round<=upto into ONE base
+    #   delta labeled round=upto. read_through(rnd>=upto) is unchanged;
+    #   time travel below the horizon is given up (identical to expiring
+    #   Iceberg snapshots past the retention window).
+    # - expire_frontiers(keep_last): drop the per-round frontier rewrites
+    #   (full copies, the MERGE outputs) older than the retention window;
+    #   manifests stay, so latest_round()/resume are unaffected.
+    #
+    # Crash safety of compact: the swap is guarded by a marker file written
+    # atomically BEFORE any old delta is removed; the compacted base is
+    # complete on disk at that point (in a dot-dir read_through ignores).
+    # recover_compactions() — called on store init — replays or rolls back
+    # any interrupted swap, so a kill at any instant leaves the read-through
+    # view equal to the pre- or post-compaction state, never a mix.
+
+    def _compact_marker(self, table: str) -> str:
+        return os.path.join(self.root, table, "COMPACT_SWAP.json")
+
+    def compact(self, table: str, upto: int) -> int:
+        """Merge all ``round<=upto`` deltas of ``table`` into one base delta
+        at ``round=upto``. Returns the number of deltas merged (0 = no-op).
+        Call between rounds (no concurrent writer of this table)."""
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return 0
+        rounds = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(base)
+            if d.startswith("round=") and int(d.split("=")[1]) <= upto
+        )
+        if len(rounds) < 2:
+            return 0
+        tmp = os.path.join(base, ".compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        dirs = [os.path.join(base, f"round={r}") for r in rounds]
+        self.spark.read.parquet(*dirs).coalesce(
+            max(1, self.spark.sparkContext.defaultParallelism)
+        ).write.mode("overwrite").parquet(tmp)
+        # marker commits the intent atomically; from here recover() can
+        # always finish the swap because tmp is complete
+        mtmp = self._compact_marker(table) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"upto": upto, "rounds": rounds}, f)
+        os.replace(mtmp, self._compact_marker(table))
+        self._finish_compact(table, upto, rounds)
+        return len(rounds)
+
+    def _finish_compact(self, table: str, upto: int, rounds: list[int]) -> None:
+        base = os.path.join(self.root, table)
+        tmp = os.path.join(base, ".compact_tmp")
+        for r in rounds:
+            shutil.rmtree(os.path.join(base, f"round={r}"), ignore_errors=True)
+        if os.path.isdir(tmp):
+            os.replace(tmp, os.path.join(base, f"round={upto}"))
+        os.remove(self._compact_marker(table))
+
+    def recover_compactions(self) -> None:
+        """Replay (marker present, tmp complete) or roll back (no marker)
+        any compaction interrupted by a crash."""
+        for table in self.APPEND_TABLES:
+            base = os.path.join(self.root, table)
+            marker = self._compact_marker(table)
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    m = json.load(f)
+                self._finish_compact(table, m["upto"], m["rounds"])
+            elif os.path.isdir(os.path.join(base, ".compact_tmp")):
+                # died before the marker: pre-compaction state is intact
+                shutil.rmtree(os.path.join(base, ".compact_tmp"))
+
+    def expire_frontiers(self, keep_last: int = 2) -> int:
+        """Drop frontier snapshots older than the last ``keep_last``
+        committed rounds (manifests are kept — resume still works from the
+        newest snapshot). Returns the number of snapshots removed."""
+        base = os.path.join(self.root, "rounds")
+        if not os.path.isdir(base):
+            return 0
+        committed = sorted(
+            int(d[1:])
+            for d in os.listdir(base)
+            if d.startswith("r") and os.path.exists(self._manifest_path(int(d[1:])))
+        )
+        removed = 0
+        for rnd in committed[: max(0, len(committed) - keep_last)]:
+            fdir = os.path.join(self._round_dir(rnd), "frontier")
+            if os.path.isdir(fdir):
+                shutil.rmtree(fdir)
+                removed += 1
+        return removed

@@ -1,0 +1,99 @@
+"""Scale-path tests for the similarity / dedup families beyond the oracle
+defaults: multi-table LSH ANN recall dominance and production-sized minhash
+parameters. The driver's CORRECTNESS gate pins the small default configs;
+these pin that the *scale* configs (more tables, more hashes) still produce
+correct, well-shaped results."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _topk_map(df):
+    return {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim6"])
+        for r in df.collect()
+    }
+
+
+def test_multitable_ann_recall_dominates_single_table(spark, embeddings):
+    """T tables can only ADD candidates over table 0 alone, so multi-table
+    recall vs the exact answer is >= single-table recall, per query."""
+    from crawler_spark.pipeline.similarity import (
+        ann_topk,
+        ann_topk_multitable,
+        cosine_topk,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(embeddings, qids, k=10)
+    single = ann_topk(embeddings, qids, k=10)
+    multi = ann_topk_multitable(embeddings, qids, k=10, n_tables=4)
+
+    def neighbor_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, si, mu = neighbor_sets(exact), neighbor_sets(single), neighbor_sets(multi)
+    for q in qids:
+        recall_single = len(si.get(q, set()) & ex[q]) / len(ex[q])
+        recall_multi = len(mu.get(q, set()) & ex[q]) / len(ex[q])
+        assert recall_multi >= recall_single, (q, recall_multi, recall_single)
+    # and at least one query must actually gain candidates from tables 1-3
+    assert sum(len(mu.get(q, set())) for q in qids) >= sum(
+        len(si.get(q, set())) for q in qids
+    )
+
+
+def test_multitable_table0_matches_single_table_buckets(spark, embeddings):
+    """Table 0 of the multitable index uses the original plane seeds, so its
+    buckets must equal lsh_buckets exactly (backward compatibility)."""
+    from crawler_spark.pipeline.similarity import lsh_buckets, lsh_buckets_multitable
+
+    single = {r["vec_id"]: r["bucket"] for r in lsh_buckets(embeddings).collect()}
+    multi = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_buckets_multitable(embeddings, n_tables=2)
+        .filter("table = 0")
+        .collect()
+    }
+    assert single == multi
+
+
+def test_minhash_production_params(spark, documents):
+    """128 hashes / 16 bands (the size a real corpus needs) still runs and
+    its candidate set contains every exact duplicate pair."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(documents, num_hashes=128, band_size=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+    dup = (
+        documents.groupBy(F.md5("text").alias("fp"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    exact_pairs = set()
+    for r in dup.collect():
+        ids = sorted(r["ids"])
+        exact_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    # identical docs have identical signatures -> share every band bucket
+    assert exact_pairs <= got
+    # banded LSH must never emit a pair twice
+    assert pairs.count() == len(got)
