@@ -125,14 +125,34 @@ def run_fat_round_bench(spark) -> dict:
     from crawler_spark.operators.fetch import GraphFetcher
 
     tasks, rules, robots = bench_tasks_rules_robots(task_budget_per_round=FAT_BOOKS * 2)
-    n_lists = max(1, FAT_BOOKS // 60)
-    web = big_web_graph(
-        spark, n_tags=1, lists_per_tag=n_lists, books_per_list=60,
-        n_topics=1, pad_to=FAT_PAD,
-    )
-    fetcher = GraphFetcher(web)
+    # The parent bench pre-renders the corpus ONCE to tmpfs parquet
+    # (SPARK_GRAFT_FAT_CORPUS) so both scaling levels read the identical
+    # bytes instead of re-running the Python page renderer per level —
+    # corpus synthesis is fixture work, not engine work, and at local[4]
+    # it costs 10x the round being measured.
+    corpus = os.environ.get("SPARK_GRAFT_FAT_CORPUS")
+    if corpus and os.path.isdir(os.path.join(corpus, "graph")):
+        # pre-ingested bucketed store (see main's render step): register
+        # the bucketed table so the scan reports HashPartitioning(gcurl)
+        # and the per-round fetch join never exchanges the corpus side.
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS bench_fat_graph "
+            "(gcurl STRING, status INT, body STRING, latency_ms INT) "
+            f"USING PARQUET CLUSTERED BY (gcurl) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{os.path.join(corpus, 'graph')}'"
+        )
+        fetcher = GraphFetcher(spark.table("bench_fat_graph"), prepped=True)
+        frontier = spark.read.parquet(os.path.join(corpus, "frontier")).cache()
+    else:
+        n_lists = max(1, FAT_BOOKS // 60)
+        web = big_web_graph(
+            spark, n_tags=1, lists_per_tag=n_lists, books_per_list=60,
+            n_topics=1, pad_to=FAT_PAD,
+        )
+        fetcher = GraphFetcher(web)
+        frontier = fat_frontier(spark, FAT_BOOKS).cache()
     n_pages = fetcher.graph.count()  # materialize corpus outside the timer
-    frontier = fat_frontier(spark, FAT_BOOKS).cache()
     frontier.count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_FAT_RUNS", "4"))
@@ -176,6 +196,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from crawler_spark.session import get_spark
 
+    # shuffle/spill on tmpfs for the whole bench (parent + subprocesses
+    # inherit): the single shared disk is a core-count-independent floor;
+    # see session.py SPARK_GRAFT_LOCAL_DIR rationale
+    own_local_dir = None
+    if os.path.isdir("/dev/shm") and "SPARK_GRAFT_LOCAL_DIR" not in os.environ:
+        own_local_dir = os.environ["SPARK_GRAFT_LOCAL_DIR"] = _state_tmpdir(
+            "bench_local_"
+        )
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 
@@ -199,6 +228,43 @@ def main() -> None:
         # host oversubscription, not engine scaling; 4->16 keeps both
         # levels within real capacity. Identical deterministic input.
         scaling = {}
+        # pre-render the fat corpus + frontier once (parent session, all
+        # cores) to tmpfs parquet; both levels read the identical bytes.
+        import shutil as _shutil
+
+        from crawler_spark.fixtures_big import big_web_graph, fat_frontier
+
+        corpus_dir = _state_tmpdir("bench_fat_corpus_")
+        # Render the corpus ONCE as a BUCKETED parquet table (the parquet
+        # stand-in for Iceberg bucket partitioning): fixture URLs are
+        # rendered canonical, so gcurl = url; bucket count = the fat-run
+        # shuffle partitioning so the bucketed scan satisfies the fetch
+        # join's distribution with no corpus-side exchange and no corpus
+        # cache (measured: caching a 12.7 GB body column costs 6+ min to
+        # build and re-reads SLOWER than tmpfs parquet).
+        fat_parts = int(os.environ.get("SPARK_GRAFT_FAT_PARTS", "128"))
+        (
+            big_web_graph(
+                spark, n_tags=1, lists_per_tag=max(1, FAT_BOOKS // 60),
+                books_per_list=60, n_topics=1, pad_to=FAT_PAD,
+            )
+            .selectExpr("url AS gcurl", "status", "body", "latency_ms")
+            .repartition(fat_parts, "gcurl")
+            .write.bucketBy(fat_parts, "gcurl")
+            .mode("overwrite")
+            .option("path", os.path.join(corpus_dir, "graph"))
+            .saveAsTable("bench_fat_graph_src")
+        )
+        fat_frontier(spark, FAT_BOOKS).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "frontier")
+        )
+        sub_env = dict(
+            os.environ,
+            SPARK_GRAFT_FAT_CORPUS=corpus_dir,
+            # the fat subprocess caches the whole corpus (bodies included);
+            # size its single-JVM heap like a real executor group's memory
+            SPARK_DRIVER_MEM=os.environ.get("SPARK_GRAFT_FAT_MEM", "48g"),
+        )
         for master, cpus in (("local[4]", 4), ("local[16]", 16)):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only", master, str(cpus), "fat"],
@@ -206,12 +272,14 @@ def main() -> None:
                 text=True,
                 timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=sub_env,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("CRAWL_RESULT ")]
             if line:
                 scaling[master] = json.loads(line[-1][len("CRAWL_RESULT "):])
             else:
                 print(f"# scaling run {master} failed: {out.stderr[-500:]}", file=sys.stderr)
+        _shutil.rmtree(corpus_dir, ignore_errors=True)
         if "local[4]" in scaling and "local[16]" in scaling:
             t8 = scaling["local[4]"]["urls_per_sec"]
             t32 = scaling["local[16]"]["urls_per_sec"]
@@ -229,6 +297,10 @@ def main() -> None:
         "scaling": scaling,
     }
     print(json.dumps(result))
+    if own_local_dir:
+        import shutil
+
+        shutil.rmtree(own_local_dir, ignore_errors=True)
 
 
 def run_crawl_bench_inproc(spark) -> dict:

@@ -119,6 +119,14 @@ class CrawlEngine:
             .cast("long")
             .alias("_budget"),
         )
+        # host caps only bind when some host declares a positive crawl
+        # delay; with none, the host-level topk is provably the identity —
+        # skip its counts/broadcast jobs per round. Config-scale check
+        # (robots is a config list here; at production scale the flag is a
+        # catalog property of the robots table, not a scan).
+        self._hostcap_active = any(
+            int(r.get("crawl_delay_ms", 0) or 0) > 0 for r in robots
+        )
         # incrementally-maintained Bloom bitmap over the seen table; rebuilt
         # from the table once per process (resume), then delta-ORed per round
         self._bloom: bytes | None = None
@@ -343,12 +351,28 @@ class CrawlEngine:
             cand.filter(F.col("reload")).select(*deduped.columns)
         )
         obs_cand = None
+        cand_counts: dict[str, int] | None = None
         if use_obs:
             obs_cand = Observation()
-            cand_in = cand_in.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+            cand_in = cand_in.observe(
+                obs_cand,
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
+                    for t in self.tasks
+                ],
+            )
         cand = self._scratch(cand_in, rnd, "cand")
         if use_obs:
-            n_cand = int(obs_cand.get["n"] or 0)
+            cand_m = obs_cand.get
+            n_cand = int(cand_m["n"] or 0)
+            # per-task candidate counts, free by-product of the scratch
+            # write — lets the task-budget topk skip its own counts job
+            cand_counts = {
+                t: int(cand_m[f"t::{t}"] or 0)
+                for t in self.tasks
+                if cand_m[f"t::{t}"]
+            }
         else:
             n_cand = cand.count()  # parquet footer count — no data scan
 
@@ -357,10 +381,16 @@ class CrawlEngine:
             name: task_budget(carries[name], list(t.limits), self.round_s)
             for name, t in self.tasks.items()
         }
-        picked = budgeted_topk(cand, "task", budgets, default_budget=1 << 40)
-        wave = budgeted_topk(
-            picked, "host", self._host_budgets, default_budget=1 << 40
+        picked = budgeted_topk(
+            cand, "task", budgets, default_budget=1 << 40,
+            group_counts=cand_counts,
         )
+        if self._hostcap_active:
+            wave = budgeted_topk(
+                picked, "host", self._host_budgets, default_budget=1 << 40
+            )
+        else:
+            wave = picked
         # host-salted repartition: hot-host fetch/parse skew is work-skew,
         # invisible to AQE byte stats — spread deterministically by key
         self._desc(rnd, "wave(topk)")
@@ -378,12 +408,45 @@ class CrawlEngine:
             )
         wave = self._scratch(wave_in, rnd, "wave")
 
+        # all-deferred round, observation mode: known BEFORE fetch/parse —
+        # budgets accrue, frontier unchanged, zero further jobs this round
+        wave_m = used = None
+        if use_obs:
+            wave_m = obs_wave.get
+            n_wave = int(wave_m["n"] or 0)
+            used = {
+                t: int(wave_m[f"t::{t}"] or 0)
+                for t in self.tasks
+                if wave_m[f"t::{t}"]
+            }
+            if n_wave == 0:
+                for name, t in self.tasks.items():
+                    carries[name] = [
+                        tier_carry_after(c, tier, self.round_s, 0)
+                        for c, tier in zip(carries[name], t.limits)
+                    ]
+                done = n_cand == 0
+                new_man = self._advance_manifest(
+                    man, rnd, carries, used, max_seq, done, n_seen
+                )
+                new_man["frontier_round"] = man.get("frontier_round", prev)
+                new_man["stats"] = dict(
+                    round=rnd, selected=0, fetched_ok=0, failed=0,
+                    new_links=0, items=0, wall_s=time.time() - t0,
+                )
+                self.store.commit(rnd, new_man)
+                self._drop_scratch(rnd)
+                return new_man
+
         # 5-6. fetch + parse in ONE pass (seen marking is folded into the
         # post-fetch delta: mark-before-fetch + unmark-on-failure ≡ add iff
         # ok or reload). The fetch join output is NEVER materialized with
         # bodies: parse_fetched masks body behind the ok flag, runs the
         # parse over the full frame, and persists only slim columns + parse
-        # results via the scratch roundtrip; every downstream consumer
+        # results — written ONCE, directly into the store's parsed table
+        # (it doubles as the durable documents source: state.py derives the
+        # documents view from it, so the round's largest payload — the span
+        # text — is never written twice). Every downstream consumer
         # column-prunes that flat parquet scan.
         self._desc(rnd, "fetch+parse")
         fetched = self.fetcher.fetch(wave)
@@ -407,52 +470,85 @@ class CrawlEngine:
                             F.when(is_t & ok & F.col("_p.item").isNotNull(), 1)
                         ).alias(f"item::{t}"),
                     ]
+                # total raw link matches — proves the link/retry machinery
+                # (canonicalize, robots, seq prep, count job) can be skipped
+                # when the wave discovered nothing and nothing failed
+                exprs.append(
+                    F.sum(
+                        F.when(F.col("ok"), F.size(F.col("_p.l_url")))
+                    ).alias("nlinks")
+                )
                 df = df.observe(obs_parsed, *exprs)
-            return self._scratch(df, rnd, "parsed")
+            # the write-once barrier: parsed IS a store table (round delta),
+            # not scratch — documents derive from it at read time. The
+            # basePath partition read supplies `round`, so no round column
+            # is written into the data files.
+            self.store.append("parsed", rnd, df)
+            return self.store.read_delta("parsed", rnd)
 
-        parsed, documents, items, raw_links = parse_fetched(
+        parsed, _documents, items, raw_links = parse_fetched(
             fetched, self.rules, persist=_persist_parsed,
         )
 
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
         failed = parsed.filter(~F.col("ok"))
         fo = failed_once.select("key") if failed_once is not None else None
-        retries_base = (
-            failed.join(fo, "key", "left_anti") if fo is not None else failed
-        ).withColumn("attempt", F.lit(1))
-        permanent = (
-            failed.join(fo, "key", "left_semi") if fo is not None else failed.limit(0)
-        )
 
-        links = with_canonical(
-            raw_links.withColumn("method", F.lit("GET")), "url"
-        ).withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
-        # robots disallow (north_rule addition; applied at enqueue)
-        links = (
-            links.join(self._robots_df, links["host"] == F.col("rhost"), "left")
-            .withColumn(
-                "_path", F.coalesce(F.parse_url("curl", F.lit("PATH")), F.lit("/"))
+        # the parsed store write already ran (inside parse_fetched), so its
+        # Observation is readable NOW and proves emptiness per side: a wave
+        # with zero raw links (the steady-state leaf-page shape) skips the
+        # whole link pipeline (canonicalize, robots, seq prep, counts); a
+        # wave with zero failures skips the retry pipeline. Each side gates
+        # independently — hazard pages make failures nonzero on most real
+        # waves while leaf waves still discover nothing.
+        skip_links = skip_retries = False
+        if use_obs:
+            pm = obs_parsed.get
+            skip_links = int(pm["nlinks"] or 0) == 0
+            skip_retries = (
+                sum(int(pm[f"fail::{t}"] or 0) for t in self.tasks) == 0
             )
-            .filter(
-                F.coalesce(
-                    ~F.exists(
-                        "disallow_prefixes",
-                        lambda p: F.col("_path").startswith(p),
-                    ),
-                    F.lit(True),
+
+        links_prep = retries_prep = permanent = None
+        if not skip_retries:
+            retries_base = (
+                failed.join(fo, "key", "left_anti") if fo is not None else failed
+            ).withColumn("attempt", F.lit(1))
+            permanent = (
+                failed.join(fo, "key", "left_semi")
+                if fo is not None
+                else failed.limit(0)
+            )
+            retries_prep = prepare_dense_seq(
+                retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"]
+            )
+        if not skip_links:
+            links = with_canonical(
+                raw_links.withColumn("method", F.lit("GET")), "url"
+            ).withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+            # robots disallow (north_rule addition; applied at enqueue)
+            links = (
+                links.join(self._robots_df, links["host"] == F.col("rhost"), "left")
+                .withColumn(
+                    "_path", F.coalesce(F.parse_url("curl", F.lit("PATH")), F.lit("/"))
                 )
+                .filter(
+                    F.coalesce(
+                        ~F.exists(
+                            "disallow_prefixes",
+                            lambda p: F.col("_path").startswith(p),
+                        ),
+                        F.lit(True),
+                    )
+                )
+                .drop("rhost", "disallow_prefixes", "crawl_delay_ms", "_path")
             )
-            .drop("rhost", "disallow_prefixes", "crawl_delay_ms", "_path")
-        )
 
-        # 9. seq assignment, fused (operators/seq.py): prepare the
-        # range-partitioned, id-tagged frames here (cached, still lazy);
-        # their per-partition counts ride the accounting union below and
-        # finalize_dense_seq attaches the dense seqs with no extra barrier.
-        links_prep = prepare_dense_seq(links, ["parent_seq", "match_idx"])
-        retries_prep = prepare_dense_seq(
-            retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"]
-        )
+            # 9. seq assignment, fused (operators/seq.py): prepare the
+            # range-partitioned, id-tagged frames here (cached, still lazy);
+            # their per-partition counts ride the accounting union below and
+            # finalize_dense_seq attaches the dense seqs with no extra barrier.
+            links_prep = prepare_dense_seq(links, ["parent_seq", "match_idx"])
 
         # ---- accounting. With observations (the common path) every
         # per-task count was already computed INSIDE the scratch-write jobs
@@ -501,15 +597,11 @@ class CrawlEngine:
         if use_obs:
             # reading an Observation blocks only until its write job ran
             # (they all have, above); zero-count tasks are dropped to match
-            # the grouped-count shape (metrics emit only participating tasks)
-            wave_m = obs_wave.get
-            parsed_m = obs_parsed.get
-            n_wave = int(wave_m["n"] or 0)
-            used = {
-                t: int(wave_m[f"t::{t}"] or 0)
-                for t in self.tasks
-                if wave_m[f"t::{t}"]
-            }
+            # the grouped-count shape (metrics emit only participating
+            # tasks). wave_m/used/n_wave were read right after the wave
+            # scratch write (the all-deferred early return); pm was read
+            # for the skip_lr decision.
+            parsed_m = pm
             for kind in ("ok", "fail", "seen", "item"):
                 cnt[kind] = {
                     (t, ""): int(parsed_m[f"{kind}::{t}"] or 0)
@@ -556,40 +648,66 @@ class CrawlEngine:
             )
             self.store.commit(rnd, new_man)
             for df in (links_prep, retries_prep):
-                df.unpersist()
+                if df is not None:
+                    df.unpersist()
             self._drop_scratch(rnd)
             return new_man
 
         # links/retries (task, pid) counts: the one remaining accounting job
         # in observation mode — skipped entirely on all-deferred rounds
-        # (above), and it is also what materializes the links_prep /
-        # retries_prep caches for the frontier build
-        if use_obs:
-            _ingest(
-                _kind_pid(links_prep, "link")
-                .unionByName(_kind_pid(retries_prep, "retry"))
-                .groupBy("kind", "k2a", "k2b")
-                .count()
-                .collect()
-            )
-
-        # finalize dense seqs from the fused partition counts
-        links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
-        n_links = links._total
-        retries = finalize_dense_seq(
-            retries_prep, by_pid("retry"), max_seq + n_links
-        )
-        n_retries = retries._total
-        retries = retries.drop("_oseq")
+        # (above); each proven-empty side (skip_links / skip_retries) stays
+        # out of the union. The job also materializes whichever prep caches
+        # the frontier build will read.
+        if use_obs and not (skip_links and skip_retries):
+            parts = []
+            if not skip_links:
+                parts.append(_kind_pid(links_prep, "link"))
+            if not skip_retries:
+                parts.append(_kind_pid(retries_prep, "retry"))
+            counted = parts[0]
+            for p in parts[1:]:
+                counted = counted.unionByName(p)
+            _ingest(counted.groupBy("kind", "k2a", "k2b").count().collect())
 
         frontier_cols = schemas.FRONTIER.fieldNames()
-        new_links = links.withColumn("attempt", F.lit(0)).select(*frontier_cols)
-        deferred = cand.join(wave.select("seq"), "seq", "left_anti").select(
-            *frontier_cols
-        )
-        next_frontier = deferred.unionByName(new_links).unionByName(
-            retries.select(*frontier_cols)
-        )
+        empty_frontier = spark.createDataFrame([], schemas.FRONTIER)
+        if skip_links:
+            # proven-empty by the parsed Observation: no rescans, no seq
+            # jobs, a literal empty frame in the frontier union
+            links = None
+            n_links = 0
+            new_links = empty_frontier
+        else:
+            # finalize dense seqs from the fused partition counts
+            links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
+            n_links = links._total
+            new_links = links.withColumn("attempt", F.lit(0)).select(
+                *frontier_cols
+            )
+        if skip_retries:
+            retries = None
+            n_retries = 0
+            retries_f = empty_frontier
+        else:
+            retries = finalize_dense_seq(
+                retries_prep, by_pid("retry"), max_seq + n_links
+            )
+            n_retries = retries._total
+            retries = retries.drop("_oseq")
+            retries_f = retries.select(*frontier_cols)
+
+        if n_wave == n_cand:
+            # wave ⊆ cand by construction and seq is frontier-unique, so
+            # equal counts prove the deferred set empty — skips an
+            # |cand| x |wave| anti-join shuffle on full-throughput rounds
+            deferred = spark.createDataFrame([], schemas.FRONTIER).select(
+                *frontier_cols
+            )
+        else:
+            deferred = cand.join(wave.select("seq"), "seq", "left_anti").select(
+                *frontier_cols
+            )
+        next_frontier = deferred.unionByName(new_links).unionByName(retries_f)
 
         ok_counts = by_task("ok")
         fail_counts = by_task("fail")
@@ -648,8 +766,9 @@ class CrawlEngine:
                     .coalesce(1),
                 )
             )
-        if totals["fetched_ok"]:
-            writes.append(("documents", documents))
+        # documents are NOT written: the parsed delta (written once in the
+        # fetch+parse stage) is their durable source; state.py projects the
+        # documents view from it at read time.
         if totals["items"]:
             items_r = items.withColumn("round", F.lit(rnd))
             writes.append(

@@ -26,7 +26,22 @@ from .canon import canonical_col
 
 
 class GraphFetcher:
-    def __init__(self, web_graph: DataFrame):
+    def __init__(self, web_graph: DataFrame, prepped: bool = False):
+        # ``prepped=True``: the corpus is a pre-ingested store — already
+        # canonicalized (gcurl), unique per gcurl (ingest contract), and
+        # ideally bucketed by gcurl (CLUSTERED BY ... INTO n BUCKETS, the
+        # parquet stand-in for Iceberg bucket partitioning). Serve it
+        # straight from the scan: a bucketed scan reports
+        # HashPartitioning(gcurl) so the fetch join never exchanges the
+        # corpus side, and measured here the columnar RE-READ of a cached
+        # 12.7 GB body column is ~2x SLOWER than re-scanning tmpfs parquet
+        # (58.6s vs 28.7s at 4 cores) while the cache BUILD costs 6+ min —
+        # the DataFrame cache is strictly worse for fat string columns.
+        if prepped:
+            self.graph = web_graph.select(
+                "gcurl", "status", "body", "latency_ms"
+            )
+            return
         # canonicalize graph keys once; fixture URLs are already canonical
         # but simulated HTTP must resolve any canonically-equal spelling.
         # Cached AND pre-hash-partitioned on the join key: the per-round
@@ -53,9 +68,15 @@ class GraphFetcher:
         # multiply wave rows through the left join and corrupt per-task
         # accounting downstream. Piggybacks on the gcurl repartition — no
         # extra shuffle.
+        # A corpus that already carries gcurl (pre-canonicalized store —
+        # the production shape, where canonicalization happened at ingest)
+        # skips the canonicalizer entirely: the nested-HOF SQL expression
+        # is interpreted (CodegenFallback), and re-deriving 10^6+ keys at
+        # corpus prep is minutes of avoidable one-time work per process.
+        if "gcurl" not in web_graph.columns:
+            web_graph = web_graph.withColumn("gcurl", canonical_col("url"))
         self.graph = (
-            web_graph.withColumn("gcurl", canonical_col("url"))
-            .select("gcurl", "status", "body", "latency_ms")
+            web_graph.select("gcurl", "status", "body", "latency_ms")
             .repartition(n, "gcurl")
             .dropDuplicates(["gcurl"])
             .cache()

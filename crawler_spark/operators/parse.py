@@ -210,6 +210,23 @@ def _rules_df(spark, rules: list[Rule]) -> DataFrame:
     )
 
 
+def spans_col():
+    """Interleaved span structs (kind, text, media_ref, offset) from the
+    flat ``_p.s_*`` arrays — the documents-view projection. Shared by
+    parse_fetched and the store's derived documents read (state.py), so
+    the span text is WRITTEN ONCE per round (inside the parsed delta) and
+    only ever projected at read time."""
+    return F.transform(
+        F.arrays_zip("_p.s_kind", "_p.s_text", "_p.s_ref", "_p.s_off"),
+        lambda x: F.struct(
+            x["s_kind"].alias("kind"),
+            x["s_text"].alias("text"),
+            x["s_ref"].alias("media_ref"),
+            x["s_off"].alias("offset"),
+        ),
+    )
+
+
 def parse_fetched(
     fetched: DataFrame,
     rules: list[Rule],
@@ -269,17 +286,8 @@ def parse_fetched(
     parsed = persist(parsed) if persist is not None else parsed.cache()
     ok_rows = parsed.filter(F.col("ok"))
 
-    spans = F.transform(
-        F.arrays_zip("_p.s_kind", "_p.s_text", "_p.s_ref", "_p.s_off"),
-        lambda x: F.struct(
-            x["s_kind"].alias("kind"),
-            x["s_text"].alias("text"),
-            x["s_ref"].alias("media_ref"),
-            x["s_off"].alias("offset"),
-        ),
-    )
     documents = ok_rows.select(
-        F.col("curl").alias("doc_id"), spans.alias("spans")
+        F.col("curl").alias("doc_id"), spans_col().alias("spans")
     )
 
     items = ok_rows.filter(F.col("_p.item").isNotNull()).select(

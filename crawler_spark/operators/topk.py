@@ -58,17 +58,29 @@ def budgeted_topk(
     budgets: DataFrame | dict[str, int],
     default_budget: int,
     local_prune: bool = True,
+    group_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Rows of df ranked within group_col by (-priority, seq); keep rank <= budget(group).
 
     ``budgets``: a DataFrame with columns (``group_col``, ``_budget``) —
     or a dict, lifted via :func:`budgets_df`. Groups absent from it get
     ``default_budget``.
+
+    ``group_counts``: exact per-group row counts of ``df``, if the caller
+    already knows them (the engine observes per-task counts inside the
+    candidate scratch write) — skips the counts aggregation job. Only for
+    config-scale group dims; host-scale counts must stay distributed.
     """
     if isinstance(budgets, dict):
         budgets = budgets_df(df.sparkSession, budgets, group_col)
 
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    if group_counts is not None:
+        counts = df.sparkSession.createDataFrame(
+            [(g, int(n)) for g, n in group_counts.items()] or [(None, 0)],
+            f"{group_col} string, _gn long",
+        ).filter(F.col(group_col).isNotNull())
+    else:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
     # budgets joined onto the per-group COUNTS (small: one row per distinct
     # group in the wave), then broadcast with the counts — the data rows
     # never join against the full budget table.

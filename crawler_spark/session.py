@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill files: on a real cluster these land on every executor's
+    # local disks (capacity and bandwidth scale with N executors). This
+    # sandbox has ONE ~190 MB/s disk shared by all cores — a core-count-
+    # independent floor that fakes anti-scaling — so the bench points
+    # spark.local.dir at tmpfs (same argument as the tmpfs engine state;
+    # see bench.py). Opt-in via env to leave normal runs on disk.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     # ad-hoc conf overrides for profiling experiments:

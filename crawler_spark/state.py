@@ -34,6 +34,7 @@ class SnapshotStore:
     APPEND_TABLES = (
         "seen",
         "failed_once",
+        "parsed",
         "documents",
         "results",
         "order",
@@ -111,8 +112,17 @@ class SnapshotStore:
         if os.path.exists(rd):
             shutil.rmtree(rd)
 
+    def read_delta(self, table: str, rnd: int) -> DataFrame:
+        """Read back exactly one round's delta (e.g. the write-once parsed
+        frame the round just appended and keeps using as its hot frame)."""
+        return self.spark.read.parquet(
+            os.path.join(self.root, table, f"round={rnd}")
+        )
+
     def read_through(self, table: str, rnd: int) -> DataFrame | None:
         """Union of committed deltas round<=rnd (read-committed view)."""
+        if table == "documents":
+            return self._read_documents(rnd)
         base = os.path.join(self.root, table)
         if not os.path.isdir(base):
             return None
@@ -124,6 +134,53 @@ class SnapshotStore:
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
+
+    def _read_documents(self, rnd: int) -> DataFrame | None:
+        """Documents are a DERIVED VIEW over the per-round parsed deltas —
+        the span text is written once per round (engine writes the parsed
+        frame as both its materialization barrier and the durable output;
+        writing a separate documents table doubled the round's largest
+        write). Iceberg analog: a view (or partition-projected metadata
+        table) over the parsed snapshots. Falls back to a materialized
+        documents table for stores written before this layout (and for
+        compacted bases)."""
+        from pyspark.sql import functions as F
+
+        from .operators.parse import spans_col
+
+        out = None
+        base = os.path.join(self.root, "parsed")
+        if os.path.isdir(base):
+            dirs = [
+                os.path.join(base, d)
+                for d in os.listdir(base)
+                if d.startswith("round=") and int(d.split("=")[1]) <= rnd
+            ]
+            if dirs:
+                out = (
+                    self.spark.read.option("basePath", base)
+                    .parquet(*dirs)
+                    .filter(F.col("ok"))
+                    .select(
+                        F.col("curl").alias("doc_id"),
+                        spans_col().alias("spans"),
+                        "round",
+                    )
+                )
+        legacy = os.path.join(self.root, "documents")
+        if os.path.isdir(legacy):
+            dirs = [
+                os.path.join(legacy, d)
+                for d in os.listdir(legacy)
+                if d.startswith("round=") and int(d.split("=")[1]) <= rnd
+            ]
+            if dirs:
+                mat = self.spark.read.option("basePath", legacy).parquet(*dirs)
+                if "round" not in mat.columns:
+                    mat = mat.withColumn("round", F.lit(None).cast("int"))
+                mat = mat.select("doc_id", "spans", "round")
+                out = mat if out is None else out.unionByName(mat)
+        return out
 
     def commit(self, rnd: int, manifest: dict) -> None:
         os.makedirs(self._round_dir(rnd), exist_ok=True)

@@ -38,13 +38,25 @@ def main() -> None:
     spark = get_spark("profile-fat", master=master,
                   shuffle_partitions=int(os.environ.get("SPARK_GRAFT_FAT_PARTS", "128")))
     tasks, rules, robots = bench_tasks_rules_robots(task_budget_per_round=n_books * 2)
-    web = big_web_graph(
-        spark, n_tags=1, lists_per_tag=max(1, n_books // 60), books_per_list=60,
-        n_topics=1, pad_to=pad,
-    )
-    fetcher = GraphFetcher(web)
+    corpus = os.environ.get("SPARK_GRAFT_FAT_CORPUS")
+    if corpus and os.path.isdir(os.path.join(corpus, "graph")):
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS bench_fat_graph "
+            "(gcurl STRING, status INT, body STRING, latency_ms INT) "
+            f"USING PARQUET CLUSTERED BY (gcurl) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{os.path.join(corpus, 'graph')}'"
+        )
+        fetcher = GraphFetcher(spark.table("bench_fat_graph"), prepped=True)
+        frontier = spark.read.parquet(os.path.join(corpus, "frontier")).cache()
+    else:
+        web = big_web_graph(
+            spark, n_tags=1, lists_per_tag=max(1, n_books // 60), books_per_list=60,
+            n_topics=1, pad_to=pad,
+        )
+        fetcher = GraphFetcher(web)
+        frontier = fat_frontier(spark, n_books).cache()
     n_pages = fetcher.graph.count()
-    frontier = fat_frontier(spark, n_books).cache()
     frontier.count()
 
     # --- instrument: timestamps at each _desc boundary + separate fetch mat.
