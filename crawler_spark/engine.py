@@ -317,10 +317,19 @@ class CrawlEngine:
                 self._desc(rnd, "bloom-full-build")
                 self._bloom = build_bloom(seen, "key", self.bloom_bits)
             bloom = self._bloom
-        non_reload = cand.filter(~F.col("reload"))
-        reload_rows = cand.filter(F.col("reload"))
-        fresh = anti_join_seen(non_reload, seen, "key", bloom, self.bloom_bits)
-        cand = fresh.unionByName(reload_rows)
+        if n_seen == 0:
+            # manifest counter proves the seen table empty (first round /
+            # fresh resume): the anti-join is the identity — skip its
+            # shuffle and job entirely. Exactness: seen is append-only and
+            # the counter counts appended rows, so 0 ⇒ no key can match.
+            pass
+        else:
+            non_reload = cand.filter(~F.col("reload"))
+            reload_rows = cand.filter(F.col("reload"))
+            fresh = anti_join_seen(
+                non_reload, seen, "key", bloom, self.bloom_bits
+            )
+            cand = fresh.unionByName(reload_rows)
 
         # within-round duplicate keys: first by (-priority, seq) wins
         # (reference: first pop marks visited, later pops skip —
@@ -381,44 +390,74 @@ class CrawlEngine:
             name: task_budget(carries[name], list(t.limits), self.round_s)
             for name, t in self.tasks.items()
         }
-        picked = budgeted_topk(
-            cand, "task", budgets, default_budget=1 << 40,
-            group_counts=cand_counts,
-        )
-        if self._hostcap_active:
-            wave = budgeted_topk(
-                picked, "host", self._host_budgets, default_budget=1 << 40
-            )
-        else:
-            wave = picked
-        # host-salted repartition: hot-host fetch/parse skew is work-skew,
-        # invisible to AQE byte stats — spread deterministically by key
         self._desc(rnd, "wave(topk)")
-        wave_in = wave.repartition(self.shuffle_parts, F.xxhash64("host", "key"))
-        obs_wave = None
-        if use_obs:
-            obs_wave = Observation()
-            wave_in = wave_in.observe(
-                obs_wave,
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
-                    for t in self.tasks
-                ],
+        # identity fast path: the cand-scratch Observation already proved
+        # every task's candidate count fits its budget, and no host cap is
+        # active — so the budgeted top-k is PROVABLY a no-op filter. Reuse
+        # the cand scratch as the wave: no rank jobs, no second scratch
+        # write, no extra shuffle. This is the steady-state fat-wave shape
+        # (a 10^10-URL frontier round is budget-unbound most rounds); the
+        # cand scratch is already hash(key)-partitioned by the dedup
+        # groupBy, which spreads hot hosts even better than an explicit
+        # (host, key) salt — md5 keys are uniform.
+        identity_wave = (
+            cand_counts is not None
+            and not self._hostcap_active
+            and all(
+                n <= budgets.get(t, 1 << 40)
+                for t, n in cand_counts.items()
             )
-        wave = self._scratch(wave_in, rnd, "wave")
+        )
+        if identity_wave:
+            wave = cand
+            n_wave = n_cand
+            used = dict(cand_counts)
+        else:
+            picked = budgeted_topk(
+                cand, "task", budgets, default_budget=1 << 40,
+                group_counts=cand_counts,
+            )
+            if self._hostcap_active:
+                wave = budgeted_topk(
+                    picked, "host", self._host_budgets, default_budget=1 << 40
+                )
+            else:
+                wave = picked
+            # fetchers that process the wave IN PLACE (HttpFetcher's
+            # mapInPandas) want a host-salted layout; join-based fetchers
+            # (GraphFetcher) re-exchange the wave by curl inside the fetch
+            # join anyway, so salting here would be a wasted full shuffle.
+            wave_in = wave
+            if getattr(self.fetcher, "salt_wave", False):
+                wave_in = wave.repartition(
+                    self.shuffle_parts, F.xxhash64("host", "key")
+                )
+            obs_wave = None
+            if use_obs:
+                obs_wave = Observation()
+                wave_in = wave_in.observe(
+                    obs_wave,
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
+                        for t in self.tasks
+                    ],
+                )
+            wave = self._scratch(wave_in, rnd, "wave")
+            if use_obs:
+                wave_m = obs_wave.get
+                n_wave = int(wave_m["n"] or 0)
+                used = {
+                    t: int(wave_m[f"t::{t}"] or 0)
+                    for t in self.tasks
+                    if wave_m[f"t::{t}"]
+                }
+            else:
+                n_wave = used = None  # grouped-count fallback fills these
 
         # all-deferred round, observation mode: known BEFORE fetch/parse —
         # budgets accrue, frontier unchanged, zero further jobs this round
-        wave_m = used = None
         if use_obs:
-            wave_m = obs_wave.get
-            n_wave = int(wave_m["n"] or 0)
-            used = {
-                t: int(wave_m[f"t::{t}"] or 0)
-                for t in self.tasks
-                if wave_m[f"t::{t}"]
-            }
             if n_wave == 0:
                 for name, t in self.tasks.items():
                     carries[name] = [

@@ -26,6 +26,11 @@ from .canon import canonical_col
 
 
 class GraphFetcher:
+    # the fetch join re-exchanges the wave by curl, so an engine-side
+    # host-salted repartition would be a wasted extra shuffle (engine
+    # checks this flag before salting the wave scratch)
+    salt_wave = False
+
     def __init__(self, web_graph: DataFrame, prepped: bool = False):
         # ``prepped=True``: the corpus is a pre-ingested store — already
         # canonicalized (gcurl), unique per gcurl (ingest contract), and
@@ -180,6 +185,13 @@ class HttpFetcher:
     requests per partition, and the wave's host-salted repartition bounds
     per-host concurrency cluster-wide.
     """
+
+    # in-place wave processing: the mapInPandas transport runs on the
+    # wave's own partitioning, so the engine salts the wave scratch by
+    # (host, key) to spread hot-domain work-skew across executors. (On the
+    # budget-unbound identity path the wave inherits the dedup groupBy's
+    # uniform hash(key) layout instead — equivalent spread.)
+    salt_wave = True
 
     def __init__(
         self,
