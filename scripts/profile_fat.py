@@ -51,7 +51,7 @@ def main() -> None:
         frontier = spark.read.parquet(os.path.join(corpus, "frontier")).cache()
     else:
         web = big_web_graph(
-            spark, n_tags=1, lists_per_tag=max(1, n_books // 60), books_per_list=60,
+            spark, n_tags=1, lists_per_tag=max(1, -(-n_books // 60)), books_per_list=60,
             n_topics=1, pad_to=pad,
         )
         fetcher = GraphFetcher(web)
