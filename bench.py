@@ -156,7 +156,7 @@ def run_fat_round_bench(spark) -> dict:
     n_pages = fetcher.graph.count()  # materialize corpus outside the timer
     frontier.count()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_FAT_RUNS", "5"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_FAT_RUNS", "3"))
     runs = []
     for attempt in range(n_runs):
         d = _state_tmpdir("bench_fat_")
@@ -177,11 +177,12 @@ def run_fat_round_bench(spark) -> dict:
             )
         finally:
             shutil.rmtree(d, ignore_errors=True)
-    # first run is JIT/codegen/worker-pool warmup; host interference noise
-    # (hypervisor steal + neighbor load, measured as 2-4x swings between
-    # identical runs) is strictly additive, so min of the warm runs is the
-    # least-biased estimate of the true cost
-    best = min(runs[1:], key=lambda r: r["wall_s"])
+    # Host interference noise (hypervisor steal + neighbor load, measured as
+    # 2-4x swings between identical runs) is strictly additive, so min over
+    # ALL runs is the least-biased estimate of the true cost. Run 0 carries
+    # JIT/codegen/worker-pool warmup — extra work, so it only wins when the
+    # host was quietest then, which is still an honest time of the same job.
+    best = min(runs, key=lambda r: r["wall_s"])
     return {"n_pages": n_pages, "mode": "fat_round", "runs": runs, **best}
 
 
@@ -310,7 +311,15 @@ def run_scaling(spark) -> dict:
     #   long-lived and warm, so this is also the realistic steady state.
     mem = os.environ.get("SPARK_GRAFT_FAT_MEM", "16g")
     taskset = shutil_which("taskset")
-    for master, cpus in (("local[4]", 4), ("local[16]", 16)):
+    # ALTERNATE the two levels across separate subprocess batches: the
+    # sandbox host shows multi-minute hypervisor-noise episodes (identical
+    # runs swing 2-4x), so running all of level N then all of level 4N
+    # correlates each level with whatever episode it landed in. Interleaving
+    # decorrelates the drift; min over all runs per level (noise is strictly
+    # additive) then estimates each level's true floor.
+    n_batches = int(os.environ.get("SPARK_GRAFT_SCALING_BATCHES", "2"))
+    order = [("local[4]", 4), ("local[16]", 16)] * n_batches
+    for master, cpus in order:
         jvm_opts = (
             f"-Xms{mem} -XX:+AlwaysPreTouch "
             f"-XX:ParallelGCThreads={cpus} "
@@ -338,10 +347,16 @@ def run_scaling(spark) -> dict:
             env=sub_env,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("CRAWL_RESULT ")]
-        if line:
-            scaling[master] = json.loads(line[-1][len("CRAWL_RESULT "):])
-        else:
+        if not line:
             print(f"# scaling run {master} failed: {out.stderr[-500:]}", file=sys.stderr)
+            continue
+        r = json.loads(line[-1][len("CRAWL_RESULT "):])
+        if master in scaling:
+            runs = scaling[master]["runs"] + r["runs"]
+            best = min(runs, key=lambda x: x["wall_s"])
+            scaling[master] = {**r, "runs": runs, **best}
+        else:
+            scaling[master] = r
     _shutil.rmtree(corpus_dir, ignore_errors=True)
     if "local[4]" in scaling and "local[16]" in scaling:
         t8 = scaling["local[4]"]["urls_per_sec"]
@@ -419,9 +434,10 @@ def _append_bench_md(scaling: dict) -> None:
             f"core count (taskset cpuset, GC threads = cores) with a pinned "
             f"pre-touched heap — the honest N-core-executor simulation on a "
             f"lazy-memory VM where first-touch page faults cost ~0.5 ms under "
-            f"hypervisor load (see bench.py). {n_runs} runs per level; first "
-            f"warms codegen + Python worker pool, reported figure = min of "
-            f"the warm runs (host interference noise is additive):\n\n"
+            f"hypervisor load (see bench.py). {n_runs} runs per level in "
+            f"ALTERNATING batches (N,4N,N,4N — decorrelates multi-minute "
+            f"hypervisor-noise episodes); reported figure = min over all "
+            f"runs (host interference noise is additive):\n\n"
             f"| master | urls fetched | wall s | urls/s |\n|---|---|---|---|\n"
             f"{rows}\n"
             f"speedup {lo}→{hi}: {scaling.get('speedup')}; "

@@ -54,7 +54,7 @@ from .operators.canon import with_canonical
 from .operators.dedup import anti_join_seen, build_bloom, or_blooms
 from .operators.fetch import GraphFetcher
 from .operators.parse import parse_fetched
-from .operators.seq import finalize_dense_seq, pid_col, prepare_dense_seq
+from .operators.seq import finalize_dense_seq, prepare_dense_seq, rank_key_col
 from .operators.topk import budgeted_topk
 
 
@@ -224,7 +224,10 @@ class CrawlEngine:
         self.store.append(
             "failed_once", 0, self.spark.createDataFrame([], "key string")
         )
-        max_seq = seeds.agg(F.max("seq")).collect()[0][0]
+        per_task = seeds.groupBy("task").agg(
+            F.max("seq").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).collect()
+        max_seq = max((r["mx"] for r in per_task), default=None)
         self.store.commit(
             0,
             {
@@ -237,6 +240,7 @@ class CrawlEngine:
                     t.name: [initial_carry(tier) for tier in t.limits]
                     for t in self.tasks.values()
                 },
+                "frontier_counts": {r["task"]: int(r["n"]) for r in per_task},
                 "done": False,
             },
         )
@@ -284,6 +288,7 @@ class CrawlEngine:
         # dynamic seeds queued by run_task: seq-stamped here, AFTER the
         # previous round's links/retries (manifest max_seq), so queue
         # arrival order matches the oracle's end-of-round push
+        pending_counts: dict[str, int] = {}
         if self._pending_seeds:
             rows = []
             for i, r in enumerate(self._pending_seeds):
@@ -291,11 +296,43 @@ class CrawlEngine:
                 rr["seq"] = max_seq + 1 + i
                 rr.setdefault("attempt", 0)
                 rows.append(rr)
+                pending_counts[rr["task"]] = pending_counts.get(rr["task"], 0) + 1
             max_seq += len(rows)
             self._pending_seeds = []
             frontier = frontier.unionByName(
                 spark.createDataFrame(rows, schemas.FRONTIER)
             )
+
+        # budgets are known BEFORE any job runs (pure carry arithmetic)
+        budgets = {
+            name: task_budget(carries[name], list(t.limits), self.round_s)
+            for name, t in self.tasks.items()
+        }
+        use_obs = len(self.tasks) <= _OBS_MAX_TASKS
+        # FUSED identity round: the manifest's per-task frontier counts
+        # (known arithmetically when the frontier was built) prove every
+        # task's candidate set fits its budget — expire/dedup only ever
+        # SHRINK a task's rows — and no host cap is active, so the budgeted
+        # top-k is provably the identity. The candidate plan then flows
+        # STRAIGHT into the fetch join with no scratch materialization and
+        # no pre-fetch barrier: one job covers expire -> dedup -> fetch ->
+        # parse -> parsed-delta write, and all round counts ride its
+        # Observations. This is the steady-state fat-wave shape (a 10^10-URL
+        # frontier round is budget-unbound most rounds).
+        fcounts_prev = man.get("frontier_counts")
+        fused = (
+            use_obs
+            and fcounts_prev is not None
+            and not self._hostcap_active
+            and all(
+                n + pending_counts.get(t, 0) <= budgets.get(t, 1 << 40)
+                for t, n in fcounts_prev.items()
+            )
+            and all(
+                n <= budgets.get(t, 1 << 40)
+                for t, n in pending_counts.items()
+            )
+        )
 
         # 1. expire (Request.Check semantics)
         cand = (
@@ -346,15 +383,14 @@ class CrawlEngine:
             )
             .select("key", "r.*")
         )
-        # Per-task round counts ride the scratch WRITES as Observation
-        # metrics — computed inside the jobs the round already runs, so the
+        # Per-task round counts ride the round's WRITE jobs as Observation
+        # metrics — computed inside jobs the round already runs, so the
         # old 8-branch accounting job (6 extra pruned scans of the scratch
         # frames + their job latencies, a per-round constant that caps
-        # N->4N scaling) shrinks to the one link/retry pid-count job below.
+        # N->4N scaling) shrinks to the one link/retry count job below.
         # Tasks are a config-scale dim (a handful of presets, like rules —
         # never data-scale like hosts), so #exprs = O(#tasks) is bounded;
         # _OBS_MAX_TASKS guards the assumption.
-        use_obs = len(self.tasks) <= _OBS_MAX_TASKS
         self._desc(rnd, "cand(expire+dedup)")
         cand_in = deduped.unionByName(
             cand.filter(F.col("reload")).select(*deduped.columns)
@@ -371,93 +407,102 @@ class CrawlEngine:
                     for t in self.tasks
                 ],
             )
-        cand = self._scratch(cand_in, rnd, "cand")
-        if use_obs:
-            cand_m = obs_cand.get
-            n_cand = int(cand_m["n"] or 0)
-            # per-task candidate counts, free by-product of the scratch
-            # write — lets the task-budget topk skip its own counts job
-            cand_counts = {
-                t: int(cand_m[f"t::{t}"] or 0)
-                for t in self.tasks
-                if cand_m[f"t::{t}"]
-            }
-        else:
-            n_cand = cand.count()  # parquet footer count — no data scan
-
-        # 3-4. budget top-k per task, then host-cap pass
-        budgets = {
-            name: task_budget(carries[name], list(t.limits), self.round_s)
-            for name, t in self.tasks.items()
-        }
-        self._desc(rnd, "wave(topk)")
-        # identity fast path: the cand-scratch Observation already proved
-        # every task's candidate count fits its budget, and no host cap is
-        # active — so the budgeted top-k is PROVABLY a no-op filter. Reuse
-        # the cand scratch as the wave: no rank jobs, no second scratch
-        # write, no extra shuffle. This is the steady-state fat-wave shape
-        # (a 10^10-URL frontier round is budget-unbound most rounds); the
-        # cand scratch is already hash(key)-partitioned by the dedup
-        # groupBy, which spreads hot hosts even better than an explicit
-        # (host, key) salt — md5 keys are uniform.
-        identity_wave = (
-            cand_counts is not None
-            and not self._hostcap_active
-            and all(
-                n <= budgets.get(t, 1 << 40)
-                for t, n in cand_counts.items()
-            )
-        )
-        if identity_wave:
-            wave = cand
-            n_wave = n_cand
-            used = dict(cand_counts)
-        else:
-            picked = budgeted_topk(
-                cand, "task", budgets, default_budget=1 << 40,
-                group_counts=cand_counts,
-            )
-            if self._hostcap_active:
-                wave = budgeted_topk(
-                    picked, "host", self._host_budgets, default_budget=1 << 40
-                )
-            else:
-                wave = picked
-            # fetchers that process the wave IN PLACE (HttpFetcher's
-            # mapInPandas) want a host-salted layout; join-based fetchers
-            # (GraphFetcher) re-exchange the wave by curl inside the fetch
-            # join anyway, so salting here would be a wasted full shuffle.
-            wave_in = wave
+        if fused:
+            # no scratch, no barrier: the candidate plan IS the wave and
+            # flows straight into the fetch join; counts (incl. the
+            # Observation attached above, BELOW the join so a row-
+            # multiplying fetcher can never inflate politeness accounting)
+            # are read after the parsed-delta write job runs them.
+            wave = cand_in
             if getattr(self.fetcher, "salt_wave", False):
-                wave_in = wave.repartition(
+                wave = wave.repartition(
                     self.shuffle_parts, F.xxhash64("host", "key")
                 )
-            obs_wave = None
+            n_cand = n_wave = None
+            used = None
+        else:
+            cand = self._scratch(cand_in, rnd, "cand")
             if use_obs:
-                obs_wave = Observation()
-                wave_in = wave_in.observe(
-                    obs_wave,
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
-                        for t in self.tasks
-                    ],
-                )
-            wave = self._scratch(wave_in, rnd, "wave")
-            if use_obs:
-                wave_m = obs_wave.get
-                n_wave = int(wave_m["n"] or 0)
-                used = {
-                    t: int(wave_m[f"t::{t}"] or 0)
+                cand_m = obs_cand.get
+                n_cand = int(cand_m["n"] or 0)
+                # per-task candidate counts, free by-product of the scratch
+                # write — lets the task-budget topk skip its own counts job
+                cand_counts = {
+                    t: int(cand_m[f"t::{t}"] or 0)
                     for t in self.tasks
-                    if wave_m[f"t::{t}"]
+                    if cand_m[f"t::{t}"]
                 }
             else:
-                n_wave = used = None  # grouped-count fallback fills these
+                n_cand = cand.count()  # parquet footer count — no data scan
+
+            # 3-4. budget top-k per task, then host-cap pass
+            self._desc(rnd, "wave(topk)")
+            # identity fast path (the measured-counts variant of the fused
+            # proof, for rounds whose manifest lacked frontier counts —
+            # e.g. first round after resume from an older store): the
+            # cand-scratch Observation proved every task's candidate count
+            # fits its budget and no host cap is active, so the budgeted
+            # top-k is a no-op filter. Reuse the cand scratch as the wave.
+            identity_wave = (
+                cand_counts is not None
+                and not self._hostcap_active
+                and all(
+                    n <= budgets.get(t, 1 << 40)
+                    for t, n in cand_counts.items()
+                )
+            )
+            if identity_wave:
+                wave = cand
+                n_wave = n_cand
+                used = dict(cand_counts)
+            else:
+                picked = budgeted_topk(
+                    cand, "task", budgets, default_budget=1 << 40,
+                    group_counts=cand_counts,
+                )
+                if self._hostcap_active:
+                    wave = budgeted_topk(
+                        picked, "host", self._host_budgets, default_budget=1 << 40
+                    )
+                else:
+                    wave = picked
+                # fetchers that process the wave IN PLACE (HttpFetcher's
+                # mapInPandas) want a host-salted layout; join-based fetchers
+                # (GraphFetcher) re-exchange the wave by curl inside the fetch
+                # join anyway, so salting here would be a wasted full shuffle.
+                wave_in = wave
+                if getattr(self.fetcher, "salt_wave", False):
+                    wave_in = wave.repartition(
+                        self.shuffle_parts, F.xxhash64("host", "key")
+                    )
+                obs_wave = None
+                if use_obs:
+                    obs_wave = Observation()
+                    wave_in = wave_in.observe(
+                        obs_wave,
+                        F.count(F.lit(1)).alias("n"),
+                        *[
+                            F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
+                            for t in self.tasks
+                        ],
+                    )
+                wave = self._scratch(wave_in, rnd, "wave")
+                if use_obs:
+                    wave_m = obs_wave.get
+                    n_wave = int(wave_m["n"] or 0)
+                    used = {
+                        t: int(wave_m[f"t::{t}"] or 0)
+                        for t in self.tasks
+                        if wave_m[f"t::{t}"]
+                    }
+                else:
+                    n_wave = used = None  # grouped-count fallback fills these
 
         # all-deferred round, observation mode: known BEFORE fetch/parse —
-        # budgets accrue, frontier unchanged, zero further jobs this round
-        if use_obs:
+        # budgets accrue, frontier unchanged, zero further jobs this round.
+        # (Never reached fused: fused proves counts <= budgets, so a zero
+        # wave implies a zero frontier, which set `done` last round.)
+        if use_obs and not fused:
             if n_wave == 0:
                 for name, t in self.tasks.items():
                     carries[name] = [
@@ -466,7 +511,8 @@ class CrawlEngine:
                     ]
                 done = n_cand == 0
                 new_man = self._advance_manifest(
-                    man, rnd, carries, used, max_seq, done, n_seen
+                    man, rnd, carries, used, max_seq, done, n_seen,
+                    frontier_counts=fcounts_prev,
                 )
                 new_man["frontier_round"] = man.get("frontier_round", prev)
                 new_man["stats"] = dict(
@@ -534,7 +580,20 @@ class CrawlEngine:
         fo = failed_once.select("key") if failed_once is not None else None
 
         # the parsed store write already ran (inside parse_fetched), so its
-        # Observation is readable NOW and proves emptiness per side: a wave
+        # Observations are readable NOW. In fused mode this is where the
+        # wave/candidate counts arrive (the Observation rode the fused job,
+        # attached below the fetch join).
+        if fused:
+            cand_m = obs_cand.get
+            n_cand = int(cand_m["n"] or 0)
+            cand_counts = {
+                t: int(cand_m[f"t::{t}"] or 0)
+                for t in self.tasks
+                if cand_m[f"t::{t}"]
+            }
+            used = dict(cand_counts)
+            n_wave = n_cand
+        # The parsed Observation also proves emptiness per side: a wave
         # with zero raw links (the steady-state leaf-page shape) skips the
         # whole link pipeline (canonicalize, robots, seq prep, counts); a
         # wave with zero failures skips the retry pipeline. Each side gates
@@ -559,7 +618,8 @@ class CrawlEngine:
                 else failed.limit(0)
             )
             retries_prep = prepare_dense_seq(
-                retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"]
+                retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"],
+                bound=max_seq,
             )
         if not skip_links:
             links = with_canonical(
@@ -587,7 +647,9 @@ class CrawlEngine:
             # range-partitioned, id-tagged frames here (cached, still lazy);
             # their per-partition counts ride the accounting union below and
             # finalize_dense_seq attaches the dense seqs with no extra barrier.
-            links_prep = prepare_dense_seq(links, ["parent_seq", "match_idx"])
+            links_prep = prepare_dense_seq(
+                links, ["parent_seq", "match_idx"], bound=max_seq
+            )
 
         # ---- accounting. With observations (the common path) every
         # per-task count was already computed INSIDE the scratch-write jobs
@@ -612,7 +674,7 @@ class CrawlEngine:
             return df.select(
                 F.lit(k).alias("kind"),
                 F.col("task").alias("k2a"),
-                pid_col().cast("string").alias("k2b"),
+                rank_key_col(df).cast("string").alias("k2b"),
             )
 
         cnt: dict[str, dict[tuple[str, str], int]] = {}
@@ -678,7 +740,8 @@ class CrawlEngine:
             # materialized frontier snapshot
             done = n_cand == 0
             new_man = self._advance_manifest(
-                man, rnd, carries, used, max_seq, done, n_seen
+                man, rnd, carries, used, max_seq, done, n_seen,
+                frontier_counts=fcounts_prev,
             )
             new_man["frontier_round"] = man.get("frontier_round", prev)
             new_man["stats"] = dict(
@@ -692,11 +755,14 @@ class CrawlEngine:
             self._drop_scratch(rnd)
             return new_man
 
-        # links/retries (task, pid) counts: the one remaining accounting job
-        # in observation mode — skipped entirely on all-deferred rounds
+        # links/retries (task, slice) counts: the one remaining accounting
+        # job in observation mode — skipped entirely on all-deferred rounds
         # (above); each proven-empty side (skip_links / skip_retries) stays
         # out of the union. The job also materializes whichever prep caches
-        # the frontier build will read.
+        # the frontier build will read. It is DEFERRED into the write phase
+        # below (run concurrently with the independent delta writes, which
+        # need only the parsed-Observation counts already in hand).
+        counted = None
         if use_obs and not (skip_links and skip_retries):
             parts = []
             if not skip_links:
@@ -706,77 +772,29 @@ class CrawlEngine:
             counted = parts[0]
             for p in parts[1:]:
                 counted = counted.unionByName(p)
-            _ingest(counted.groupBy("kind", "k2a", "k2b").count().collect())
 
         frontier_cols = schemas.FRONTIER.fieldNames()
         empty_frontier = spark.createDataFrame([], schemas.FRONTIER)
-        if skip_links:
-            # proven-empty by the parsed Observation: no rescans, no seq
-            # jobs, a literal empty frame in the frontier union
-            links = None
-            n_links = 0
-            new_links = empty_frontier
-        else:
-            # finalize dense seqs from the fused partition counts
-            links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
-            n_links = links._total
-            new_links = links.withColumn("attempt", F.lit(0)).select(
-                *frontier_cols
-            )
-        if skip_retries:
-            retries = None
-            n_retries = 0
-            retries_f = empty_frontier
-        else:
-            retries = finalize_dense_seq(
-                retries_prep, by_pid("retry"), max_seq + n_links
-            )
-            n_retries = retries._total
-            retries = retries.drop("_oseq")
-            retries_f = retries.select(*frontier_cols)
-
-        if n_wave == n_cand:
-            # wave ⊆ cand by construction and seq is frontier-unique, so
-            # equal counts prove the deferred set empty — skips an
-            # |cand| x |wave| anti-join shuffle on full-throughput rounds
-            deferred = spark.createDataFrame([], schemas.FRONTIER).select(
-                *frontier_cols
-            )
-        else:
-            deferred = cand.join(wave.select("seq"), "seq", "left_anti").select(
-                *frontier_cols
-            )
-        next_frontier = deferred.unionByName(new_links).unionByName(retries_f)
 
         ok_counts = by_task("ok")
         fail_counts = by_task("fail")
-        link_counts = by_task("link")
         item_counts = by_task("item")
-        retry_counts = by_task("retry")
         n_seen_delta = sum(by_task("seen").values())
-        metrics_rows = [
-            {
-                "round": rnd,
-                "task": task,
-                "selected": n_sel,
-                "fetched_ok": ok_counts.get(task, 0),
-                "failed": fail_counts.get(task, 0),
-                "retried": retry_counts.get(task, 0),
-                "new_links": link_counts.get(task, 0),
-                "items": item_counts.get(task, 0),
-            }
-            for task, n_sel in sorted(used.items())
-        ]
         totals = {
             "selected": n_wave,
-            "fetched_ok": sum((m["fetched_ok"] for m in metrics_rows), 0),
-            "failed": sum((m["failed"] for m in metrics_rows), 0),
-            "items": sum((m["items"] for m in metrics_rows), 0),
+            "fetched_ok": sum(ok_counts.values()),
+            "failed": sum(fail_counts.values()),
+            "items": sum(item_counts.values()),
         }
 
         # ---- writes (appends, frontier snapshot, then commit). Empty
         # deltas are skipped entirely — read_through tolerates missing round
-        # directories, and a skipped write is one less job + commit.
+        # directories, and a skipped write is one less job + commit. Slim
+        # projections of the parsed delta coalesce to a few output tasks:
+        # the local-mode driver schedules ~1-2k tasks/s TOTAL (a core-count-
+        # independent floor), so 128-task scans on every one of ~6 pooled
+        # write jobs cost more in scheduling than in work.
+        n_slim = max(4, min(16, self.spark.sparkContext.defaultParallelism))
         seen_delta = (
             parsed.filter(F.col("ok") | F.col("reload"))
             .select("key", F.col("curl").alias("url"))
@@ -793,25 +811,21 @@ class CrawlEngine:
         )
         writes: list[tuple[str, object]] = []
         if n_seen_delta:
-            writes.append(("seen", seen_delta))
+            writes.append(("seen", seen_delta.coalesce(n_slim)))
         if totals["failed"]:
-            writes.append(("failed_once", failed.select("key")))
-        if totals["failed"] > n_retries:
-            writes.append(
-                (
-                    "failures",
-                    permanent.select("key", F.col("curl").alias("url"), "task")
-                    .withColumn("round", F.lit(rnd))
-                    .coalesce(1),
-                )
-            )
+            writes.append(("failed_once", failed.select("key").coalesce(n_slim)))
         # documents are NOT written: the parsed delta (written once in the
         # fetch+parse stage) is their durable source; state.py projects the
         # documents view from it at read time.
         if totals["items"]:
             items_r = items.withColumn("round", F.lit(rnd))
             writes.append(
-                ("results", items_r.select(*schemas.RESULTS.fieldNames()))
+                (
+                    "results",
+                    items_r.select(*schemas.RESULTS.fieldNames()).coalesce(
+                        n_slim
+                    ),
+                )
             )
             if self.typed_tables:
                 # lazy create-on-first-item: only rules whose TASK emitted
@@ -831,22 +845,25 @@ class CrawlEngine:
                             typed_results(items_r, r),
                         )
                     )
+        # order = a projection of the parsed delta (parsed carries every
+        # slim wave column), so the wave frame is consumed exactly once
+        # (by the fetch join) and the fused round never materializes it
         writes.append(
             (
                 "order",
-                wave.select("task", "priority", "seq", "curl", "key").withColumn(
-                    "round", F.lit(rnd)
-                ),
+                parsed.select("task", "priority", "seq", "curl", "key")
+                .withColumn("round", F.lit(rnd))
+                .coalesce(n_slim),
             )
         )
-        writes.append(
-            ("metrics", spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS))
-        )
         writes.append(("lineage", lineage))
-        # all table writes are independent jobs over warm caches — run them
+        # all table writes are independent jobs over warm scans — run them
         # concurrently (Spark job scheduling is thread-safe; local mode
         # shares the task-slot pool, so wall time ≈ the largest write, not
-        # the sum). The frontier snapshot rides the same pool.
+        # the sum). The frontier snapshot and the deferred link/retry count
+        # job ride the same pool window: the count job (which materializes
+        # the prep caches and supplies the seq offsets + link/retry metrics)
+        # runs on THIS thread while the independent writes proceed.
         # concurrent write jobs overlap their per-job latency, but each one
         # brings a full task wave — beyond ~cores/2 submitters they just
         # time-slice the same slots and thrash caches
@@ -856,6 +873,83 @@ class CrawlEngine:
                 pool.submit(self.store.append, table, rnd, df)
                 for table, df in writes
             ]
+
+            if counted is not None:
+                _ingest(counted.groupBy("kind", "k2a", "k2b").count().collect())
+            link_counts = by_task("link")
+            retry_counts = by_task("retry")
+
+            if skip_links:
+                # proven-empty by the parsed Observation: no rescans, no
+                # seq jobs, a literal empty frame in the frontier union
+                links = None
+                n_links = 0
+                new_links = empty_frontier
+            else:
+                # finalize dense seqs from the fused slice counts
+                links = finalize_dense_seq(links_prep, by_pid("link"), max_seq)
+                n_links = links._total
+                new_links = links.withColumn("attempt", F.lit(0)).select(
+                    *frontier_cols
+                )
+            if skip_retries:
+                retries = None
+                n_retries = 0
+                retries_f = empty_frontier
+            else:
+                retries = finalize_dense_seq(
+                    retries_prep, by_pid("retry"), max_seq + n_links
+                )
+                n_retries = retries._total
+                retries = retries.drop("_oseq")
+                retries_f = retries.select(*frontier_cols)
+
+            if n_wave == n_cand:
+                # wave ⊆ cand by construction and seq is frontier-unique, so
+                # equal counts prove the deferred set empty — skips an
+                # |cand| x |wave| anti-join shuffle on full-throughput rounds
+                deferred = spark.createDataFrame([], schemas.FRONTIER).select(
+                    *frontier_cols
+                )
+            else:
+                deferred = cand.join(
+                    wave.select("seq"), "seq", "left_anti"
+                ).select(*frontier_cols)
+            next_frontier = deferred.unionByName(new_links).unionByName(
+                retries_f
+            )
+
+            if totals["failed"] > n_retries:
+                futs.append(
+                    pool.submit(
+                        self.store.append,
+                        "failures",
+                        rnd,
+                        permanent.select(
+                            "key", F.col("curl").alias("url"), "task"
+                        )
+                        .withColumn("round", F.lit(rnd))
+                        .coalesce(1),
+                    )
+                )
+            # metrics are a handful of driver-local rows — written directly
+            # via pyarrow, never through a Spark job
+            metrics_rows = [
+                {
+                    "round": rnd,
+                    "task": task,
+                    "selected": n_sel,
+                    "fetched_ok": ok_counts.get(task, 0),
+                    "failed": fail_counts.get(task, 0),
+                    "retried": retry_counts.get(task, 0),
+                    "new_links": link_counts.get(task, 0),
+                    "items": item_counts.get(task, 0),
+                }
+                for task, n_sel in sorted(used.items())
+            ]
+            self.store.append_local(
+                "metrics", rnd, metrics_rows, schemas.ROUND_METRICS
+            )
             futs.append(
                 pool.submit(self.store.write_frontier, rnd, next_frontier)
             )
@@ -868,9 +962,26 @@ class CrawlEngine:
         n_frontier = (n_cand - n_wave) + n_links + n_retries
         done = n_frontier == 0
 
+        # per-task next-frontier counts: deferred (cand - used) + links +
+        # retries — all already known. They are next round's PROOF that the
+        # budgeted top-k is the identity (the fused-round precondition).
+        cand_by_task = (
+            cand_counts if cand_counts is not None else by_task("cand")
+        )
+        fcounts_next: dict[str, int] = {}
+        for t in {*cand_by_task, *link_counts, *retry_counts}:
+            n = (
+                cand_by_task.get(t, 0)
+                - used.get(t, 0)
+                + link_counts.get(t, 0)
+                + retry_counts.get(t, 0)
+            )
+            if n:
+                fcounts_next[t] = n
+
         new_man = self._advance_manifest(
             man, rnd, carries, used, max_seq + n_links + n_retries, done,
-            n_seen + n_seen_delta,
+            n_seen + n_seen_delta, frontier_counts=fcounts_next,
         )
         # keep the Bloom current with this round's delta (wave-bounded work)
         if self._bloom is not None and n_seen_delta:
@@ -905,8 +1016,9 @@ class CrawlEngine:
         max_seq: int,
         done: bool,
         seen_count: int,
+        frontier_counts: dict[str, int] | None = None,
     ) -> dict:
-        return {
+        out = {
             "round": rnd,
             "max_seq": int(max_seq),
             "fetch_count": man.get("fetch_count", 0),
@@ -915,6 +1027,11 @@ class CrawlEngine:
             "carries": carries,
             "done": bool(done),
         }
+        if frontier_counts is not None:
+            out["frontier_counts"] = {
+                t: int(n) for t, n in frontier_counts.items()
+            }
+        return out
 
 
 def run_crawl(

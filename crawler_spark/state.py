@@ -85,6 +85,37 @@ class SnapshotStore:
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
 
+    def append_local(
+        self, table: str, rnd: int, rows: list[dict], schema
+    ) -> None:
+        """Append a handful of DRIVER-LOCAL rows (e.g. per-round metrics)
+        as one parquet file via pyarrow — no Spark job for data the driver
+        already holds. Types follow the Spark schema so read_through unions
+        these files with Spark-written deltas seamlessly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "integer": pa.int32(),
+            "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        fields = [
+            pa.field(f.name, _PA[f.dataType.typeName()], nullable=f.nullable)
+            for f in schema.fields
+        ]
+        tbl = pa.Table.from_pylist(
+            [{f.name: r.get(f.name) for f in schema.fields} for r in rows],
+            schema=pa.schema(fields),
+        )
+        path = os.path.join(self.root, table, f"round={rnd}")
+        if os.path.exists(path):  # crashed, uncommitted attempt — overwrite
+            shutil.rmtree(path)
+        os.makedirs(path)
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+
     def clean_round(self, rnd: int) -> None:
         """Remove ALL uncommitted leftovers of round ``rnd``.
 

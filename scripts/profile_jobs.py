@@ -44,6 +44,16 @@ def fetch_jobs(ui_port: int = 4040) -> list[dict]:
     )
 
 
+def fetch_stages(ui_port: int = 4040) -> dict[int, str]:
+    base = f"http://localhost:{ui_port}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(base, timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/{app_id}/stages", timeout=10)
+    )
+    return {s["stageId"]: s.get("name", "")[:60] for s in stages}
+
+
 def parse_ts(s: str) -> float:
     # "2026-08-17T12:34:56.789GMT"
     from datetime import datetime, timezone
@@ -62,17 +72,30 @@ def main() -> None:
     runs = int(os.environ.get("PROFILE_RUNS", "2"))
 
     spark = get_spark(
-        "profile-jobs", master=master, shuffle_partitions=32,
+        "profile-jobs", master=master,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_FAT_PARTS", "128")),
         extra_conf={"spark.ui.enabled": "true"},
     )
     tasks, rules, robots = bench_tasks_rules_robots(task_budget_per_round=n_books * 2)
-    web = big_web_graph(
-        spark, n_tags=1, lists_per_tag=max(1, n_books // 60), books_per_list=60,
-        n_topics=1, pad_to=pad,
-    )
-    fetcher = GraphFetcher(web)
+    corpus = os.environ.get("SPARK_GRAFT_FAT_CORPUS")
+    if corpus and os.path.isdir(os.path.join(corpus, "graph")):
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS bench_fat_graph "
+            "(gcurl STRING, status INT, body STRING, latency_ms INT) "
+            f"USING PARQUET CLUSTERED BY (gcurl) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{os.path.join(corpus, 'graph')}'"
+        )
+        fetcher = GraphFetcher(spark.table("bench_fat_graph"), prepped=True)
+        frontier = spark.read.parquet(os.path.join(corpus, "frontier")).cache()
+    else:
+        web = big_web_graph(
+            spark, n_tags=1, lists_per_tag=max(1, -(-n_books // 60)),
+            books_per_list=60, n_topics=1, pad_to=pad,
+        )
+        fetcher = GraphFetcher(web)
+        frontier = fat_frontier(spark, n_books).cache()
     fetcher.graph.count()
-    frontier = fat_frontier(spark, n_books).cache()
     frontier.count()
 
     walls = []
@@ -94,6 +117,7 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     jobs = fetch_jobs()
+    stage_names = fetch_stages()
     jobs = sorted(jobs, key=lambda j: j["jobId"])[mark:]
     jobs = [j for j in jobs if parse_ts(j["submissionTime"]) >= t_round0 - 1]
     prev_end = None
@@ -111,7 +135,13 @@ def main() -> None:
         total_gap += max(gap, 0)
         desc = (j.get("description") or j["name"])[:70]
         by_desc.setdefault(desc.split(":", 1)[-1], []).append(dur)
-        print(f"  job {j['jobId']:>4} {dur:7.2f}s  gap {max(gap,0):6.2f}s  {desc}")
+        snames = "; ".join(
+            stage_names.get(sid, "?") for sid in sorted(j.get("stageIds", []))
+        )[:120]
+        print(
+            f"  job {j['jobId']:>4} {dur:7.2f}s  gap {max(gap,0):6.2f}s  {desc}"
+            f"  [{snames}]"
+        )
     print(f"njobs={len(jobs)} sum_job={total_job:.2f}s sum_gap={total_gap:.2f}s wall={walls[-1]:.2f}s")
     agg = {k: round(sum(v), 2) for k, v in sorted(by_desc.items())}
     print("JOBPROF " + json.dumps({

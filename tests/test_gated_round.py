@@ -61,11 +61,11 @@ def test_leaf_wave_gates_fire(spark, leaf_round, tmp_path, monkeypatch):
     # fetches, which is also why the gates must be independent.)
     real_prep = engine_mod.prepare_dense_seq
 
-    def _guarded(df, order_cols):
+    def _guarded(df, order_cols, **kw):
         assert order_cols != ["parent_seq", "match_idx"], (
             "link pipeline ran on a leaf wave"
         )
-        return real_prep(df, order_cols)
+        return real_prep(df, order_cols, **kw)
 
     monkeypatch.setattr(engine_mod, "prepare_dense_seq", _guarded)
     eng2 = CrawlEngine(
