@@ -145,6 +145,15 @@ class CrawlEngine:
         """Label the next Spark jobs (shows up in UI + event logs)."""
         self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
 
+    def _seq_parts(self, n_rows: int | None) -> int | None:
+        """Bucket count for a dense-seq shuffle sized to the KNOWN row
+        count (from this round's Observations): ~50k rows/bucket, capped
+        at the configured shuffle width. None (count unknown — the
+        >_OBS_MAX_TASKS fallback) keeps the configured default."""
+        if n_rows is None:
+            return None
+        return max(1, min(self.shuffle_parts, -(-n_rows // 50_000)))
+
     def _scratch(self, df, rnd: int, name: str):
         """Materialize a hot round frame via a scratch-parquet roundtrip.
 
@@ -162,7 +171,9 @@ class CrawlEngine:
         """
         path = os.path.join(self.store.root, "scratch", f"r{rnd:05d}", name)
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        # reread with the schema we just wrote: skips the driver-serial
+        # footer-inference job (a per-round constant that dilutes scaling)
+        return self.spark.read.schema(df.schema).parquet(path)
 
     def _drop_scratch(self, rnd: int) -> None:
         shutil.rmtree(
@@ -228,6 +239,18 @@ class CrawlEngine:
             F.max("seq").alias("mx"), F.count(F.lit(1)).alias("n")
         ).collect()
         max_seq = max((r["mx"] for r in per_task), default=None)
+        # one-time global probe: a key-unique, reload-free seed set lets
+        # round 1 skip the within-round dedup shuffle outright (the min_by
+        # groupBy is provably the identity); the flag then propagates
+        # round-to-round while the proof holds (see _run_round)
+        u = seeds.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("key").alias("nd"),
+        ).collect()[0]
+        # key-uniqueness alone proves dedup-identity: reload rows bypass
+        # the min_by anyway, and with no duplicate key the reload/non-
+        # reload split-and-union reassembles the input exactly
+        frontier_unique = bool(u["n"] == u["nd"])
         self.store.commit(
             0,
             {
@@ -241,6 +264,8 @@ class CrawlEngine:
                     for t in self.tasks.values()
                 },
                 "frontier_counts": {r["task"]: int(r["n"]) for r in per_task},
+                "frontier_unique": frontier_unique,
+                "failed_once_count": 0,
                 "done": False,
             },
         )
@@ -284,6 +309,12 @@ class CrawlEngine:
         failed_once = self.store.read_through("failed_once", prev)
         carries = {k: list(v) for k, v in man["carries"].items()}
         max_seq = man["max_seq"]
+        # provable identity of the within-round dedup: the frontier this
+        # round reads was built key-unique and reload-free (init_state
+        # probe, or deferred∪retries of a unique wave with no new links —
+        # all disjoint subsets of an already-deduped candidate set)
+        frontier_unique = bool(man.get("frontier_unique"))
+        n_failed_once = man.get("failed_once_count")
 
         # dynamic seeds queued by run_task: seq-stamped here, AFTER the
         # previous round's links/retries (manifest max_seq), so queue
@@ -302,6 +333,8 @@ class CrawlEngine:
             frontier = frontier.unionByName(
                 spark.createDataFrame(rows, schemas.FRONTIER)
             )
+            # queued seeds may collide with frontier keys (or carry reload)
+            frontier_unique = False
 
         # budgets are known BEFORE any job runs (pure carry arithmetic)
         budgets = {
@@ -371,18 +404,25 @@ class CrawlEngine:
         # within-round duplicate keys: first by (-priority, seq) wins
         # (reference: first pop marks visited, later pops skip —
         #  engine/schedule.go:343-351). Reload rows are exempt: every
-        #  discovery refetches.
+        #  discovery refetches. When the manifest proves the frontier
+        #  key-unique and reload-free, the min_by groupBy is the identity —
+        #  skip its shuffle (the only pre-fetch exchange of a fused round).
         non_reload2 = cand.filter(~F.col("reload"))
-        deduped = (
-            non_reload2.groupBy("key")
-            .agg(
-                F.min_by(
-                    F.struct(*[c for c in non_reload2.columns if c != "key"]),
-                    F.struct((-F.col("priority")).alias("p"), F.col("seq").alias("s")),
-                ).alias("r")
+        if frontier_unique:
+            deduped = cand.select(
+                "key", *[c for c in cand.columns if c != "key"]
             )
-            .select("key", "r.*")
-        )
+        else:
+            deduped = (
+                non_reload2.groupBy("key")
+                .agg(
+                    F.min_by(
+                        F.struct(*[c for c in non_reload2.columns if c != "key"]),
+                        F.struct((-F.col("priority")).alias("p"), F.col("seq").alias("s")),
+                    ).alias("r")
+                )
+                .select("key", "r.*")
+            )
         # Per-task round counts ride the round's WRITE jobs as Observation
         # metrics — computed inside jobs the round already runs, so the
         # old 8-branch accounting job (6 extra pruned scans of the scratch
@@ -392,9 +432,12 @@ class CrawlEngine:
         # never data-scale like hosts), so #exprs = O(#tasks) is bounded;
         # _OBS_MAX_TASKS guards the assumption.
         self._desc(rnd, "cand(expire+dedup)")
-        cand_in = deduped.unionByName(
-            cand.filter(F.col("reload")).select(*deduped.columns)
-        )
+        if frontier_unique:
+            cand_in = deduped  # reload-free by the same proof
+        else:
+            cand_in = deduped.unionByName(
+                cand.filter(F.col("reload")).select(*deduped.columns)
+            )
         obs_cand = None
         cand_counts: dict[str, int] | None = None
         if use_obs:
@@ -402,6 +445,9 @@ class CrawlEngine:
             cand_in = cand_in.observe(
                 obs_cand,
                 F.count(F.lit(1)).alias("n"),
+                # reload rows bypass dedup, so only a reload-free candidate
+                # set proves the NEXT frontier key-unique (flag propagation)
+                F.sum(F.col("reload").cast("int")).alias("nreload"),
                 *[
                     F.sum(F.when(F.col("task") == t, 1)).alias(f"t::{t}")
                     for t in self.tasks
@@ -569,7 +615,7 @@ class CrawlEngine:
             # basePath partition read supplies `round`, so no round column
             # is written into the data files.
             self.store.append("parsed", rnd, df)
-            return self.store.read_delta("parsed", rnd)
+            return self.store.read_delta("parsed", rnd, schema=df.schema)
 
         parsed, _documents, items, raw_links = parse_fetched(
             fetched, self.rules, persist=_persist_parsed,
@@ -578,6 +624,11 @@ class CrawlEngine:
         # 7. failures: retry once per key ever (SetFailure, schedule.go:431-447)
         failed = parsed.filter(~F.col("ok"))
         fo = failed_once.select("key") if failed_once is not None else None
+        if n_failed_once == 0:
+            # manifest counter proves failed_once empty: the retry
+            # anti-join is the identity and nothing can be permanent —
+            # skip the (broadcast-join) stage entirely
+            fo = None
 
         # the parsed store write already ran (inside parse_fetched), so its
         # Observations are readable NOW. In fused mode this is where the
@@ -600,12 +651,13 @@ class CrawlEngine:
         # independently — hazard pages make failures nonzero on most real
         # waves while leaf waves still discover nothing.
         skip_links = skip_retries = False
+        n_links_raw = n_failed_obs = None
         if use_obs:
             pm = obs_parsed.get
-            skip_links = int(pm["nlinks"] or 0) == 0
-            skip_retries = (
-                sum(int(pm[f"fail::{t}"] or 0) for t in self.tasks) == 0
-            )
+            n_links_raw = int(pm["nlinks"] or 0)
+            n_failed_obs = sum(int(pm[f"fail::{t}"] or 0) for t in self.tasks)
+            skip_links = n_links_raw == 0
+            skip_retries = n_failed_obs == 0
 
         links_prep = retries_prep = permanent = None
         if not skip_retries:
@@ -620,6 +672,7 @@ class CrawlEngine:
             retries_prep = prepare_dense_seq(
                 retries_base.withColumnRenamed("seq", "_oseq"), ["_oseq"],
                 bound=max_seq,
+                n_parts=self._seq_parts(n_failed_obs),
             )
         if not skip_links:
             links = with_canonical(
@@ -648,7 +701,8 @@ class CrawlEngine:
             # their per-partition counts ride the accounting union below and
             # finalize_dense_seq attaches the dense seqs with no extra barrier.
             links_prep = prepare_dense_seq(
-                links, ["parent_seq", "match_idx"], bound=max_seq
+                links, ["parent_seq", "match_idx"], bound=max_seq,
+                n_parts=self._seq_parts(n_links_raw),
             )
 
         # ---- accounting. With observations (the common path) every
@@ -979,9 +1033,23 @@ class CrawlEngine:
             if n:
                 fcounts_next[t] = n
 
+        # next frontier = deferred ∪ links ∪ retries. deferred and retries
+        # are disjoint subsets of cand_in (seq-unique split), so with no
+        # links the next frontier is key-unique iff cand_in was — which
+        # holds if this frontier was unique (cand_in ⊆ frontier) or the
+        # dedup ran over a reload-free candidate set.
+        next_unique = bool(
+            skip_links
+            and (
+                frontier_unique
+                or (use_obs and int(cand_m["nreload"] or 0) == 0)
+            )
+        )
         new_man = self._advance_manifest(
             man, rnd, carries, used, max_seq + n_links + n_retries, done,
             n_seen + n_seen_delta, frontier_counts=fcounts_next,
+            frontier_unique=next_unique,
+            failed_once_add=int(totals["failed"]),
         )
         # keep the Bloom current with this round's delta (wave-bounded work)
         if self._bloom is not None and n_seen_delta:
@@ -1017,6 +1085,8 @@ class CrawlEngine:
         done: bool,
         seen_count: int,
         frontier_counts: dict[str, int] | None = None,
+        frontier_unique: bool | None = None,
+        failed_once_add: int = 0,
     ) -> dict:
         out = {
             "round": rnd,
@@ -1026,6 +1096,15 @@ class CrawlEngine:
             "frontier_round": rnd,
             "carries": carries,
             "done": bool(done),
+            # None = frontier unchanged this round — propagate the proof
+            "frontier_unique": bool(man.get("frontier_unique"))
+            if frontier_unique is None
+            else bool(frontier_unique),
+            "failed_once_count": (
+                int(man.get("failed_once_count") or 0) + int(failed_once_add)
+            )
+            if man.get("failed_once_count") is not None
+            else None,
         }
         if frontier_counts is not None:
             out["frontier_counts"] = {

@@ -44,16 +44,21 @@ _LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid << 33 | row
 
 
 def prepare_dense_seq(
-    df: DataFrame, order_cols: list[str], bound: int | None = None
+    df: DataFrame, order_cols: list[str], bound: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Ordered-partition + rank-tagged frame; cached, lazy.
 
     order_cols must form a total (duplicate-free) order. ``bound``: known
     inclusive upper bound of the (non-negative integer) leading order
-    column — enables the sampling-free arithmetic bucketing.
+    column — enables the sampling-free arithmetic bucketing. ``n_parts``:
+    caller-known sizing (e.g. from an Observation count of the rows about
+    to flow in) — a 20k-row retry delta should shuffle into a couple of
+    buckets, not ``spark.sql.shuffle.partitions`` of them; correctness
+    never depends on the bucket count (offsets follow bucket ids).
     """
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = int(n_parts or spark.conf.get("spark.sql.shuffle.partitions"))
     if bound is not None:
         bucket = F.floor(
             F.col(order_cols[0]).cast("long") * F.lit(n) / F.lit(int(bound) + 1)

@@ -77,7 +77,13 @@ class SnapshotStore:
         )
 
     def read_frontier(self, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._round_dir(rnd), "frontier"))
+        # explicit schema: skips the footer-inference job (a driver-serial
+        # per-round constant); the frontier is always FRONTIER-shaped
+        from . import schemas
+
+        return self.spark.read.schema(schemas.FRONTIER).parquet(
+            os.path.join(self._round_dir(rnd), "frontier")
+        )
 
     def append(self, table: str, rnd: int, df: DataFrame) -> None:
         path = os.path.join(self.root, table, f"round={rnd}")
@@ -143,12 +149,28 @@ class SnapshotStore:
         if os.path.exists(rd):
             shutil.rmtree(rd)
 
-    def read_delta(self, table: str, rnd: int) -> DataFrame:
+    def read_delta(self, table: str, rnd: int, schema=None) -> DataFrame:
         """Read back exactly one round's delta (e.g. the write-once parsed
-        frame the round just appended and keeps using as its hot frame)."""
-        return self.spark.read.parquet(
-            os.path.join(self.root, table, f"round={rnd}")
-        )
+        frame the round just appended and keeps using as its hot frame).
+        ``schema``: pass the known StructType to skip the footer-inference
+        job."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(os.path.join(self.root, table, f"round={rnd}"))
+
+    # fixed per-table delta schemas (skips per-round inference jobs for the
+    # hot reads; tables absent here infer as before)
+    def _table_schema(self, table: str):
+        from pyspark.sql.types import StructType
+
+        from . import schemas
+
+        if table == "seen":
+            return schemas.SEEN
+        if table == "failed_once":
+            return StructType.fromDDL("key string")
+        return None
 
     def read_through(self, table: str, rnd: int) -> DataFrame | None:
         """Union of committed deltas round<=rnd (read-committed view)."""
@@ -164,7 +186,11 @@ class SnapshotStore:
         ]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        schema = self._table_schema(table)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)
 
     def _read_documents(self, rnd: int) -> DataFrame | None:
         """Documents are a DERIVED VIEW over the per-round parsed deltas —
