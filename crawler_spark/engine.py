@@ -614,7 +614,7 @@ class CrawlEngine:
             # not scratch — documents derive from it at read time. The
             # basePath partition read supplies `round`, so no round column
             # is written into the data files.
-            self.store.append("parsed", rnd, df)
+            self.store.append("parsed", rnd, df, partition_by="ok")
             return self.store.read_delta("parsed", rnd, schema=df.schema)
 
         parsed, _documents, items, raw_links = parse_fetched(
@@ -969,9 +969,22 @@ class CrawlEngine:
                 deferred = cand.join(
                     wave.select("seq"), "seq", "left_anti"
                 ).select(*frontier_cols)
-            next_frontier = deferred.unionByName(new_links).unionByName(
-                retries_f
-            )
+            # union only the nonempty pieces: a proven-empty side would
+            # contribute defaultParallelism zero-row partitions to the
+            # frontier write (pure task-launch overhead on small deltas)
+            pieces = []
+            if n_wave != n_cand:
+                pieces.append(deferred)
+            if not skip_links:
+                pieces.append(new_links)
+            if not skip_retries:
+                pieces.append(retries_f)
+            if pieces:
+                next_frontier = pieces[0]
+                for p in pieces[1:]:
+                    next_frontier = next_frontier.unionByName(p)
+            else:
+                next_frontier = empty_frontier.coalesce(1)
 
             if totals["failed"] > n_retries:
                 futs.append(

@@ -85,11 +85,20 @@ class SnapshotStore:
             os.path.join(self._round_dir(rnd), "frontier")
         )
 
-    def append(self, table: str, rnd: int, df: DataFrame) -> None:
+    def append(
+        self, table: str, rnd: int, df: DataFrame,
+        partition_by: str | None = None,
+    ) -> None:
         path = os.path.join(self.root, table, f"round={rnd}")
         if os.path.exists(path):  # crashed, uncommitted attempt — overwrite
             shutil.rmtree(path)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # Iceberg-style partition pruning stand-in: e.g. the parsed
+            # delta partitions on `ok` so the retry path opens only the
+            # ~hazard-rate fraction of files instead of scanning the wave
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
 
     def append_local(
         self, table: str, rnd: int, rows: list[dict], schema
@@ -217,7 +226,10 @@ class SnapshotStore:
                 out = (
                     self.spark.read.option("basePath", base)
                     .parquet(*dirs)
-                    .filter(F.col("ok"))
+                    # `ok` is a PARTITION column of the parsed delta
+                    # (discovered as string); the equality filter still
+                    # prunes at file-listing level
+                    .filter(F.col("ok").cast("boolean"))
                     .select(
                         F.col("curl").alias("doc_id"),
                         spans_col().alias("spans"),
@@ -288,9 +300,16 @@ class SnapshotStore:
         tmp = os.path.join(base, ".compact_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         dirs = [os.path.join(base, f"round={r}") for r in rounds]
-        self.spark.read.parquet(*dirs).coalesce(
+        df = self.spark.read.parquet(*dirs)
+        w = df.coalesce(
             max(1, self.spark.sparkContext.defaultParallelism)
-        ).write.mode("overwrite").parquet(tmp)
+        ).write.mode("overwrite")
+        if table == "parsed" and "ok" in df.columns:
+            # preserve the delta's ok= partition layout (discovered as a
+            # string partition col; re-partitioning on it re-emits the
+            # identical ok=true/ok=false directory names)
+            w = w.partitionBy("ok")
+        w.parquet(tmp)
         # marker commits the intent atomically; from here recover() can
         # always finish the swap because tmp is complete
         mtmp = self._compact_marker(table) + ".tmp"

@@ -83,9 +83,9 @@ def main() -> None:
     orig_append = SnapshotStore.append
     orig_wf = SnapshotStore.write_frontier
 
-    def timed_append(self, table, rnd, df):
+    def timed_append(self, table, rnd, df, **kw):
         t0 = time.time()
-        orig_append(self, table, rnd, df)
+        orig_append(self, table, rnd, df, **kw)
         print(f"    WRITE {table}: {time.time()-t0:.2f}s", flush=True)
 
     def timed_wf(self, rnd, df):
