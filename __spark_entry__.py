@@ -275,6 +275,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the LSH pairs -> one survivor per component.
+    The step the reference's per-URL visited map never needed (URL identity
+    is already an equivalence relation) but content near-dup requires."""
+    from crawler_spark.pipeline.dedup import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from crawler_spark.pipeline.dedup import simhash
 
@@ -408,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_lang_id": q_text_lang_id,
@@ -623,6 +633,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            und AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+                   d.doc_id = LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS keep
+            FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
         """,
         "dedup_simhash": f"""
             WITH inst AS (

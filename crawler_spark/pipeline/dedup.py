@@ -210,6 +210,100 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, label) — label = min node id of each connected component.
+
+    Min-label propagation to a fixpoint: each iteration joins the
+    (undirected) edge list against the current labels and takes the min of
+    a node's own label and its neighbors' labels. Iterations = graph
+    diameter; near-dup components are dense and shallow (LSH buckets link
+    every member of a duplicate family to the minhash-minimal one), so
+    this converges in 2-4 rounds in practice where the textbook worst case
+    (a path graph) would need O(n). Each iteration is one shuffle join +
+    one aggregation, both on the node key; ``localCheckpoint`` truncates
+    the lineage so plan size stays constant across iterations. For
+    adversarial graph shapes the two-phase large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+    rounds to O(log n); not needed for dedup-shaped graphs.
+
+    Deterministic: the fixpoint (min reachable id) is unique; the loop
+    exits only when an iteration changes nothing. ``max_iter`` is a
+    runaway bound, not a tuning knob — hitting it raises rather than
+    silently emitting a non-converged labeling.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("vlab")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()  # eager: also materializes the iteration
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "nl")
+            .join(labels, "node")
+            .filter(F.col("nl") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def neardup_clusters(
+    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+) -> DataFrame:
+    """(doc_id, cluster_id, keep) — the production dedup decision.
+
+    Pair detection alone (``minhash_lsh_pairs``) is not a dedup policy:
+    near-duplication is transitive in practice (A~B, B~C) and keeping
+    "one of each pair" over-deletes. This operator closes the pairs into
+    connected components and keeps exactly one survivor per component —
+    the min doc_id — assigning every OTHER corpus document its own id
+    (singleton cluster). Output is a full keep/drop decision per document,
+    joinable back onto the corpus as the dedup filter.
+    """
+    pairs = minhash_lsh_pairs(documents, num_hashes, band_size, k)
+    labels = connected_components(pairs)
+    return (
+        documents.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 3,
