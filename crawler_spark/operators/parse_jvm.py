@@ -151,22 +151,44 @@ def _combined_expr(r: Rule, b: str) -> str:
     sep = _q(_P)
     is_match = f"(startswith(p, {_q('L' + _P)}) OR startswith(p, {_q('M' + _P)}))"
     # decode each piece once: match records -> (null, kind, full, g1, g2),
-    # text pieces -> (p, null, null, null, null)
+    # text pieces -> (p, null, null, null, null). The split runs ONCE per
+    # piece (let-bound) — the match replacement always writes exactly 4
+    # P-separated fields, so element_at indices are total.
+    decoded = (
+        "named_struct('txt', cast(null as string),"
+        " 'k', element_at(_f, 1), 'full', element_at(_f, 2),"
+        " 'g1', element_at(_f, 3), 'g2', element_at(_f, 4))"
+    )
     pieces = (
         f"transform(split({marked}, {_q(_S)}), p -> if({is_match},"
-        f" named_struct('txt', cast(null as string),"
-        f"  'k', element_at(split(p, {sep}), 1),"
-        f"  'full', element_at(split(p, {sep}), 2),"
-        f"  'g1', element_at(split(p, {sep}), 3),"
-        f"  'g2', element_at(split(p, {sep}), 4)),"
+        f" {_jlet('_f', f'split(p, {sep})', decoded)},"
         f" named_struct('txt', p, 'k', cast(null as string),"
         f"  'full', cast(null as string), 'g1', cast(null as string),"
         f"  'g2', cast(null as string))))"
     )
     lens = "transform(_pc, e -> if(e.txt IS NULL, length(e.full), length(e.txt)))"
+    # Start offsets = prefix sum over piece lengths, TWO-LEVEL so it stays
+    # linear: a naive aggregate+array_append over all n pieces copies the
+    # growing array every step — O(n^2) element copies, measured 14s for a
+    # single 20k-link hub page (a crawl's seed/index pages are exactly that
+    # shape). Chunking by C bounds every array_append to C elements:
+    # chunk totals are O(n) adds, the chunk-base prefix is O((n/C)^2) over
+    # a tiny array, per-chunk offsets are O(n*C) copies total.
+    C = 256
+    chunk_base = (
+        f"aggregate(transform(sequence(0, _nch - 1),"
+        f" ci -> aggregate(slice(_ln, ci * {C} + 1, {C}), 0, (a, x) -> a + x)),"
+        f" array(0), (a, x) -> array_append(a, element_at(a, -1) + x))"
+    )
+    per_chunk = (
+        f"aggregate(slice(_ln, ci * {C} + 1, {C}),"
+        f" array(element_at(_cb, ci + 1)),"
+        f" (a, x) -> array_append(a, element_at(a, -1) + x))"
+    )
     offs = (
-        f"aggregate({lens}, array(0),"
-        f" (a, l) -> array_append(a, element_at(a, -1) + l))"
+        f"flatten(transform(sequence(0, _nch - 1), ci -> "
+        + _jlet("_cs", per_chunk, "slice(_cs, 1, size(_cs) - 1)")
+        + "))"
     )
     span_or_null = (
         "if(e.txt IS NULL,"
@@ -181,7 +203,7 @@ def _combined_expr(r: Rule, b: str) -> str:
         "  cast(null as struct<kind:string,text:string,media_ref:string,offset:int>)))"
     )
     spans = (
-        f"filter(zip_with(_pc, slice(_of, 1, size(_pc)), (e, o) -> {span_or_null}),"
+        f"filter(zip_with(_pc, _of, (e, o) -> {span_or_null}),"
         f" x -> x IS NOT NULL)"
     )
     if r.url_prefix:
@@ -198,10 +220,15 @@ def _combined_expr(r: Rule, b: str) -> str:
         f"'c', transform(_lk, e -> e.g2),"
         f"'sp', {spans})"
     )
+    nch = f"greatest(1, cast(ceil(size(_ln) / {C}.0) as int))"
     return _jlet(
         "_pc", pieces,
-        _jlet("_of", offs,
-              _jlet("_lk", "filter(_pc, e -> e.k = 'L')", body_expr)),
+        _jlet("_ln", lens,
+              _jlet("_nch", nch,
+                    _jlet("_cb", chunk_base,
+                          _jlet("_of", offs,
+                                _jlet("_lk", "filter(_pc, e -> e.k = 'L')",
+                                      body_expr))))),
     )
 
 
