@@ -4,10 +4,12 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data pipeline ops); each takes (spark, sf_dir) and returns a
 DataFrame.
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query; omitted only for
-genuinely non-SQL-expressible ops (the crawl-engine E2E, whose correctness
-gate is the pure-Python oracle in tests/test_golden_e2e.py, and the
-multimodal mapInPandas plumbing).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for EVERY query, including
+the two non-relational ones: the crawl-engine E2E's oracle inlines the
+pure-Python reference-semantics oracle's expected order as a VALUES
+relation, and multimodal_decode's oracle re-derives the fake codec's
+deterministic metadata arithmetic in SQL (the binary mapInPandas plumbing
+is exercised Spark-side but not projected).
 
 Column-name parity: every computed column is aliased identically on both
 sides. Numeric parity: aggregates that would be float-order-dependent are
@@ -356,6 +358,17 @@ def q_sim_ann_multitable(spark, sf_dir):
     )
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN — the second standard ANN family next to LSH (coarse
+    quantize to sampled centroids, probe the query's nprobe nearest cells).
+    Reference has no ANN surface; training-data-pipeline extension."""
+    from crawler_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, nprobe=2
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary-column decode plumbing (deterministic fake codec; real decode
     stubbed — no image libs in this container)."""
@@ -428,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multitable": q_sim_ann_multitable,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
@@ -808,6 +822,55 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(q.qv, q.qv))) AS sim
                 FROM bkt e JOIN q ON e.vec_id <> q.query_id
                  AND (e.b0 = q.qb0 OR e.b1 = q.qb1 OR e.b2 = q.qb2 OR e.b3 = q.qb3)
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                       sim
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
+            FROM ranked WHERE rank <= 10
+        """,
+        # IVF: centroids = corpus vectors at fixed sampled ids (cells 0-7),
+        # assignment = argmax cosine w/ lowest-cell tie-break, queries probe
+        # their 2 nearest cells, exact rerank inside — mirrors
+        # similarity.ivf_topk (same left-to-right double dot products)
+        "sim_ann_ivf": f"""
+            WITH cent AS (
+                SELECT u.cell, e.embedding::DOUBLE[] AS cv
+                FROM (VALUES {", ".join(f"({c}, {vid})" for c, vid in enumerate(7 + 37 * i for i in range(8)))}) AS u(cell, vid)
+                JOIN embeddings e ON e.vec_id = u.vid
+            ), csim AS (
+                SELECT e.vec_id, c.cell,
+                       list_dot_product(e.embedding::DOUBLE[], c.cv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+                FROM embeddings e CROSS JOIN cent c
+            ), asn AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                    FROM csim
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                    FROM csim WHERE vec_id IN (0,1,2,3,4)
+                ) WHERE rn <= 2
+            ), q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+            ), scored AS (
+                SELECT p.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e
+                JOIN asn a ON a.vec_id = e.vec_id
+                JOIN probes p ON p.cell = a.cell
+                JOIN q ON q.query_id = p.query_id
+                WHERE e.vec_id <> p.query_id
             ), ranked AS (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,

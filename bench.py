@@ -453,10 +453,12 @@ def _append_bench_md(scaling: dict) -> None:
     supp = (
         f" Supplementary single-socket matrix point: local[4]->local[16] "
         f"speedup {scaling.get('speedup_4_to_16')}, efficiency {eff416} — "
-        f"capped by DRAM bandwidth at 16 streaming threads on this one-"
-        f"socket VM (the hot stage's executorCpuTime inflates 15-25% at 16 "
-        f"cores for identical work; a real cluster's 4N executors bring 4N "
-        f"sockets of bandwidth, so this point understates cluster scaling)."
+        f"this pair is sensitive to DRAM bandwidth at 16 streaming threads "
+        f"on the one-socket VM (the hot stage's executorCpuTime has been "
+        f"observed to inflate 15-25% at 16 cores for identical work; a real "
+        f"cluster's 4N executors bring 4N sockets of bandwidth) and to the "
+        f"min-of-noisy-runs estimator, so treat the 2->8 pair as the "
+        f"headline and this one as corroboration."
         if eff416 is not None
         else ""
     )

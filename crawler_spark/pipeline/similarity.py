@@ -205,6 +205,125 @@ def ann_topk_multitable(
     )
 
 
+DEFAULT_IVF_CENTROID_IDS = tuple(7 + 37 * i for i in range(8))
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS
+) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantization: nearest sampled centroid.
+
+    The OTHER standard ANN family next to LSH (Faiss IVF*): partition the
+    corpus into cells around centroids, search only the query's nearest
+    cells. Centroids here are corpus vectors at fixed ids (the
+    training-free "sampled centroids" variant — deterministic, no RNG, no
+    iterative k-means; a k-means refinement would slot in front without
+    changing any downstream plumbing). The centroid set is tiny and is
+    collected once at plan-build time and inlined as literal arrays, so
+    assignment is pure whole-stage-codegen column math over one corpus
+    scan — the same broadcast-the-small-side shape the cosine path uses.
+
+    Cell choice = argmax cosine, ties to the lowest cell index (struct
+    sort on (sim desc, -cell desc) — both engines compare the identical
+    left-to-right double sums, mirrored in the DuckDB oracle).
+    """
+    cents = {
+        r["vec_id"]: r["embedding"]
+        for r in embeddings.filter(F.col("vec_id").isin(list(centroid_ids))).collect()
+    }
+    missing = [i for i in centroid_ids if i not in cents]
+    if missing:
+        raise ValueError(f"centroid ids not in corpus: {missing}")
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("embedding"), F.array(*[F.lit(float(v)) for v in cents[cid]]))
+                    / (
+                        _norm(F.col("embedding"))
+                        * F.lit(sum(float(v) * float(v) for v in cents[cid]) ** 0.5)
+                    )
+                ).alias("sim"),
+                F.lit(-cell).alias("negcell"),
+            )
+            for cell, cid in enumerate(centroid_ids)
+        ]
+    )
+    best = F.sort_array(scored, asc=False)[0]
+    return embeddings.select("vec_id", (-best["negcell"]).cast("int").alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+) -> DataFrame:
+    """IVF approximate top-k: rerank only within the query's ``nprobe``
+    nearest cells. Output contract matches cosine_topk/ann_topk:
+    (query_id, neighbor_id, rank, sim6).
+
+    Scale shape: the index (vec_id, cell) is one corpus scan; queries
+    probe a handful of cells, so candidates = corpus rows whose cell is in
+    a tiny broadcast set — never all-pairs, and the corpus side never
+    shuffles. At 10^10 vectors the cell column becomes the Iceberg
+    partition key so probing prunes file scans.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(embeddings, centroid_ids)
+    # per-query probed cells: rank centroids by cosine, keep top nprobe
+    cents = {
+        r["vec_id"]: r["embedding"]
+        for r in embeddings.filter(F.col("vec_id").isin(list(centroid_ids))).collect()
+    }
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cell_sims = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("qv"), F.array(*[F.lit(float(v)) for v in cents[cid]]))
+                    / (
+                        _norm(F.col("qv"))
+                        * F.lit(sum(float(v) * float(v) for v in cents[cid]) ** 0.5)
+                    )
+                ).alias("sim"),
+                F.lit(-cell).alias("negcell"),
+            )
+            for cell, cid in enumerate(centroid_ids)
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.sort_array(cell_sims, asc=False), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", (-F.col("probe.negcell")).cast("int").alias("cell"))
+    cand = (
+        embeddings.join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    # no dedup needed: each corpus vector lives in exactly one cell, so it
+    # matches at most one of a query's nprobe (distinct) probed cells
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim6"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, max_id: int = 200, sim_threshold: float = 0.99
 ) -> DataFrame:

@@ -97,3 +97,42 @@ def test_minhash_production_params(spark, documents):
     assert exact_pairs <= got
     # banded LSH must never emit a pair twice
     assert pairs.count() == len(got)
+
+
+def test_ivf_partitions_corpus_and_recall_sane(spark, embeddings):
+    """IVF assignment must cover every vector exactly once; probing more
+    cells can only add candidates, so recall vs exact is monotone in
+    nprobe, and nprobe = n_cells recovers the exact top-k (every cell
+    probed => candidate set = whole corpus)."""
+    from crawler_spark.pipeline.similarity import (
+        DEFAULT_IVF_CENTROID_IDS,
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    cells = ivf_assign(embeddings).collect()
+    n = embeddings.count()
+    assert len(cells) == n
+    assert len({r["vec_id"] for r in cells}) == n
+    assert all(0 <= r["cell"] < len(DEFAULT_IVF_CENTROID_IDS) for r in cells)
+
+    qids = [0, 1, 2, 3, 4]
+    exact = _topk_map(cosine_topk(embeddings, qids, k=10))
+    allprobe = _topk_map(
+        ivf_topk(embeddings, qids, k=10, nprobe=len(DEFAULT_IVF_CENTROID_IDS))
+    )
+    assert allprobe == exact
+
+    def recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ex: dict[int, set[int]] = {}
+        for (q, _), (nb, _) in exact.items():
+            ex.setdefault(q, set()).add(nb)
+        return {q: len(got.get(q, set()) & ex[q]) / len(ex[q]) for q in ex}
+
+    r1 = recall(ivf_topk(embeddings, qids, k=10, nprobe=1))
+    r4 = recall(ivf_topk(embeddings, qids, k=10, nprobe=4))
+    assert all(r4[q] >= r1[q] for q in r1)
