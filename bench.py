@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality",
@@ -42,6 +43,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_multitable",
+    "sim_ann_ivf",
     "agg_pricing_summary",
     "events_sessionize",
     "crawl_wave_topk",

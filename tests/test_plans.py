@@ -116,3 +116,49 @@ def test_budgeted_topk_plan_size_independent_of_group_count(spark):
         len(plan_small), len(plan_big),
     )
     assert "CASE WHEN" not in plan_big or plan_big.count("CASE WHEN") < 10
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """The whole shingle->signature pipeline must be ONE exchange: the
+    posexplode->window shuffle on doc_id, whose HashPartitioning the
+    signature aggregation reuses (no second exchange before the mins)."""
+    from crawler_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    # and the aggregation must be sort-based, reusing the window's
+    # (doc_id, pos) sort — a hash re-aggregation would re-buffer every
+    # shingle instance
+    assert "SortAggregate" in plan, plan
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """IVF coarse quantization is one codegen corpus scan: centroids are
+    inlined literals, so no exchange and no join of any kind appears."""
+    from crawler_spark.pipeline.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_assign(emb))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_jvm_parse_is_pure_projection(spark):
+    """The JVM parse path adds no exchange, no join, no window — it must
+    stay a per-row projection so the fetch join's partitioning survives."""
+    from crawler_spark.operators.parse_jvm import with_jvm_parse
+    from crawler_spark.textcore import Rule
+
+    rule = Rule(task="t", rule="r",
+                link_regex=r'<a href="(/x/[^"]+)">([^<]+)</a>',
+                url_prefix="http://h", next_rule="r2", next_priority=1)
+    df = spark.createDataFrame(
+        [("t", "r", "http://h/", "<a href=\"/x/1\">one</a>", {})],
+        "task string, rule string, curl string, body string, tmp map<string,string>",
+    )
+    plan = _plan(with_jvm_parse(df, [rule]))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
