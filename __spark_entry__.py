@@ -386,6 +386,53 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_stream_windowed_metrics(spark, sf_dir):
+    """Structured Streaming surface through the driver gate: the events
+    table becomes a fetch-event firehose (deterministic column mapping),
+    read as a file stream with Trigger.AvailableNow through the watermarked
+    windowed-metrics pipeline (streaming/metrics.py) into a complete-mode
+    memory sink. Complete mode emits every window regardless of the final
+    watermark, so the result equals the batch/SQL aggregation exactly —
+    the stream/batch parity Structured Streaming guarantees and
+    tests/test_streaming.py pins."""
+    import tempfile
+
+    from crawler_spark.streaming.metrics import windowed_fetch_metrics
+
+    ev = _t(spark, sf_dir, "events").select(
+        # watermarks require TIMESTAMP (LTZ); the parquet roundtrip would
+        # otherwise surface the source's TIMESTAMP_NTZ
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("task"),
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        (F.col("value") >= 10.0).alias("ok"),
+        F.floor(F.col("value") * 100).cast("long").alias("n_bytes"),
+        (F.col("event_id") % 1000).cast("int").alias("latency_ms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_stream_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/events")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/events")
+    sink = "entry_stream_metrics"
+    q = (
+        windowed_fetch_metrics(stream, window_s=60, watermark_s=120)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    # window bounds as epoch seconds: timestamp values round-trip with
+    # engine-specific unit/tz dtypes (ns vs us), epoch longs hash identically
+    return spark.table(sink).select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        F.unix_timestamp("win_end").alias("win_end_s"),
+        "task", "host", "n_fetches", "n_ok", "n_failed", "sum_bytes",
+        "max_latency_ms",
+    )
+
+
 def q_crawl_e2e_order(spark, sf_dir):
     """Full crawl-engine micro-round E2E on the deterministic fixture
     (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
@@ -443,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_multitable": q_sim_ann_multitable,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "stream_windowed_metrics": q_stream_windowed_metrics,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
 
@@ -879,6 +927,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
             FROM ranked WHERE rank <= 10
+        """,
+        # streaming windowed metrics: complete-mode availableNow output ==
+        # the plain batch window aggregation (stream/batch parity); the
+        # deterministic event mapping is re-derived here, windows via
+        # time_bucket on the same 60s tumbling grid
+        "stream_windowed_metrics": """
+            WITH ev AS (
+                SELECT ts,
+                       event_type AS task,
+                       'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+                       value >= 10.0 AS ok,
+                       CAST(floor(value * 100) AS BIGINT) AS n_bytes,
+                       CAST(event_id % 1000 AS INT) AS latency_ms
+                FROM events
+            )
+            SELECT CAST(epoch(time_bucket(INTERVAL '60 seconds', ts)) AS BIGINT) AS win_start_s,
+                   CAST(epoch(time_bucket(INTERVAL '60 seconds', ts)) + 60 AS BIGINT) AS win_end_s,
+                   task, host,
+                   count(*) AS n_fetches,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+                   CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+                   max(latency_ms) AS max_latency_ms
+            FROM ev
+            GROUP BY 1, 2, 3, 4
         """,
         # multimodal_decode's projection is pure deterministic arithmetic
         # over the media_ref (the fake codec's metadata + payload size);
