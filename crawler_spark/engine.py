@@ -89,7 +89,33 @@ class CrawlEngine:
         bloom_min_seen: int = 50_000,
         bloom_bits: int = 1 << 22,
         typed_tables: bool = False,
+        frontier_mode: str = "snapshot",
+        frontier_compact_factor: float = 2.0,
     ):
+        # ``frontier_mode``:
+        # - "snapshot": every round rewrites the surviving frontier (the
+        #   Iceberg MERGE copy-on-write analog). Simple, but a budget-bound
+        #   round (wave << frontier — the 10^10-URL steady state under
+        #   politeness) rewrites O(frontier) rows to consume O(wave).
+        # - "delta": merge-on-read. A budget-bound round appends only
+        #   links/retries (frontier_add) plus the consumed seqs — wave and
+        #   within-round dedup losers — as tombstones (frontier_del); reads
+        #   assemble base ∪ adds ∖ dels. Rows dropped by idempotent filters
+        #   (depth, closed-task, seen-key) stay physically present until
+        #   the base is rewritten — the filters re-drop them each read, and
+        #   a seen-key can never leave the append-only seen table, so none
+        #   can resurface. The base rewrite (rewrite_data_files analog)
+        #   triggers arithmetically when raw rows exceed
+        #   frontier_compact_factor x live rows, and is forced by dynamic
+        #   task open/close (a closed task's rows must not outlive a later
+        #   reopen). Budget-unbound rounds consume the whole view, so their
+        #   links∪retries output IS a fresh tiny base. Byte-parity with
+        #   snapshot mode is pinned by tests/test_frontier_delta.py.
+        if frontier_mode not in ("snapshot", "delta"):
+            raise ValueError(f"unknown frontier_mode {frontier_mode!r}")
+        self.frontier_mode = frontier_mode
+        self.frontier_compact_factor = float(frontier_compact_factor)
+        self._force_frontier_compact = False
         self.spark = spark
         self.store = SnapshotStore(spark, state_dir)
         self.fetcher = fetcher
@@ -225,6 +251,11 @@ class CrawlEngine:
             return
         self.tasks[name] = replace(t, closed=closed)
         self._rebuild_tasks_df()
+        # delta mode keeps filter-dropped rows physically in the view; a
+        # task-closed change makes those drops non-idempotent (a reopened
+        # task must not resurrect rows a snapshot run would have removed),
+        # so the next round folds the view into a fresh base
+        self._force_frontier_compact = True
 
     def run_task(self, name: str, seed_rows: list[dict]) -> None:
         """Open a preset task and queue its Root seeds (runTasks analog).
@@ -281,6 +312,14 @@ class CrawlEngine:
                 "frontier_unique": frontier_unique,
                 "failed_once_count": 0,
                 "done": False,
+                **(
+                    {
+                        "frontier_base": 0,
+                        "frontier_raw": int(sum(r["n"] for r in per_task)),
+                    }
+                    if self.frontier_mode == "delta"
+                    else {}
+                ),
             },
         )
 
@@ -316,7 +355,16 @@ class CrawlEngine:
         # what to write, or read_through would see it forever
         self.store.clean_round(rnd)
         self._drop_scratch(rnd)
-        frontier = self.store.read_frontier(man.get("frontier_round", prev))
+        fr_round = man.get("frontier_round", prev)
+        fr_base = man.get("frontier_base")
+        if fr_base is not None:
+            # lazy GC of deltas folded into the committed base (safe only
+            # AFTER the base's manifest committed, hence at round start)
+            self.store.drop_frontier_deltas(fr_base)
+        if fr_base is not None and fr_base < fr_round:
+            frontier = self.store.read_frontier_view(fr_base, fr_round)
+        else:
+            frontier = self.store.read_frontier(fr_round)
         seen = self.store.read_through("seen", prev)
         if seen is None:
             seen = spark.createDataFrame([], schemas.SEEN)
@@ -334,6 +382,7 @@ class CrawlEngine:
         # previous round's links/retries (manifest max_seq), so queue
         # arrival order matches the oracle's end-of-round push
         pending_counts: dict[str, int] = {}
+        stamped_seed_rows: list[dict] = []
         if self._pending_seeds:
             rows = []
             for i, r in enumerate(self._pending_seeds):
@@ -344,6 +393,10 @@ class CrawlEngine:
                 pending_counts[rr["task"]] = pending_counts.get(rr["task"], 0) + 1
             max_seq += len(rows)
             self._pending_seeds = []
+            # delta mode: these rows exist only in this in-memory union —
+            # a delta round must persist them as frontier_add (waved/lost
+            # ones are simultaneously tombstoned, which nets out exactly)
+            stamped_seed_rows = rows
             frontier = frontier.unionByName(
                 spark.createDataFrame(rows, schemas.FRONTIER)
             )
@@ -427,16 +480,34 @@ class CrawlEngine:
                 "key", *[c for c in cand.columns if c != "key"]
             )
         else:
-            deduped = (
-                non_reload2.groupBy("key")
-                .agg(
-                    F.min_by(
-                        F.struct(*[c for c in non_reload2.columns if c != "key"]),
-                        F.struct((-F.col("priority")).alias("p"), F.col("seq").alias("s")),
-                    ).alias("r")
-                )
-                .select("key", "r.*")
-            )
+            # delta mode additionally needs the dedup LOSERS (same-key,
+            # non-winning rows): the reference contract drops them forever
+            # at this round (visited marked by the winner's pop), so the
+            # merge-on-read view must tombstone them — otherwise a loser
+            # would resurface and out-rank the winner's retry if the winner
+            # fails. collect_list rides the SAME single shuffle/aggregate;
+            # the loser-seq array column travels inside the existing cand
+            # scratch and is read back from it — zero extra jobs.
+            want_losers = self.frontier_mode == "delta" and not fused
+            aggs = [
+                F.min_by(
+                    F.struct(*[c for c in non_reload2.columns if c != "key"]),
+                    F.struct((-F.col("priority")).alias("p"), F.col("seq").alias("s")),
+                ).alias("r")
+            ]
+            if want_losers:
+                aggs.append(F.collect_list("seq").alias("_seqs"))
+            deduped = non_reload2.groupBy("key").agg(*aggs)
+            if want_losers:
+                deduped = deduped.select(
+                    "key",
+                    "r",
+                    F.filter(
+                        F.col("_seqs"), lambda s: s != F.col("r.seq")
+                    ).alias("_lseqs"),
+                ).select("key", "r.*", "_lseqs")
+            else:
+                deduped = deduped.select("key", "r.*")
         # Per-task round counts ride the round's WRITE jobs as Observation
         # metrics — computed inside jobs the round already runs, so the
         # old 8-branch accounting job (6 extra pruned scans of the scratch
@@ -449,8 +520,13 @@ class CrawlEngine:
         if frontier_unique:
             cand_in = deduped  # reload-free by the same proof
         else:
+            reload_branch = cand.filter(F.col("reload"))
+            if "_lseqs" in deduped.columns:
+                reload_branch = reload_branch.withColumn(
+                    "_lseqs", F.lit(None).cast("array<bigint>")
+                )
             cand_in = deduped.unionByName(
-                cand.filter(F.col("reload")).select(*deduped.columns)
+                reload_branch.select(*deduped.columns)
             )
         obs_cand = None
         cand_counts: dict[str, int] | None = None
@@ -467,6 +543,7 @@ class CrawlEngine:
                     for t in self.tasks
                 ],
             )
+        dedup_losers = None  # delta mode: same-key non-winners to tombstone
         if fused:
             # no scratch, no barrier: the candidate plan IS the wave and
             # flows straight into the fetch join; counts (incl. the
@@ -482,6 +559,11 @@ class CrawlEngine:
             used = None
         else:
             cand = self._scratch(cand_in, rnd, "cand")
+            if "_lseqs" in cand.columns:
+                dedup_losers = cand.filter(F.size("_lseqs") > 0).select(
+                    F.explode("_lseqs").alias("seq")
+                )
+                cand = cand.drop("_lseqs")
             if use_obs:
                 cand_m = obs_cand.get
                 n_cand = int(cand_m["n"] or 0)
@@ -972,33 +1054,96 @@ class CrawlEngine:
                 retries = retries.drop("_oseq")
                 retries_f = retries.select(*frontier_cols)
 
-            if n_wave == n_cand:
-                # wave ⊆ cand by construction and seq is frontier-unique, so
-                # equal counts prove the deferred set empty — skips an
-                # |cand| x |wave| anti-join shuffle on full-throughput rounds
-                deferred = spark.createDataFrame([], schemas.FRONTIER).select(
-                    *frontier_cols
+            # ---- frontier advance: merge-on-read delta vs snapshot ----
+            # A delta round appends O(links+retries) rows + O(wave+losers)
+            # seq tombstones instead of rewriting the O(frontier) survivor
+            # set. Taken only when the deferred set is nonempty (otherwise
+            # links∪retries IS a fresh tiny base — write it), no config
+            # change forced a fold, and the arithmetic raw/live forecast
+            # stays under the compaction threshold (rewrite_data_files
+            # analog — the 1-in-K snapshot round amortizes to O(delta)).
+            delta_round = False
+            raw_next = 0
+            if (
+                self.frontier_mode == "delta"
+                and not self._force_frontier_compact
+                and n_wave is not None
+                and n_cand is not None
+                and n_wave != n_cand
+                and man.get("frontier_raw") is not None
+            ):
+                raw_next = (
+                    int(man["frontier_raw"])
+                    + n_links + n_retries + len(stamped_seed_rows)
+                )
+                live_next = (n_cand - n_wave) + n_links + n_retries
+                delta_round = raw_next <= self.frontier_compact_factor * max(
+                    live_next, 1
+                )
+            if delta_round:
+                adds = []
+                if not skip_links:
+                    adds.append(new_links)
+                if not skip_retries:
+                    adds.append(retries_f)
+                if stamped_seed_rows:
+                    # queued seeds entered this round via the in-memory
+                    # union only — persist them (waved/dedup-lost ones are
+                    # simultaneously tombstoned, which nets out exactly)
+                    adds.append(
+                        spark.createDataFrame(
+                            stamped_seed_rows, schemas.FRONTIER
+                        ).select(*frontier_cols)
+                    )
+                if adds:
+                    adds_df = adds[0]
+                    for p in adds[1:]:
+                        adds_df = adds_df.unionByName(p)
+                    futs.append(
+                        pool.submit(
+                            self.store.append, "frontier_add", rnd, adds_df
+                        )
+                    )
+                dels = wave.select("seq")
+                if dedup_losers is not None:
+                    dels = dels.unionByName(dedup_losers)
+                futs.append(
+                    pool.submit(
+                        self.store.append,
+                        "frontier_del",
+                        rnd,
+                        dels.coalesce(n_slim),
+                    )
                 )
             else:
-                deferred = cand.join(
-                    wave.select("seq"), "seq", "left_anti"
-                ).select(*frontier_cols)
-            # union only the nonempty pieces: a proven-empty side would
-            # contribute defaultParallelism zero-row partitions to the
-            # frontier write (pure task-launch overhead on small deltas)
-            pieces = []
-            if n_wave != n_cand:
-                pieces.append(deferred)
-            if not skip_links:
-                pieces.append(new_links)
-            if not skip_retries:
-                pieces.append(retries_f)
-            if pieces:
-                next_frontier = pieces[0]
-                for p in pieces[1:]:
-                    next_frontier = next_frontier.unionByName(p)
-            else:
-                next_frontier = empty_frontier.coalesce(1)
+                if n_wave == n_cand:
+                    # wave ⊆ cand by construction and seq is frontier-unique,
+                    # so equal counts prove the deferred set empty — skips an
+                    # |cand| x |wave| anti-join shuffle on full-throughput
+                    # rounds
+                    deferred = spark.createDataFrame(
+                        [], schemas.FRONTIER
+                    ).select(*frontier_cols)
+                else:
+                    deferred = cand.join(
+                        wave.select("seq"), "seq", "left_anti"
+                    ).select(*frontier_cols)
+                # union only the nonempty pieces: a proven-empty side would
+                # contribute defaultParallelism zero-row partitions to the
+                # frontier write (pure task-launch overhead on small deltas)
+                pieces = []
+                if n_wave != n_cand:
+                    pieces.append(deferred)
+                if not skip_links:
+                    pieces.append(new_links)
+                if not skip_retries:
+                    pieces.append(retries_f)
+                if pieces:
+                    next_frontier = pieces[0]
+                    for p in pieces[1:]:
+                        next_frontier = next_frontier.unionByName(p)
+                else:
+                    next_frontier = empty_frontier.coalesce(1)
 
             if totals["failed"] > n_retries:
                 futs.append(
@@ -1031,9 +1176,10 @@ class CrawlEngine:
             self.store.append_local(
                 "metrics", rnd, metrics_rows, schemas.ROUND_METRICS
             )
-            futs.append(
-                pool.submit(self.store.write_frontier, rnd, next_frontier)
-            )
+            if not delta_round:
+                futs.append(
+                    pool.submit(self.store.write_frontier, rnd, next_frontier)
+                )
             for f in futs:
                 f.result()
         # done iff the new frontier is empty (budget-deferred rows keep it
@@ -1078,6 +1224,17 @@ class CrawlEngine:
             frontier_unique=next_unique,
             failed_once_add=int(totals["failed"]),
         )
+        if self.frontier_mode == "delta":
+            if delta_round:
+                new_man["frontier_base"] = man.get("frontier_base")
+                new_man["frontier_raw"] = int(raw_next)
+            else:
+                # this round's snapshot IS the new base (compaction / fresh
+                # tiny base of a fully-consumed round); old deltas are GC'd
+                # lazily at next round start, after this manifest commits
+                new_man["frontier_base"] = rnd
+                new_man["frontier_raw"] = int(n_frontier)
+                self._force_frontier_compact = False
         # keep the Bloom current with this round's delta (wave-bounded work)
         if self._bloom is not None and n_seen_delta:
             self._desc(rnd, "bloom-delta")
@@ -1137,6 +1294,13 @@ class CrawlEngine:
             out["frontier_counts"] = {
                 t: int(n) for t, n in frontier_counts.items()
             }
+        # delta-frontier bookkeeping rides through unchanged by default
+        # (the main write path overrides after advancing the view); the
+        # early-return paths (all-deferred / zero-wave rounds) leave the
+        # view — and therefore base + raw size — exactly as it was
+        if man.get("frontier_base") is not None:
+            out["frontier_base"] = man.get("frontier_base")
+            out["frontier_raw"] = man.get("frontier_raw")
         return out
 
 

@@ -7,7 +7,12 @@ same protocol is realized on plain parquet:
 
 - mutable state (``frontier``) is rewritten per round under
   ``rounds/r{N}/frontier`` — the Iceberg equivalent is a MERGE producing a
-  new snapshot;
+  new snapshot. In the engine's DELTA frontier mode (merge-on-read) a
+  budget-bound round instead appends new rows (``frontier_add``) and
+  consumed-seq tombstones (``frontier_del``); ``read_frontier_view``
+  assembles base ∪ adds minus dels, and the base is rewritten only when
+  the raw/live ratio crosses a threshold (rewrite_data_files analog) — so
+  steady-state per-round frontier I/O is O(wave+links), not O(frontier);
 - monotone state (``seen``, ``failed_once``) and outputs (``documents``,
   ``results``, ``order``, ``metrics``, ``failures``, ``lineage``) are
   append-only, written under ``<table>/round=N/`` — Iceberg appends;
@@ -41,6 +46,14 @@ class SnapshotStore:
         "metrics",
         "failures",
         "lineage",
+        # delta-frontier mode (merge-on-read): per-round row appends and
+        # consumed-seq tombstones. NEVER compact() these across a frontier
+        # base boundary — the view reader filters round > base, so a merged
+        # dir labeled with a round above the base would double-count rows
+        # already folded into the base. The engine GCs them wholesale when
+        # it writes a new base (drop_frontier_deltas).
+        "frontier_add",
+        "frontier_del",
     )
 
     def __init__(self, spark: SparkSession, root: str):
@@ -84,6 +97,52 @@ class SnapshotStore:
         return self.spark.read.schema(schemas.FRONTIER).parquet(
             os.path.join(self._round_dir(rnd), "frontier")
         )
+
+    def _frontier_delta_dirs(self, table: str, base_rnd: int, rnd: int) -> list[str]:
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return []
+        return [
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("round=")
+            and base_rnd < int(d.split("=")[1]) <= rnd
+        ]
+
+    def read_frontier_view(self, base_rnd: int, rnd: int) -> DataFrame:
+        """Merge-on-read frontier view at logical round ``rnd``:
+        base snapshot ∪ committed row appends, minus consumed-seq
+        tombstones (the Iceberg MERGE-on-read analog; the base rewrite is
+        the rewrite_data_files analog, triggered arithmetically by the
+        engine). Every delta round in (base, rnd] is committed — the
+        engine's clean_round sweep removes torn current-round dirs before
+        any read."""
+        from . import schemas
+
+        out = self.read_frontier(base_rnd)
+        add_dirs = self._frontier_delta_dirs("frontier_add", base_rnd, rnd)
+        if add_dirs:
+            out = out.unionByName(
+                self.spark.read.schema(schemas.FRONTIER).parquet(*add_dirs)
+            )
+        del_dirs = self._frontier_delta_dirs("frontier_del", base_rnd, rnd)
+        if del_dirs:
+            dels = self.spark.read.schema("seq BIGINT").parquet(*del_dirs)
+            out = out.join(dels, "seq", "left_anti")
+        return out
+
+    def drop_frontier_deltas(self, upto: int) -> None:
+        """GC add/del deltas folded into a base at round ``upto`` (called
+        lazily at round start, AFTER the base's manifest committed — a
+        crash between base write and commit must leave the deltas intact
+        for the old manifest's view)."""
+        for table in ("frontier_add", "frontier_del"):
+            base = os.path.join(self.root, table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("round=") and int(d.split("=")[1]) <= upto:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def append(
         self, table: str, rnd: int, df: DataFrame,
@@ -179,6 +238,10 @@ class SnapshotStore:
             return schemas.SEEN
         if table == "failed_once":
             return StructType.fromDDL("key string")
+        if table == "frontier_add":
+            return schemas.FRONTIER
+        if table == "frontier_del":
+            return StructType.fromDDL("seq bigint")
         return None
 
     def read_through(self, table: str, rnd: int) -> DataFrame | None:
@@ -342,10 +405,12 @@ class SnapshotStore:
                 # died before the marker: pre-compaction state is intact
                 shutil.rmtree(os.path.join(base, ".compact_tmp"))
 
-    def expire_frontiers(self, keep_last: int = 2) -> int:
+    def expire_frontiers(self, keep_last: int = 2, protect: set[int] | None = None) -> int:
         """Drop frontier snapshots older than the last ``keep_last``
         committed rounds (manifests are kept — resume still works from the
-        newest snapshot). Returns the number of snapshots removed."""
+        newest snapshot). ``protect``: rounds never expired — the latest
+        manifest's ``frontier_base`` in delta mode, which may be arbitrarily
+        far behind. Returns the number of snapshots removed."""
         base = os.path.join(self.root, "rounds")
         if not os.path.isdir(base):
             return 0
@@ -354,8 +419,16 @@ class SnapshotStore:
             for d in os.listdir(base)
             if d.startswith("r") and os.path.exists(self._manifest_path(int(d[1:])))
         )
+        # the newest manifest's frontier_base is always implicitly protected
+        if committed:
+            last = self.manifest(committed[-1])
+            fb = last.get("frontier_base")
+            if fb is not None:
+                protect = (protect or set()) | {int(fb)}
         removed = 0
         for rnd in committed[: max(0, len(committed) - keep_last)]:
+            if protect and rnd in protect:
+                continue
             fdir = os.path.join(self._round_dir(rnd), "frontier")
             if os.path.isdir(fdir):
                 shutil.rmtree(fdir)
