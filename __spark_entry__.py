@@ -358,6 +358,16 @@ def q_sim_ann_multitable(spark, sf_dir):
     )
 
 
+def q_sim_embedding_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup families closed into components, one
+    min-id survivor each — the dedup DECISION the pairs query feeds."""
+    from crawler_spark.pipeline.similarity import embedding_neardup_clusters
+
+    return embedding_neardup_clusters(
+        _t(spark, sf_dir, "embeddings"), max_id=200, sim_threshold=0.3
+    )
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """IVF-cell ANN — the second standard ANN family next to LSH (coarse
     quantize to sampled centroids, probe the query's nprobe nearest cells).
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
+        "sim_embedding_clusters": q_sim_embedding_clusters,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multitable": q_sim_ann_multitable,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -826,6 +837,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sub a JOIN sub b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.e, b.e)
                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
+        """,
+        "sim_embedding_clusters": """
+            WITH RECURSIVE sub AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+            ), und AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ), mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+            SELECT s.vec_id,
+                   LEAST(s.vec_id, coalesce(m.mn, s.vec_id)) AS cluster_id,
+                   s.vec_id = LEAST(s.vec_id, coalesce(m.mn, s.vec_id)) AS keep
+            FROM sub s LEFT JOIN mins m ON m.u = s.vec_id
         """,
         "sim_ann_lsh": f"""
             WITH bkt AS (

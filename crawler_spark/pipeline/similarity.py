@@ -324,6 +324,31 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_clusters(
+    embeddings: DataFrame, max_id: int = 200, sim_threshold: float = 0.99
+) -> DataFrame:
+    """(vec_id, cluster_id, keep) — the dedup DECISION over embedding
+    near-dup pairs: cosine near-duplication is transitive in practice, so
+    pairs close into connected components and exactly one survivor (min
+    vec_id) is kept per component; every other vector in the id-bounded
+    subset is its own singleton cluster. Same shape as the text-side
+    ``dedup.neardup_clusters`` — at corpus scale the pair source swaps to
+    the LSH/IVF bucketed path with this closure unchanged."""
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, max_id, sim_threshold)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        embeddings.filter(F.col("vec_id") < max_id)
+        .select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("label", F.col("vec_id")).alias("cluster_id")
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, max_id: int = 200, sim_threshold: float = 0.99
 ) -> DataFrame:
