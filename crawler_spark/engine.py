@@ -181,6 +181,15 @@ class CrawlEngine:
                 lambda batches: batches, "id long"
             ).count()
 
+    def _labeled(self, rnd: int, what: str, fn, *args, **kw):
+        """Run ``fn`` with the round's job description set on the CALLING
+        thread — setJobDescription is thread-local, so write jobs submitted
+        through the round's thread pool would otherwise show unlabeled in
+        the Spark UI / event logs (which is exactly where per-stage scaling
+        profiles are read from)."""
+        self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
+        return fn(*args, **kw)
+
     def _desc(self, rnd: int, what: str) -> None:
         """Label the next Spark jobs (shows up in UI + event logs)."""
         self.spark.sparkContext.setJobDescription(f"r{rnd}:{what}")
@@ -1020,7 +1029,10 @@ class CrawlEngine:
         n_writers = max(2, min(8, self.spark.sparkContext.defaultParallelism // 2))
         with ThreadPoolExecutor(max_workers=n_writers) as pool:
             futs = [
-                pool.submit(self.store.append, table, rnd, df)
+                pool.submit(
+                    self._labeled, rnd, "write-deltas",
+                    self.store.append, table, rnd, df,
+                )
                 for table, df in writes
             ]
 
@@ -1101,7 +1113,8 @@ class CrawlEngine:
                         adds_df = adds_df.unionByName(p)
                     futs.append(
                         pool.submit(
-                            self.store.append, "frontier_add", rnd, adds_df
+                            self._labeled, rnd, "frontier-delta",
+                            self.store.append, "frontier_add", rnd, adds_df,
                         )
                     )
                 dels = wave.select("seq")
@@ -1109,9 +1122,8 @@ class CrawlEngine:
                     dels = dels.unionByName(dedup_losers)
                 futs.append(
                     pool.submit(
-                        self.store.append,
-                        "frontier_del",
-                        rnd,
+                        self._labeled, rnd, "frontier-delta",
+                        self.store.append, "frontier_del", rnd,
                         dels.coalesce(n_slim),
                     )
                 )
@@ -1148,6 +1160,7 @@ class CrawlEngine:
             if totals["failed"] > n_retries:
                 futs.append(
                     pool.submit(
+                        self._labeled, rnd, "write-deltas",
                         self.store.append,
                         "failures",
                         rnd,
@@ -1178,7 +1191,10 @@ class CrawlEngine:
             )
             if not delta_round:
                 futs.append(
-                    pool.submit(self.store.write_frontier, rnd, next_frontier)
+                    pool.submit(
+                        self._labeled, rnd, "frontier-snapshot",
+                        self.store.write_frontier, rnd, next_frontier,
+                    )
                 )
             for f in futs:
                 f.result()
