@@ -38,23 +38,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: document-curation snapshot over sf0.001 — exact-dedup
-    representative selection joined with quality + language-ID signals
-    (the post-crawl half of the pipeline; the crawl half is gated by
-    tests/test_golden_e2e.py)."""
-    from crawler_spark.pipeline.dedup import exact_dedup
-    from crawler_spark.pipeline.textstats import lang_id, quality_score
-
-    docs = _t(spark, DEFAULT_SF, "documents")
-    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"), "n_docs")
-    q = quality_score(docs)
-    l = lang_id(docs).select("doc_id", "predicted")
-    return (
-        keep.join(q, "doc_id")
-        .join(l, "doc_id")
-        .select("doc_id", "n_docs", "n_tokens", "stop_bp", "predicted")
-        .orderBy("doc_id")
-    )
+    """Flagship: the full document-curation decision over sf0.001 —
+    exact-dedup representative AND near-dup (minhash-LSH connected
+    component) survivor AND language + quality floors, in one composed
+    plan (the post-crawl half of the pipeline; the crawl half is gated by
+    tests/test_golden_e2e.py and the crawl_e2e_order oracle)."""
+    return q_pipeline_curate(spark, DEFAULT_SF).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -396,6 +385,37 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_pipeline_curate(spark, sf_dir):
+    """The end-to-end training-data curation decision in ONE plan: a
+    document survives iff it is the exact-dedup representative of its
+    body, the min-id survivor of its near-dup (minhash-LSH connected
+    component) family, language-identified as English, and above length/
+    stopword quality floors. This is the composition a 100 TB curation
+    job runs — every stage is the already-oracle-checked operator, and
+    Catalyst fuses the four signal joins over one documents scan."""
+    from crawler_spark.pipeline.dedup import exact_dedup, neardup_clusters
+    from crawler_spark.pipeline.textstats import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near = neardup_clusters(docs).filter("keep").select("doc_id", "cluster_id")
+    lang = lang_id(docs).select("doc_id", "predicted")
+    q = quality_score(docs).select("doc_id", "n_tokens", "stop_bp")
+    return (
+        docs.select("doc_id")
+        .join(ex, "doc_id")
+        .join(near, "doc_id")
+        .join(lang, "doc_id")
+        .join(q, "doc_id")
+        .filter(
+            (F.col("predicted") == "en")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("stop_bp") >= 40)
+        )
+        .select("doc_id", "cluster_id", "predicted", "n_tokens", "stop_bp")
+    )
+
+
 def q_stream_windowed_metrics(spark, sf_dir):
     """Structured Streaming surface through the driver gate: the events
     table becomes a fetch-event firehose (deterministic column mapping),
@@ -501,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_multitable": q_sim_ann_multitable,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "pipeline_curate": q_pipeline_curate,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
@@ -959,6 +980,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
             FROM ranked WHERE rank <= 10
+        """,
+        # curation composition: exact-dedup representative AND near-dup
+        # component survivor (same recursive closure as dedup_clusters)
+        # AND predicted-en AND quality floors — all from the same
+        # already-verified fragments
+        "pipeline_curate": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            und AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+            exact_keep AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            lang_c AS (
+                SELECT doc_id, {en} AS c_en, {fr} AS c_fr, {de} AS c_de, {es} AS c_es
+                FROM documents
+            ),
+            quality AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}', 1)) AS BIGINT)) // len({_TOKS})
+                            ELSE 0 END AS stop_bp
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+                   ({pred}) AS predicted,
+                   q.n_tokens, q.stop_bp
+            FROM documents d
+            JOIN exact_keep ek ON ek.doc_id = d.doc_id
+            LEFT JOIN mins m ON m.u = d.doc_id
+            JOIN lang_c c ON c.doc_id = d.doc_id
+            JOIN quality q ON q.doc_id = d.doc_id
+            WHERE d.doc_id = LEAST(d.doc_id, coalesce(m.mn, d.doc_id))
+              AND ({pred}) = 'en'
+              AND q.n_tokens >= 30 AND q.stop_bp >= 40
         """,
         # streaming windowed metrics: complete-mode availableNow output ==
         # the plain batch window aggregation (stream/batch parity); the
