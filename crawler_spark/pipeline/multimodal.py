@@ -87,6 +87,79 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
     return assets.mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id string, media_ref string, width int, height int, "
+    "payload binary, ok boolean"
+)
+
+FEATURE_SCHEMA = "asset_id string, embedding array<float>, norm float"
+
+
+def resize_assets(
+    assets: DataFrame, max_w: int = 224, max_h: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize payloads to fit (max_w, max_h) preserving aspect ratio —
+    real resampling stubbed (no image libs here); fake=True emits the
+    clamped dimensions plus a deterministic payload digest so the batch
+    shape, schema, and aspect math are testable end-to-end."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resampling needs PIL/ffmpeg (not in this container); "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            w = pdf["declared_w"].astype("int64").clip(lower=1)
+            h = pdf["declared_h"].astype("int64").clip(lower=1)
+            scale = pd.concat([max_w / w, max_h / h], axis=1).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": (w * scale).astype("int64").clip(lower=1).astype("int32"),
+                    "height": (h * scale).astype("int64").clip(lower=1).astype("int32"),
+                    "payload": pdf["payload"].map(
+                        lambda b: hashlib.sha1(b"resized:" + b).digest()
+                    ),
+                    "ok": pdf["payload"].map(lambda b: len(b) > 0),
+                }
+            )
+
+    return assets.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """Feature-extract an embedding per asset (vision encoder stubbed);
+    fake=True derives a deterministic unit-free vector from md5 bytes of
+    the payload — the Arrow batch shape (one batch, many payloads, one
+    array column out) is exactly what a real encoder needs."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction needs a vision encoder; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            embs, norms = [], []
+            for b in pdf["payload"]:
+                raw = b"".join(
+                    hashlib.md5(b + i.to_bytes(2, "big")).digest()
+                    for i in range(-(-dim // 16))
+                )
+                v = (np.frombuffer(raw, dtype=np.uint8)[:dim].astype(np.float32) - 127.5)
+                embs.append(v.tolist())
+                norms.append(float(np.sqrt((v * v).sum())))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "embedding": embs, "norm": norms}
+            )
+
+    return assets.mapInPandas(feats, FEATURE_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000, n_frames: int = 3) -> DataFrame:
     """Frame-sampling shape: one input asset -> n output frame rows."""
 
