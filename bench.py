@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_multitable",
     "sim_ann_ivf",
+    "pipeline_curate",
     "agg_pricing_summary",
     "events_sessionize",
     "crawl_wave_topk",
