@@ -244,6 +244,14 @@ def q_events_sessionize(spark, sf_dir):
     return x.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of correlation: for each purchase, the most recent strictly-earlier
+    click by the same user — single windowed pass, no join explosion."""
+    from crawler_spark.pipeline.events import asof_last_before
+
+    return asof_last_before(_t(spark, sf_dir, "events"), "purchase", "click")
+
+
 def q_agg_pricing_summary(spark, sf_dir):
     """Aggregation pipeline (map-side partials -> final) in exact cents."""
     li = _t(spark, sf_dir, "lineitem")
@@ -312,6 +320,18 @@ def q_text_fingerprint(spark, sf_dir):
     from crawler_spark.pipeline.textstats import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_text_repetition(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_source_stats(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import source_stats
+
+    return source_stats(_t(spark, sf_dir, "documents"))
 
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -514,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "docs_source_stats": q_docs_source_stats,
+        "events_asof_join": q_events_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_embedding_clusters": q_sim_embedding_clusters,
@@ -699,6 +722,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM y
             )
             SELECT user_id, sess_id, count(*) AS n_events FROM z GROUP BY user_id, sess_id
+        """,
+        "events_asof_join": """
+            WITH m AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       CASE WHEN event_type = 'click' THEN ts END AS r_ts,
+                       CASE WHEN event_type = 'click' THEN value END AS r_value
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), c AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       last_value(r_ts IGNORE NULLS) OVER w AS prev_ts,
+                       last_value(r_value IGNORE NULLS) OVER w AS prev_value
+                FROM m
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, value, prev_value,
+                   epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+            FROM c WHERE event_type = 'purchase'
+        """,
+        "text_repetition": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
+                FROM t
+            ), p AS (
+                SELECT doc_id, n_tokens, len(bigrams) AS n_bigrams,
+                       len(bigrams) - len(list_distinct(bigrams)) AS dup_bigrams
+                FROM b
+            ), tc AS (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ), topt AS (
+                SELECT doc_id, max(c) AS top_tok_n
+                FROM (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY doc_id, tok)
+                GROUP BY doc_id
+            )
+            SELECT p.doc_id, n_tokens,
+                   CAST(coalesce(top_tok_n, 0) AS BIGINT) AS top_tok_n,
+                   CASE WHEN n_tokens > 0
+                        THEN (1000 * CAST(coalesce(top_tok_n, 0) AS BIGINT)) // n_tokens
+                        ELSE 0 END AS top_tok_bp,
+                   n_bigrams,
+                   CASE WHEN n_bigrams > 0
+                        THEN (1000 * CAST(dup_bigrams AS BIGINT)) // n_bigrams
+                        ELSE 0 END AS dup_bigram_bp
+            FROM p LEFT JOIN topt ON p.doc_id = topt.doc_id
+        """,
+        "docs_source_stats": r"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                        AS BIGINT) AS n_exact_dups
+            FROM documents GROUP BY source
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

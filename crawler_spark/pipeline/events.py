@@ -1,0 +1,75 @@
+"""Event-stream relational operators the reference's storage layer implies
+but never needed (its sink is append-only): as-of correlation between event
+kinds, expressed as partitioned window math so the plan scales with users.
+
+The reference lands crawl results as timestamped rows
+(storage/sqlstorage/sqlstorage.go:122-137); correlating "the last X before
+each Y per key" is the canonical downstream query over such a table (e.g.
+last successful fetch before each failure, last click before each purchase).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_last_before(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+) -> DataFrame:
+    """For each ``left_type`` event, the most recent strictly-earlier
+    ``right_type`` event by the same user (an as-of join).
+
+    Implemented as ONE pass over the union, not a join: sort each user's
+    events once (single shuffle keyed on ``user_id``) and carry the last
+    seen right-event forward with ``last(..., ignorenulls)`` over
+    ``rowsBetween(unboundedPreceding, -1)``. This avoids the naive
+    left-join-then-filter plan, which explodes to |left|x|right| rows per
+    user before pruning — the difference between linear and quadratic in
+    events-per-user, which is what matters on a skewed power-law user
+    (or host) distribution at 100 TB. Hot keys stay bounded because the
+    window state is O(1) per row (a running "last value"), not O(history).
+
+    Tie-break: events at the identical timestamp order by ``event_id``
+    (deterministic), and "strictly earlier" means earlier in that total
+    order — mirrored exactly in the SQL oracle.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = events.filter(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("r_ts"),
+        F.when(F.col("event_type") == right_type, F.col("value")).alias("r_value"),
+    )
+    carried = marked.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.last("r_ts", ignorenulls=True).over(w).alias("prev_ts"),
+        F.last("r_value", ignorenulls=True).over(w).alias("prev_value"),
+    )
+    return carried.filter(F.col("event_type") == left_type).select(
+        "event_id",
+        "user_id",
+        "value",
+        "prev_value",
+        # exact integer microseconds (timestamps carry sub-second precision;
+        # float seconds would round differently across engines)
+        # NTZ -> TZ cast before unix_micros: any fixed session-tz offset
+        # cancels in the subtraction, so the gap is exact either way
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )

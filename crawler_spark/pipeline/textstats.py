@@ -95,6 +95,88 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, integer basis points.
+
+    Two signals per document:
+
+    - ``top_tok_bp`` — fraction of tokens equal to the single most frequent
+      token (boilerplate / keyword-stuffing marker). Computed the scalable
+      way: explode -> partial-agg count per (doc, token) -> max per doc.
+      Both shuffles key on ``doc_id`` (+token), so the plan parallelizes
+      with the corpus and never materializes a per-doc vocabulary driver-side.
+    - ``dup_bigram_bp`` — fraction of adjacent-token bigrams that are
+      repeats of an earlier bigram in the same doc (near-copy / template
+      marker). Pure array math per row (``transform`` + ``array_distinct``)
+      — linear in tokens, no shuffle at all.
+
+    Thresholding these (e.g. drop docs with top_tok_bp > 100) is the
+    curation filter; this operator returns the raw signals so the cut
+    stays policy, not plumbing.
+    """
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = documents.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.when(
+            F.size("toks") >= 2,
+            F.expr("transform(sequence(0, size(toks) - 2),"
+                   " i -> concat(toks[i], ' ', toks[i + 1]))"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("bigrams").alias("n_bigrams"),
+        (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).alias("dup_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    out = per_doc.join(top, "doc_id", "left").na.fill({"top_tok_n": 0})
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("top_tok_n").cast("long").alias("top_tok_n"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (1000 * CAST(top_tok_n AS BIGINT)) DIV n_tokens ELSE 0 END"
+        ).alias("top_tok_bp"),
+        "n_bigrams",
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN (1000 * CAST(dup_bigrams AS BIGINT)) DIV n_bigrams ELSE 0 END"
+        ).alias("dup_bigram_bp"),
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source (host/domain analog) corpus rollup for curation triage.
+
+    One partial->final aggregation shuffle keyed on ``source``; count,
+    volume, language spread, and exact-dup pressure (docs minus distinct
+    normalized fingerprints) per source. At 100 TB this is the job that
+    decides which domains to keep, cap, or drop — a single groupBy whose
+    key cardinality (#hosts) is tiny relative to the corpus.
+    """
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return (
+        documents.select("source", "lang", F.length("text").alias("nc"), F.md5(norm).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("nc").cast("long")).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_exact_dups"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Normalized-content fingerprint (whitespace-collapsed, lowercased)."""
     norm = F.regexp_replace(F.lower("text"), r"\s+", " ")

@@ -1,0 +1,101 @@
+"""Semantic unit tests for the curation operators added after round 1:
+repetition signals, per-source rollup, and the as-of event correlation.
+Hand-computed expectations on tiny in-memory frames (the sf0.01 DuckDB
+oracle covers the same ops at corpus scale via tools/check_oracles.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from crawler_spark.pipeline.events import asof_last_before
+from crawler_spark.pipeline.textstats import repetition_signals, source_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_repetition_signals(spark):
+    d = _docs(
+        spark,
+        [
+            # tokens: a a a b -> top 3/4 = 750bp; bigrams [a a, a a, a b]
+            # -> 1 dup of 3 = 333bp
+            (1, "a a  a b", "en", "s1", 8),
+            # no repetition at all
+            (2, "x y z", "en", "s1", 5),
+            # single token: no bigrams, top token is itself (1000bp)
+            (3, "solo", "en", "s2", 4),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(d).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 4, "top_tok_n": 3, "top_tok_bp": 750,
+        "n_bigrams": 3, "dup_bigram_bp": 333,
+    }
+    assert got[2]["top_tok_bp"] == 333 and got[2]["dup_bigram_bp"] == 0
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 1, "top_tok_n": 1, "top_tok_bp": 1000,
+        "n_bigrams": 0, "dup_bigram_bp": 0,
+    }
+
+
+def test_source_stats(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "same  text", "en", "s1", 10),
+            (2, "same text", "fr", "s1", 9),  # ws-normalized dup of doc 1
+            (3, "other", "en", "s1", 5),
+            (4, "only", "de", "s2", 4),
+        ],
+    )
+    got = {r["source"]: r.asDict() for r in source_stats(d).collect()}
+    assert got["s1"] == {
+        "source": "s1", "n_docs": 3, "total_chars": 24, "n_langs": 2,
+        "n_exact_dups": 1,
+    }
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["n_exact_dups"] == 0
+
+
+def test_asof_last_before(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ, val):
+        return (eid, t0 + dt.timedelta(seconds=sec), user, typ, float(val), "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 0, 7, "click", 1.0),
+            ev(2, 10, 7, "click", 2.0),
+            ev(3, 10, 7, "purchase", 50.0),   # same ts as click 2: event_id 2 < 3 -> sees it
+            ev(4, 20, 7, "purchase", 60.0),   # latest earlier click is still #2
+            ev(5, 5, 8, "purchase", 70.0),    # user 8 has no earlier click
+            ev(6, 9, 8, "view", 0.0),         # other types are ignored entirely
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["event_id"]: r.asDict() for r in asof_last_before(events, "purchase", "click").collect()}
+    assert set(got) == {3, 4, 5}
+    assert got[3]["prev_value"] == 2.0 and got[3]["gap_us"] == 0
+    assert got[4]["prev_value"] == 2.0 and got[4]["gap_us"] == 10_000_000
+    assert got[5]["prev_value"] is None and got[5]["gap_us"] is None
+
+
+def test_asof_plan_has_no_join(spark):
+    """The as-of is a single windowed pass — the physical plan must contain
+    a Window over user_id and NO join node (the naive formulation explodes
+    |purchases|x|clicks| per user before pruning)."""
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    plan = asof_last_before(events, "purchase", "click")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Join" not in plan
