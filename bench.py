@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_lang_id",
+    "text_repetition",
+    "events_asof_join",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_multitable",
