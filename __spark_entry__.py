@@ -334,6 +334,18 @@ def q_docs_source_stats(spark, sf_dir):
     return source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_length_deciles(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import length_deciles
+
+    return length_deciles(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from crawler_spark.pipeline.similarity import cosine_topk
 
@@ -535,7 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         "docs_source_stats": q_docs_source_stats,
+        "docs_length_deciles": q_docs_length_deciles,
         "events_asof_join": q_events_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
@@ -776,6 +790,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS dup_bigram_bp
             FROM p LEFT JOIN topt ON p.doc_id = topt.doc_id
         """,
+        "text_pii_scrub": r"""
+            WITH a AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS no_email
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(no_email, '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+                   n_emails,
+                   len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
+            FROM a
+        """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,
                    CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
@@ -783,6 +813,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
                         AS BIGINT) AS n_exact_dups
             FROM documents GROUP BY source
+        """,
+        "docs_length_deciles": """
+            WITH hist AS (
+                SELECT length(text) AS len, count(*) AS c
+                FROM documents GROUP BY length(text)
+            ), cum AS (
+                SELECT len, sum(c) OVER (ORDER BY len
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist
+            ), d AS (
+                SELECT unnest(generate_series(1, 9)) AS decile
+            ), t AS (
+                SELECT decile,
+                       ((SELECT max(cum) FROM cum) - 1) * decile // 10 + 1 AS target
+                FROM d
+            )
+            SELECT CAST(t.decile AS INT) AS decile,
+                   CAST(min(cum.len) AS BIGINT) AS len_value
+            FROM t JOIN cum ON cum.cum >= t.target
+            GROUP BY t.decile
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

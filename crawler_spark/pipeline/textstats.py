@@ -181,3 +181,63 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """Normalized-content fingerprint (whitespace-collapsed, lowercased)."""
     norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
     return documents.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def length_deciles(documents: DataFrame) -> DataFrame:
+    """Exact decile cut-points of the document-length distribution.
+
+    Built on the length HISTOGRAM, not a global sort: one partial->final
+    aggregation keyed on the length value (cardinality = #distinct lengths,
+    tiny vs corpus), then a cumulative sum + rank-math lookup over that
+    histogram. The only window runs over the histogram rows, so the
+    "unpartitioned window" anti-pattern doesn't apply — its input is
+    O(#distinct lengths) regardless of corpus size. Decile d = the value at
+    sorted position floor((n-1)*d/10)+1 (1-based), i.e. the inclusive
+    lower-rank element — mirrored exactly in the SQL oracle. For a
+    one-pass approximate variant at 100 TB use percentile_approx; this
+    exact form is the oracle-gated QC snapshot.
+    """
+    from pyspark.sql import Window
+
+    hist = documents.groupBy(F.length("text").alias("len")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("len", F.sum("c").over(w).alias("cum"))
+    deciles = documents.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    n = cum.select(F.max("cum").alias("n"))
+    targets = deciles.crossJoin(n).select(
+        "decile", (F.expr("(n - 1) * decile DIV 10") + 1).alias("target")
+    )
+    return (
+        targets.join(cum, cum["cum"] >= targets["target"])
+        .groupBy("decile")
+        .agg(F.min("len").cast("long").alias("len_value"))
+    )
+
+
+# PII patterns deliberately simple + engine-portable (Java regex == RE2
+# subset): redaction at 100 TB is a straight regexp_replace scan, fully
+# inside whole-stage codegen, so it composes with any other per-doc map
+# stage for free.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM = r"[0-9]{7,}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact emails and long digit runs (phone/account-number analog);
+    emit per-doc redaction counts so the curation layer can threshold on
+    PII density as a quality signal, not just scrub."""
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+    # count AFTER email removal so an address's digits aren't double-counted
+    no_email = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    n_num = F.size(F.regexp_extract_all(no_email, F.lit(PII_LONGNUM), F.lit(0)))
+    clean = F.regexp_replace(no_email, PII_LONGNUM, "<NUM>")
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_num.alias("n_longnums"),
+    )

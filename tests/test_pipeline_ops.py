@@ -61,6 +61,38 @@ def test_source_stats(spark):
     assert got["s2"]["n_docs"] == 1 and got["s2"]["n_exact_dups"] == 0
 
 
+def test_pii_scrub(spark):
+    from crawler_spark.pipeline.textstats import pii_scrub
+
+    d = _docs(
+        spark,
+        [
+            (1, "mail me at bob.smith+x@ex-ample.co.uk or call 5551234567", "en", "s1", 0),
+            (2, "short 123456 stays, 1234567 goes", "en", "s1", 0),
+            (3, "no pii here", "en", "s1", 0),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(d).collect()}
+    assert got[1]["clean_text"] == "mail me at <EMAIL> or call <NUM>"
+    assert got[1]["n_emails"] == 1 and got[1]["n_longnums"] == 1
+    assert got[2]["clean_text"] == "short 123456 stays, <NUM> goes"
+    assert got[2]["n_longnums"] == 1
+    assert got[3]["clean_text"] == "no pii here"
+    assert got[3]["n_emails"] == 0 and got[3]["n_longnums"] == 0
+
+
+def test_length_deciles(spark):
+    from crawler_spark.pipeline.textstats import length_deciles
+
+    # lengths 1..10 -> decile d sits at sorted position (10-1)*d//10 + 1
+    d = _docs(
+        spark,
+        [(i, "x" * i, "en", "s1", i) for i in range(1, 11)],
+    )
+    got = {r["decile"]: r["len_value"] for r in length_deciles(d).collect()}
+    assert got == {dd: (9 * dd) // 10 + 1 for dd in range(1, 10)}
+
+
 def test_asof_last_before(spark):
     t0 = dt.datetime(2024, 1, 1)
 
