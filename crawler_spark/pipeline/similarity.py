@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,15 +99,69 @@ def _bucket_col(planes: list[list[float]]):
     return bucket.cast("int")
 
 
-def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Sign-random-projection bucket id per vector (the ANN scale path)."""
+def _bucket_udf(plane_tables: list[list[list[float]]]):
+    """Arrow-vectorized bucket ids for T plane tables in one pass.
+
+    The expression form (``_bucket_col``) folds each dot product through
+    zip_with/aggregate HigherOrderFunctions, which Spark evaluates
+    INTERPRETED (not codegen) at ~µs/element — T*P dots of D elements per
+    row made the multi-table index the slowest query in the bench sweep.
+    This UDF does the same math Arrow-batched: one numpy accumulator per
+    table, accumulated dimension-by-dimension (``acc += emb[:, d] *
+    plane[:, d]``) so every row's sum is the identical left-to-right IEEE
+    double fold as the SQL ``aggregate`` and the DuckDB oracle's dot —
+    bucket ids stay bit-identical to the expression path (pinned by a
+    parity test) while the per-row cost drops ~100x.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    tables = [np.asarray(t, dtype=np.float64) for t in plane_tables]  # (P, D)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in emb.to_list()])
+        per_table = []
+        for planes in tables:
+            acc = np.zeros((n, planes.shape[0]))
+            for d in range(planes.shape[1]):
+                # left-to-right fold over dimensions == SQL aggregate order
+                acc += m[:, d : d + 1] * planes[:, d]
+            bits = (acc > 0).astype(np.int64)
+            per_table.append(bits @ (1 << np.arange(planes.shape[0], dtype=np.int64)))
+        res = np.stack(per_table, axis=1).astype(np.int32)  # (n, T)
+        return pd.Series(list(res))
+
+    return buckets
+
+
+def lsh_buckets(
+    embeddings: DataFrame, dim: int = 64, n_planes: int = 8, vectorized: bool = True
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector (the ANN scale path).
+
+    ``vectorized=False`` keeps the pure-expression form as the parity
+    cross-check; results are bit-identical (tests/test_pipeline_ops.py).
+    """
+    if vectorized:
+        udf = _bucket_udf([_hyperplanes(dim, n_planes)])
+        return embeddings.select(
+            "vec_id", udf("embedding").getItem(0).alias("bucket")
+        )
     return embeddings.select(
         "vec_id", _bucket_col(_hyperplanes(dim, n_planes)).alias("bucket")
     )
 
 
 def lsh_buckets_multitable(
-    embeddings: DataFrame, dim: int = 64, n_planes: int = 8, n_tables: int = 4
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(vec_id, table, bucket) — one row per independent LSH table.
 
@@ -116,7 +172,18 @@ def lsh_buckets_multitable(
     if it shares the query's bucket in ANY table — recall
     1 - (1 - r^p)^T — while each per-table bucket stays small. Cost is one
     shuffle on (table, bucket), T· the index size, never all-pairs.
+
+    All T bucket ids come out of ONE Arrow-batched pass over the corpus
+    (see ``_bucket_udf``); ``vectorized=False`` is the expression-form
+    cross-check.
     """
+    if vectorized:
+        udf = _bucket_udf(
+            [_hyperplanes(dim, n_planes, table=t) for t in range(n_tables)]
+        )
+        return embeddings.select(
+            "vec_id", F.posexplode(udf("embedding")).alias("table", "bucket")
+        )
     per_table = F.array(
         *[
             F.struct(
@@ -208,8 +275,40 @@ def ann_topk_multitable(
 DEFAULT_IVF_CENTROID_IDS = tuple(7 + 37 * i for i in range(8))
 
 
+def _ivf_cell_udf(cent_vecs: list[list[float]], cent_norms: list[float]):
+    """Arrow-vectorized nearest-centroid assignment, bit-identical to the
+    expression form: dots and row norms use the same left-to-right double
+    fold (see ``_bucket_udf``), centroid norms are the same precomputed
+    Python floats, and ties go to the lowest cell (np.argmax first-max ==
+    the struct sort's (sim desc, -cell desc) order)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cents = np.asarray(cent_vecs, dtype=np.float64)  # (C, D)
+    cnorms = np.asarray(cent_norms, dtype=np.float64)  # (C,)
+
+    @pandas_udf(IntegerType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in emb.to_list()])
+        dots = np.zeros((n, cents.shape[0]))
+        rnorm2 = np.zeros(n)
+        for d in range(cents.shape[1]):
+            col = m[:, d]
+            dots += col[:, None] * cents[:, d]
+            rnorm2 += col * col
+        sims = dots / (np.sqrt(rnorm2)[:, None] * cnorms[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return cell_of
+
+
 def ivf_assign(
-    embeddings: DataFrame, centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS
+    embeddings: DataFrame,
+    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(vec_id, cell) — IVF coarse quantization: nearest sampled centroid.
 
@@ -219,9 +318,11 @@ def ivf_assign(
     training-free "sampled centroids" variant — deterministic, no RNG, no
     iterative k-means; a k-means refinement would slot in front without
     changing any downstream plumbing). The centroid set is tiny and is
-    collected once at plan-build time and inlined as literal arrays, so
-    assignment is pure whole-stage-codegen column math over one corpus
-    scan — the same broadcast-the-small-side shape the cosine path uses.
+    collected once at plan-build time and closed over by an Arrow-batched
+    assignment UDF (one numpy pass per batch, order-preserving folds —
+    see ``_ivf_cell_udf``), so assignment is one corpus scan with the
+    centroids effectively broadcast; ``vectorized=False`` keeps the
+    pure-expression form as the bit-parity cross-check.
 
     Cell choice = argmax cosine, ties to the lowest cell index (struct
     sort on (sim desc, -cell desc) — both engines compare the identical
@@ -234,6 +335,15 @@ def ivf_assign(
     missing = [i for i in centroid_ids if i not in cents]
     if missing:
         raise ValueError(f"centroid ids not in corpus: {missing}")
+    if vectorized:
+        udf = _ivf_cell_udf(
+            [[float(v) for v in cents[cid]] for cid in centroid_ids],
+            [
+                sum(float(v) * float(v) for v in cents[cid]) ** 0.5
+                for cid in centroid_ids
+            ],
+        )
+        return embeddings.select("vec_id", udf("embedding").alias("cell"))
     scored = F.array(
         *[
             F.struct(

@@ -118,6 +118,36 @@ def test_asof_last_before(spark):
     assert got[5]["prev_value"] is None and got[5]["gap_us"] is None
 
 
+def test_lsh_bucket_udf_matches_expression_form(spark):
+    """The Arrow-vectorized bucket UDF must reproduce the interpreted
+    expression fold bit-for-bit (same left-to-right IEEE double
+    accumulation) — single table and all multi-table families."""
+    from crawler_spark.pipeline.similarity import lsh_buckets, lsh_buckets_multitable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb).collect()}
+    slow = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, vectorized=False).collect()}
+    assert fast == slow
+    fast_mt = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in lsh_buckets_multitable(emb, n_tables=3).collect()
+    }
+    slow_mt = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in lsh_buckets_multitable(emb, n_tables=3, vectorized=False).collect()
+    }
+    assert fast_mt == slow_mt
+
+
+def test_ivf_assign_udf_matches_expression_form(spark):
+    from crawler_spark.pipeline.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast = {r["vec_id"]: r["cell"] for r in ivf_assign(emb).collect()}
+    slow = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, vectorized=False).collect()}
+    assert fast == slow
+
+
 def test_asof_plan_has_no_join(spark):
     """The as-of is a single windowed pass — the physical plan must contain
     a Window over user_id and NO join node (the naive formulation explodes
