@@ -346,6 +346,40 @@ def q_docs_length_deciles(spark, sf_dir):
     return length_deciles(_t(spark, sf_dir, "documents"))
 
 
+def q_text_decontam(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing 3-gram shingles
+    with a held-out slice (doc_id % 53 == 0 stands in for the benchmark
+    table; the operator takes any eval DataFrame)."""
+    from crawler_spark.pipeline.assemble import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        docs.filter(F.col("doc_id") % 53 == 0),
+        k=3,
+        threshold_bp=500,
+    )
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic per-language keep rates (hash-of-doc_id arithmetic) —
+    the reproducible mixture-sampling primitive."""
+    from crawler_spark.pipeline.assemble import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 2500, "fr": 5000, "de": 5000, "es": 7500, "zh": 10000},
+    )
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: doc -> occupied training-sequence bins
+    via a distributed two-level prefix sum (no unpartitioned window)."""
+    from crawler_spark.pipeline.assemble import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from crawler_spark.pipeline.similarity import cosine_topk
 
@@ -550,6 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
+        "text_decontam": q_text_decontam,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "events_asof_join": q_events_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
@@ -833,6 +870,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(cum.len) AS BIGINT) AS len_value
             FROM t JOIN cum ON cum.cum >= t.target
             GROUP BY t.decile
+        """,
+        "text_decontam": f"""
+            WITH {_SHINGLES_CTE},
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0),
+            tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 53 <> 0),
+            counts AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+            ov AS (
+                SELECT tr.doc_id, count(*) AS n_overlap
+                FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CASE WHEN coalesce(c.n_shingles, 0) > 0
+                        THEN (1000 * CAST(coalesce(o.n_overlap, 0) AS BIGINT)) // c.n_shingles
+                        ELSE 0 END AS overlap_bp,
+                   CASE WHEN coalesce(c.n_shingles, 0) > 0
+                        THEN coalesce(o.n_overlap, 0) * 1000 >= 500 * c.n_shingles
+                        ELSE FALSE END AS contaminated
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN ov o USING (doc_id)
+            WHERE d.doc_id % 53 <> 0
+        """,
+        "docs_stratified_sample": """
+            WITH r(lang, rate_bp) AS (
+                VALUES ('de', 5000), ('en', 2500), ('es', 7500),
+                       ('fr', 5000), ('zh', 10000)
+            )
+            SELECT d.doc_id, d.lang,
+                   ('0x' || substr(md5('mix1:' || d.doc_id), 1, 8))::BIGINT % 10000 AS bucket
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('mix1:' || d.doc_id), 1, 8))::BIGINT % 10000 < r.rate_bp
+        """,
+        "docs_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_BPE_PAT}', 1)) AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) - n_tok AS start_off
+                FROM t
+            )
+            SELECT doc_id, n_tok, start_off,
+                   start_off // 2048 AS first_bin,
+                   CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
+                        ELSE start_off // 2048 END AS last_bin,
+                   (CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
+                         ELSE start_off // 2048 END) - start_off // 2048 + 1 AS n_bins
+            FROM c
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,205 @@
+"""Dataset-assembly operators: the last mile of a training-data pipeline.
+
+After cleaning (textstats), dedup (dedup) and similarity curation
+(similarity), a pretraining corpus still needs:
+
+- **decontamination** — remove/flag training documents that share n-grams
+  with a held-out evaluation set (the standard "13-gram overlap" family;
+  here k is a parameter and the eval set is any DataFrame of documents).
+- **stratified sampling** — deterministic per-stratum keep rates (language
+  / source / quality-bucket mixtures), reproducible across runs and
+  engines because the keep decision is pure hash arithmetic on the doc id.
+- **sequence packing** — map every document to the training-sequence bins
+  it occupies when the corpus is concatenated in a deterministic order and
+  split every ``capacity`` tokens (GPT-style packing). The global running
+  token offset is a two-level prefix sum — per-bucket window + tiny
+  broadcast offsets — never an unpartitioned window.
+
+All three are JVM-expression pipelines (no Python in the hot path) whose
+arithmetic is mirrored exactly by DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.pipeline.dedup import doc_shingles
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    threshold_bp: int = 500,
+) -> DataFrame:
+    """Flag training docs whose k-token shingles overlap the eval set.
+
+    Per train document: ``n_shingles`` (distinct shingles), ``n_overlap``
+    (how many of them appear in ANY eval document), ``overlap_bp`` =
+    floor(1000 * n_overlap / n_shingles), and ``contaminated`` =
+    overlap_bp >= threshold_bp. Docs with < k tokens have no shingles and
+    are never contaminated.
+
+    Scale shape: the eval side collapses to one DISTINCT shingle relation
+    — benchmarks are MBs against a 100 TB corpus, so AQE broadcasts it and
+    the train side never shuffles beyond the one posexplode->window
+    exchange it already pays for shingle construction (see
+    dedup._shingle_instances). The join is a semi-join counted per doc;
+    nothing is ever quadratic.
+    """
+    train_sh = doc_shingles(train, k)  # (doc_id, shingle) distinct per doc
+    eval_sh = doc_shingles(eval_docs, k).select("shingle").distinct()
+    counts = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = (
+        train.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .na.fill({"n_shingles": 0, "n_overlap": 0})
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.expr(
+            "CASE WHEN n_shingles > 0 THEN (1000 * CAST(n_overlap AS BIGINT)) DIV n_shingles ELSE 0 END"
+        ).alias("overlap_bp"),
+        (
+            F.when(F.col("n_shingles") > 0, F.col("n_overlap") * 1000 >= F.lit(threshold_bp) * F.col("n_shingles"))
+            .otherwise(F.lit(False))
+        ).alias("contaminated"),
+    )
+
+
+def _hash_bucket(salt: str, id_col: str = "doc_id", mod: int = 10000) -> F.Column:
+    """Deterministic uniform bucket in [0, mod): first 8 md5 hex chars of
+    'salt:doc_id' as an integer. Identical in DuckDB as
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % mod."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates_bp: dict[str, int],
+    stratum_col: str = "lang",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff its hash bucket
+    (uniform in [0,10000)) falls below its stratum's rate.
+
+    ``rates_bp`` maps stratum value -> keep rate in basis points of 10000
+    (2500 = 25%). The rates ship as a broadcast-joined DataFrame — plan
+    size is independent of the number of strata (no per-stratum CASE
+    chain), and a stratum absent from the table keeps nothing. The keep
+    decision depends only on (salt, doc_id), so reruns, engines, and
+    cluster layouts all agree row-for-row — this is what makes dataset
+    mixtures reproducible.
+    """
+    spark = documents.sparkSession
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(rates_bp.items())],
+            f"{stratum_col} string, rate_bp int",
+        )
+    )
+    return (
+        documents.withColumn("bucket", _hash_bucket(salt))
+        .join(rates, stratum_col)
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", stratum_col, "bucket")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    capacity: int = 2048,
+    bound: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Map each doc to its training-sequence bins under GPT-style packing.
+
+    Semantics: concatenate all documents in ``doc_id`` order and split the
+    token stream every ``capacity`` tokens; a document occupies bins
+    [first_bin, last_bin] where ``start_off`` is the exclusive prefix sum
+    of token counts. Tokens = the BPE-ish regex count (same definition as
+    textstats.token_counts), so the whole operator is codegen expressions
+    plus one shuffle.
+
+    The prefix sum is two-level (the same design as operators/seq.py, sum
+    instead of rank): ``bucket = floor(doc_id * P / (bound+1))`` is an
+    ordered range partitioning computed arithmetically (no sampling pass);
+    the within-bucket cumulative sum is a window PARTITIONED BY bucket
+    (reuses the repartition exchange — never the single-partition
+    "No Partition Defined" window); per-bucket totals (P scalars) are
+    collected and rebroadcast as cumulative offsets. ``bound`` = inclusive
+    max doc_id; derived from a cheap columnar scan when omitted (at
+    warehouse scale it comes from catalog/footer stats).
+    """
+    spark = documents.sparkSession
+    n = int(n_parts or spark.conf.get("spark.sql.shuffle.partitions"))
+    bpe_pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    toks = documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(1)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    if bound is None:
+        bound = toks.agg(F.max("doc_id")).first()[0]
+        if bound is None:
+            return toks.select(
+                "doc_id", "n_tok",
+                F.lit(None).cast("long").alias("start_off"),
+                F.lit(None).cast("long").alias("first_bin"),
+                F.lit(None).cast("long").alias("last_bin"),
+                F.lit(None).cast("long").alias("n_bins"),
+            )
+    bucket = F.least(
+        F.lit(n - 1),
+        F.floor(F.col("doc_id").cast("long") * F.lit(n) / F.lit(int(bound) + 1)),
+    ).cast("long")
+    w = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = (
+        toks.withColumn("_bucket", bucket)
+        .repartition(n, "_bucket")
+        .withColumn("_cum", F.sum("n_tok").over(w))
+    )
+    local = local.cache()
+    sizes = {
+        int(r["_bucket"]): int(r["_tot"])
+        for r in local.groupBy("_bucket").agg(F.sum("n_tok").alias("_tot")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sizes):
+        offsets.append((b, acc))
+        acc += sizes[b]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_bucket long, _off long")
+    )
+    start = F.col("_off") + F.col("_cum") - F.col("n_tok")
+    out = (
+        local.join(off_df, "_bucket")
+        .withColumn("start_off", start)
+        .withColumn("first_bin", F.expr(f"start_off DIV {int(capacity)}"))
+        .withColumn(
+            "last_bin",
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr(f"(start_off + n_tok - 1) DIV {int(capacity)}"),
+            ).otherwise(F.expr(f"start_off DIV {int(capacity)}")),
+        )
+        .withColumn("n_bins", F.col("last_bin") - F.col("first_bin") + 1)
+        .select("doc_id", "n_tok", "start_off", "first_bin", "last_bin", "n_bins")
+    )
+    out._cached = local  # caller-side unpersist handle
+    return out

@@ -161,3 +161,98 @@ def test_asof_plan_has_no_join(spark):
     plan = asof_last_before(events, "purchase", "click")._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Join" not in plan
+
+
+# ---- dataset-assembly operators (pipeline/assemble.py) ----
+
+
+def test_decontaminate(spark):
+    from crawler_spark.pipeline.assemble import decontaminate
+
+    train = _docs(
+        spark,
+        [
+            # shares shingle 'a b c' with the eval doc: 1 of 2 -> 500bp
+            (1, "a b c x", "en", "s", 7),
+            # too short for 3-gram shingles: never contaminated
+            (2, "z z", "en", "s", 3),
+            # disjoint shingles
+            (3, "p q r s", "en", "s", 7),
+        ],
+    )
+    ev = _docs(spark, [(100, "a b c d", "en", "s", 7)])
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(train, ev).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_shingles": 2, "n_overlap": 1,
+        "overlap_bp": 500, "contaminated": True,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_shingles": 0, "n_overlap": 0,
+        "overlap_bp": 0, "contaminated": False,
+    }
+    assert got[3]["n_overlap"] == 0 and not got[3]["contaminated"]
+
+
+def test_stratified_sample_matches_hash_math(spark):
+    import hashlib
+
+    from crawler_spark.pipeline.assemble import stratified_sample
+
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "fr", "s", 5) for i in range(200)]
+    d = _docs(spark, rows)
+    rates = {"en": 5000, "fr": 1000}
+    got = {r["doc_id"]: r["bucket"] for r in stratified_sample(d, rates).collect()}
+
+    def bucket(i):
+        return int(hashlib.md5(f"mix1:{i}".encode()).hexdigest()[:8], 16) % 10000
+
+    want = {
+        i: bucket(i)
+        for i, _, lang, _, _ in rows
+        if bucket(i) < rates[lang]
+    }
+    assert got == want
+    assert 0 < len(want) < len(rows)  # the fixture exercises both outcomes
+
+
+def test_pack_sequences(spark):
+    from crawler_spark.pipeline.assemble import pack_sequences
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s", 5),    # 3 toks, start 0 -> bin 0
+            (2, "d e f", "en", "s", 5),    # 3 toks, start 3 -> bins 0..1
+            (5, "g", "en", "s", 1),        # 1 tok,  start 6 -> bin 1
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(d, capacity=4).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tok": 3, "start_off": 0,
+        "first_bin": 0, "last_bin": 0, "n_bins": 1,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tok": 3, "start_off": 3,
+        "first_bin": 0, "last_bin": 1, "n_bins": 2,
+    }
+    assert got[5] == {
+        "doc_id": 5, "n_tok": 1, "start_off": 6,
+        "first_bin": 1, "last_bin": 1, "n_bins": 1,
+    }
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The running token offset must come from the two-level prefix sum —
+    the plan's Window node partitions by _bucket, never 'No Partition
+    Defined' (which would serialize the corpus through one task)."""
+    from crawler_spark.pipeline.assemble import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pack_sequences(docs, capacity=2048)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "_bucket" in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], (\[[^\]]*\])", plan):
+        assert m.group(1) != "[]", plan  # empty partition spec
