@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_repetition",
+    "text_decontam",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
     "events_asof_join",
     "sim_cosine_topk",
     "sim_ann_lsh",
