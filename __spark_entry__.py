@@ -380,6 +380,20 @@ def q_docs_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
 
 
+def q_docs_shard_assign(spark, sf_dir):
+    """Deterministic export-shard manifest (shard + within-shard position
+    from a reproducible hash shuffle)."""
+    from crawler_spark.pipeline.assemble import shard_assign
+
+    return shard_assign(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+def q_docs_dataset_card(spark, sf_dir):
+    from crawler_spark.pipeline.assemble import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from crawler_spark.pipeline.similarity import cosine_topk
 
@@ -587,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_shard_assign": q_docs_shard_assign,
+        "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
@@ -923,6 +939,25 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
                          ELSE start_off // 2048 END) - start_off // 2048 + 1 AS n_bins
             FROM c
+        """,
+        "docs_shard_assign": """
+            WITH h AS (
+                SELECT doc_id, md5('shard1:' || doc_id) AS h,
+                       ('0x' || substr(md5('shard1:' || doc_id), 1, 8))::BIGINT % 8 AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                        AS BIGINT) AS pos
+            FROM h
+        """,
+        "docs_dataset_card": f"""
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+                   CAST(sum(CAST(len(regexp_extract_all(text, '{_BPE_PAT}', 1)) AS BIGINT))
+                        AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -116,6 +116,56 @@ def stratified_sample(
     )
 
 
+def shard_assign(
+    documents: DataFrame, n_shards: int = 1024, salt: str = "shard1"
+) -> DataFrame:
+    """Deterministic export sharding: (doc_id, shard, pos) manifest.
+
+    Shard = hash bucket of (salt, doc_id); within-shard position = rank by
+    the full md5 hex (doc_id tie-break), i.e. a reproducible global
+    shuffle of the corpus into ``n_shards`` training files — the standard
+    "hash-shuffle then shard" export, independent of partitioning and
+    engine. One exchange on ``shard``; the rank window is PARTITIONED by
+    shard, so pick ``n_shards`` such that corpus/n_shards is a file-sized
+    slice (10^5-10^6 shards at 100 TB → ~100 MB-1 GB each), which also
+    keeps every window partition small. No global order anywhere.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            h.alias("h"),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+                "shard"
+            ),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-language dataset-card rollup: the summary table a corpus release
+    ships (doc counts, source spread, volume in chars and BPE-ish tokens).
+    One partial->final aggregation keyed on ``lang`` — #languages rows out
+    regardless of corpus size."""
+    bpe_pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(1)))
+    return (
+        documents.select(
+            "lang", "source", F.length("text").alias("nc"), n_tok.alias("nt")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.col("nc").cast("long")).alias("total_chars"),
+            F.sum(F.col("nt").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     capacity: int = 2048,

@@ -256,3 +256,47 @@ def test_pack_sequences_window_is_partitioned(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], (\[[^\]]*\])", plan):
         assert m.group(1) != "[]", plan  # empty partition spec
+
+
+def test_shard_assign_matches_hash_math(spark):
+    import hashlib
+
+    from crawler_spark.pipeline.assemble import shard_assign
+
+    rows = [(i, f"doc {i}", "en", "s", 5) for i in range(50)]
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assign(_docs(spark, rows), n_shards=4).collect()
+    }
+
+    def h(i):
+        return hashlib.md5(f"shard1:{i}".encode()).hexdigest()
+
+    want = {}
+    by_shard = {}
+    for i, *_ in rows:
+        by_shard.setdefault(int(h(i)[:8], 16) % 4, []).append(i)
+    for shard, ids in by_shard.items():
+        for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), i)), start=1):
+            want[i] = (shard, pos)
+    assert got == want
+    assert len(by_shard) == 4  # fixture hits every shard
+
+
+def test_dataset_card(spark):
+    from crawler_spark.pipeline.assemble import dataset_card
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b!", "en", "s1", 4),   # 3 bpe tokens (a, b, !)
+            (2, "cd 12", "en", "s2", 5),  # 2 bpe tokens
+            (3, "xyz", "fr", "s1", 3),    # 1 bpe token
+        ],
+    )
+    got = {r["lang"]: r.asDict() for r in dataset_card(d).collect()}
+    assert got["en"] == {
+        "lang": "en", "n_docs": 2, "n_sources": 2,
+        "total_chars": 9, "total_tokens": 5,
+    }
+    assert got["fr"]["n_docs"] == 1 and got["fr"]["total_tokens"] == 1
