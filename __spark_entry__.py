@@ -380,6 +380,18 @@ def q_docs_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
 
 
+def q_pipeline_assemble(spark, sf_dir):
+    """Composed assembly decision: stratified sample -> eval-set
+    decontamination -> GPT-style sequence packing, one declarative plan."""
+    from crawler_spark.pipeline.assemble import assemble_export
+
+    return assemble_export(
+        _t(spark, sf_dir, "documents"),
+        {"en": 2500, "fr": 5000, "de": 5000, "es": 7500, "zh": 10000},
+        capacity=2048,
+    )
+
+
 def q_docs_shard_assign(spark, sf_dir):
     """Deterministic export-shard manifest (shard + within-shard position
     from a reproducible hash shuffle)."""
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "pipeline_assemble": q_pipeline_assemble,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
@@ -939,6 +952,48 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
                          ELSE start_off // 2048 END) - start_off // 2048 + 1 AS n_bins
             FROM c
+        """,
+        "pipeline_assemble": f"""
+            WITH {_SHINGLES_CTE},
+            r(lang, rate_bp) AS (
+                VALUES ('de', 5000), ('en', 2500), ('es', 7500),
+                       ('fr', 5000), ('zh', 10000)
+            ),
+            samp AS (
+                SELECT d.doc_id FROM documents d JOIN r USING (lang)
+                WHERE d.doc_id % 53 <> 0
+                  AND ('0x' || substr(md5('mix1:' || d.doc_id), 1, 8))::BIGINT % 10000 < r.rate_bp
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0),
+            tr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN samp USING (doc_id)),
+            counts AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+            ov AS (
+                SELECT tr.doc_id, count(*) AS n_overlap
+                FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+            ),
+            kept AS (
+                SELECT s.doc_id FROM samp s
+                LEFT JOIN counts c USING (doc_id)
+                LEFT JOIN ov o USING (doc_id)
+                WHERE NOT (coalesce(c.n_shingles, 0) > 0
+                           AND coalesce(o.n_overlap, 0) * 1000 >= 500 * c.n_shingles)
+            ),
+            t AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(len(regexp_extract_all(d.text, '{_BPE_PAT}', 1)) AS BIGINT) AS n_tok
+                FROM documents d JOIN kept USING (doc_id)
+            ),
+            c2 AS (
+                SELECT doc_id, lang, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) - n_tok AS start_off
+                FROM t
+            )
+            SELECT doc_id, lang, n_tok, start_off,
+                   start_off // 2048 AS first_bin,
+                   CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
+                        ELSE start_off // 2048 END AS last_bin
+            FROM c2
         """,
         "docs_shard_assign": """
             WITH h AS (

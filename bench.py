@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sim_ann_multitable",
     "sim_ann_ivf",
     "pipeline_curate",
+    "pipeline_assemble",
     "agg_pricing_summary",
     "events_sessionize",
     "crawl_wave_topk",

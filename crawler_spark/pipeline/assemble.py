@@ -116,6 +116,43 @@ def stratified_sample(
     )
 
 
+def assemble_export(
+    documents: DataFrame,
+    rates_bp: dict[str, int],
+    capacity: int = 2048,
+    k: int = 3,
+    threshold_bp: int = 500,
+    eval_mod: int = 53,
+    salt: str = "mix1",
+) -> DataFrame:
+    """The composed assembly decision: sample -> decontaminate -> pack.
+
+    One declarative plan end-to-end: hold out the eval slice
+    (doc_id % eval_mod == 0), stratified-sample the rest, drop sampled
+    docs contaminated by eval shingle overlap, then sequence-pack the
+    survivors in doc_id order. Catalyst fuses the stages — the sampling
+    filter pushes into the same scan the shingle window reads, and the
+    only materialization barrier is the pack prefix sum's offset collect.
+    Returns (doc_id, lang, n_tok, start_off, first_bin, last_bin).
+    """
+    eval_docs = documents.filter(F.col("doc_id") % eval_mod == 0)
+    train = documents.filter(F.col("doc_id") % eval_mod != 0)
+    sampled = train.join(
+        stratified_sample(train, rates_bp, salt=salt).select("doc_id"), "doc_id"
+    )
+    dec = decontaminate(sampled, eval_docs, k, threshold_bp)
+    kept = sampled.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    # any upper bound works for the pack's arithmetic range buckets;
+    # max over the full table is a plain columnar scan (no joins re-run)
+    bound = documents.agg(F.max("doc_id")).first()[0]
+    packed = pack_sequences(kept, capacity, bound=bound)
+    return packed.join(documents.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tok", "start_off", "first_bin", "last_bin"
+    )
+
+
 def shard_assign(
     documents: DataFrame, n_shards: int = 1024, salt: str = "shard1"
 ) -> DataFrame:
