@@ -380,6 +380,33 @@ def q_docs_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
 
 
+def _order_supplier_edges(spark, sf_dir):
+    """Bidirectional bipartite link graph from lineitem (namespaced node
+    ids) — the testdata stand-in for a host link graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_graph_degrees(spark, sf_dir):
+    from crawler_spark.pipeline.graph import degrees
+
+    return degrees(_order_supplier_edges(spark, sf_dir))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Exact-integer PageRank (3 iterations) over the link graph — the
+    link-mass signal a frontier scheduler turns into host budgets."""
+    from crawler_spark.pipeline.graph import pagerank
+
+    return pagerank(_order_supplier_edges(spark, sf_dir), iters=3)
+
+
 def q_pipeline_assemble(spark, sf_dir):
     """Composed assembly decision: stratified sample -> eval-set
     decontamination -> GPT-style sequence packing, one declarative plan."""
@@ -614,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "pipeline_assemble": q_pipeline_assemble,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
@@ -675,6 +704,41 @@ def _e2e_order_sql() -> str:
         for rnd, prio, seq, curl in o.order_full
     )
     return f"SELECT * FROM (VALUES {vals}) AS t(round, priority, seq, curl)"
+
+
+_EDGE_CTE = """
+fwd AS (
+    SELECT DISTINCT 'o:' || l_orderkey AS src, 's:' || l_suppkey AS dst
+    FROM lineitem
+),
+e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src)
+"""
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 100) -> str:
+    """Unrolled fixed-iteration integer PageRank (mirrors pipeline/graph.py:
+    every division is floor division, so ranks match to the last unit)."""
+    teleport = (dd - dn) * scale // dd
+    parts = [
+        f"WITH {_EDGE_CTE}, "
+        f'r0 AS (SELECT node, CAST({scale} AS BIGINT) AS "rank" FROM n)'
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        r{t} AS (
+            SELECT n.node,
+                   CAST({teleport} + {dn} * coalesce(s.s, 0) // {dd} AS BIGINT) AS "rank"
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node, sum(r{t - 1}."rank" // od.od) AS s
+                FROM e JOIN r{t - 1} ON r{t - 1}.node = e.src
+                       JOIN od ON od.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )""")
+    parts.append(f' SELECT node, "rank" FROM r{iters}')
+    return "".join(parts)
 
 
 def _ann_planes_sql(table: int = 0) -> str:
@@ -953,6 +1017,17 @@ def oracle_sql() -> dict[str, str]:
                          ELSE start_off // 2048 END) - start_off // 2048 + 1 AS n_bins
             FROM c
         """,
+        "graph_degrees": f"""
+            WITH {_EDGE_CTE},
+            i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+            SELECT n.node,
+                   CAST(coalesce(od.od, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+            FROM n
+            LEFT JOIN od ON od.src = n.node
+            LEFT JOIN i ON i.node = n.node
+        """,
+        "graph_pagerank": _pagerank_sql(iters=3),
         "pipeline_assemble": f"""
             WITH {_SHINGLES_CTE},
             r(lang, rate_bp) AS (

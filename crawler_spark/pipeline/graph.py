@@ -1,0 +1,115 @@
+"""Link-graph analytics: the crawl-priority side of a web corpus.
+
+A frontier scheduler wants more than FIFO — link mass tells it which hosts
+deserve budget (the reference's two-class priority queue is the degenerate
+form of this). Two operators over an edge list:
+
+- ``degrees`` — in/out degree per node, one partial->final aggregation
+  per direction.
+- ``pagerank`` — fixed-iteration PageRank in EXACT INTEGER arithmetic
+  (ranks scaled by 10^12, floor division everywhere), so the result
+  hashes identically to the DuckDB oracle and is bit-stable across
+  engines, partitionings, and retries. Each iteration is one join
+  (edges x ranks) + one aggregation, both keyed on node ids — the
+  standard distributed PageRank shape; no driver-side state beyond the
+  loop counter.
+
+Dangling nodes (no out-edges) simply drop their mass per iteration — the
+usual simplification when ranks are used as relative priorities, noted
+here because the absolute total is therefore not conserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Rank unit. Headroom contract: damp_num * (total mass) must fit in int64,
+# i.e. n_nodes * RANK_SCALE * damp_num < 2^63 — at 10^9 that allows ~10^8
+# nodes; for larger graphs lower the scale (relative priorities survive).
+# The DuckDB oracle sums in HUGEINT, so the Spark side is the binding one.
+RANK_SCALE = 10**9
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg, in_deg) — zero-filled over the full node set."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outd = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ind = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        nodes.join(outd, "node", "left")
+        .join(ind, "node", "left")
+        .na.fill({"out_deg": 0, "in_deg": 0})
+        .select(
+            "node",
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.col("in_deg").cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """(node, rank) after ``iters`` exact-integer PageRank iterations.
+
+    r_0(v) = scale;  r_{t+1}(v) = teleport + damp_num * S(v) DIV damp_den
+    where S(v) = sum over in-neighbors u of (r_t(u) DIV out_deg(u)) and
+    teleport = (damp_den - damp_num) * scale DIV damp_den. Every division
+    is floor division on BIGINT, so Spark and the SQL oracle agree to the
+    last unit. Duplicate (src, dst) rows count once (the edge relation is
+    made distinct) — degree semantics match ``degrees`` on the deduped
+    edge list.
+
+    Scale shape: each iteration shuffles the rank relation once (join on
+    src) and the contributions once (agg on dst) — both keyed exchanges
+    that parallelize with the graph; the per-iteration plan is truncated
+    with localCheckpoint so lineage stays constant for any ``iters``.
+    """
+    if damp_num * scale <= 0 or damp_num >= damp_den:
+        raise ValueError("need 0 < damp_num < damp_den and positive scale")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+    ranks = ranks.localCheckpoint()
+    teleport = (damp_den - damp_num) * scale // damp_den
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outd, "src")
+            .select("dst", F.expr("rank DIV od").alias("c"))
+        )
+        inflow = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(teleport))
+                    + F.expr(f"{damp_num} * coalesce(s, 0) DIV {damp_den}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks
