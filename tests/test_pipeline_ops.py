@@ -300,3 +300,37 @@ def test_dataset_card(spark):
         "total_chars": 9, "total_tokens": 5,
     }
     assert got["fr"]["n_docs"] == 1 and got["fr"]["total_tokens"] == 1
+
+
+def test_pack_sequences_invariants_fuzz(spark):
+    """Distributed pack == the trivial single-pass reference on random
+    corpora: offsets are the exclusive prefix sum in doc_id order, bins
+    tile the token stream with no gaps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.assemble import pack_sequences
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(1, 60)
+        cap = rng.choice([3, 7, 16])
+        rows = []
+        for i in sorted(rng.sample(range(1000), n)):
+            words = " ".join("w" for _ in range(rng.randint(1, 30)))
+            rows.append((i, words, "en", "s", len(words)))
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in pack_sequences(
+                _docs(spark, rows), capacity=cap, n_parts=rng.choice([2, 5, 32])
+            ).collect()
+        }
+        off = 0
+        for i, words, *_ in rows:
+            t = len(words.split())
+            g = got[i]
+            assert g["n_tok"] == t and g["start_off"] == off, (trial, i, g)
+            assert g["first_bin"] == off // cap
+            assert g["last_bin"] == (off + t - 1) // cap
+            off += t
