@@ -328,6 +328,12 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_text_vocab_topk(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_docs_source_stats(spark, sf_dir):
     from crawler_spark.pipeline.textstats import source_stats
 
@@ -635,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_vocab_topk": q_text_vocab_topk,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
@@ -935,6 +942,18 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "text_vocab_topk": f"""
+            WITH inst AS (
+                SELECT lang, unnest({_TOKS}) AS tok FROM documents
+            ),
+            c AS (SELECT lang, tok, count(*) AS n FROM inst GROUP BY lang, tok)
+            SELECT lang, tok, n, rk FROM (
+                SELECT lang, tok, n,
+                       CAST(row_number() OVER (PARTITION BY lang
+                                               ORDER BY n DESC, tok) AS INT) AS rk
+                FROM c
+            ) WHERE rk <= 20
         """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,

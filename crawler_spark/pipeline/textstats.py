@@ -155,6 +155,29 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Per-language top-k tokens by instance count (the vocabulary-coverage
+    snapshot a tokenizer/mixture review wants). Ties break on the token
+    string so ranks are total and engine-independent.
+
+    Scale shape: explode -> one partial->final aggregation keyed on
+    (lang, token); the top-k window runs over the AGGREGATED relation
+    (cardinality = #distinct (lang, token), tiny vs corpus) partitioned by
+    lang — never a window over token instances.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    inst = documents.select("lang", F.explode(tokens_col()).alias("tok"))
+    counts = inst.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source (host/domain analog) corpus rollup for curation triage.
 

@@ -334,3 +334,22 @@ def test_pack_sequences_invariants_fuzz(spark):
             assert g["first_bin"] == off // cap
             assert g["last_bin"] == (off + t - 1) // cap
             off += t
+
+
+def test_vocab_topk(spark):
+    from crawler_spark.pipeline.textstats import vocab_topk
+
+    d = _docs(
+        spark,
+        [
+            (1, "b b a a c", "en", "s", 9),
+            (2, "a", "en", "s", 1),
+            (3, "z z y", "fr", "s", 5),
+        ],
+    )
+    got = [
+        (r["lang"], r["tok"], r["n"], r["rk"])
+        for r in vocab_topk(d, k=2).orderBy("lang", "rk").collect()
+    ]
+    # en: a=3, b=2 (count desc); fr: z=2, y=1; ties broken by token asc
+    assert got == [("en", "a", 3, 1), ("en", "b", 2, 2), ("fr", "z", 2, 1), ("fr", "y", 1, 2)]
