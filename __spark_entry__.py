@@ -334,6 +334,24 @@ def q_text_vocab_topk(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_text_segment_dedup(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), k=10)
+
+
+def q_text_lm_score(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_template_stats(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import template_stats
+
+    return template_stats(_t(spark, sf_dir, "documents"), head_k=8, min_df=2)
+
+
 def q_docs_source_stats(spark, sf_dir):
     from crawler_spark.pipeline.textstats import source_stats
 
@@ -642,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_vocab_topk": q_text_vocab_topk,
+        "text_segment_dedup": q_text_segment_dedup,
+        "text_lm_score": q_text_lm_score,
+        "docs_template_stats": q_docs_template_stats,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
@@ -954,6 +975,75 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY n DESC, tok) AS INT) AS rk
                 FROM c
             ) WHERE rk <= 20
+        """,
+        "text_segment_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0
+                            THEN list_transform(generate_series(0, (len(toks) - 1) // 10),
+                                                i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS segs
+                FROM t
+            ), inst AS (
+                SELECT doc_id, md5(unnest(segs)) AS sh FROM s
+            ), dfreq AS (
+                SELECT sh, count(DISTINCT doc_id) AS df FROM inst GROUP BY sh
+            ), per AS (
+                SELECT doc_id, count(*) AS n_segments,
+                       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM inst JOIN dfreq USING (sh) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_segments,
+                   CASE WHEN coalesce(n_segments, 0) > 0
+                        THEN (1000 * CAST(coalesce(n_dup, 0) AS BIGINT)) // n_segments
+                        ELSE 0 END AS dup_seg_bp
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "text_lm_score": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), inst AS (
+                SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+            ), doc_bg AS (
+                SELECT doc_id, t1, t2, count(*) AS n
+                FROM inst GROUP BY doc_id, t1, t2
+            ), bg AS (
+                SELECT t1, t2, sum(n) AS cb FROM doc_bg GROUP BY t1, t2
+            ), ctx AS (
+                SELECT t1, sum(cb) AS cu FROM bg GROUP BY t1
+            ), scored AS (
+                SELECT doc_id, n,
+                       (1000 * CAST(cb AS BIGINT)) // cu AS p_bp
+                FROM doc_bg JOIN bg USING (t1, t2) JOIN ctx USING (t1)
+            ), per AS (
+                SELECT doc_id, sum(n) AS n_bigrams,
+                       sum(n * p_bp) // sum(n) AS lm_bp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(lm_bp, 0) AS BIGINT) AS lm_bp
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_template_stats": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       md5(array_to_string({_TOKS}[1:8], ' ')) AS template_fp
+                FROM documents
+            ), dfreq AS (
+                SELECT template_fp, count(DISTINCT doc_id) AS template_df
+                FROM b GROUP BY template_fp
+            )
+            SELECT doc_id, template_fp,
+                   CAST(template_df AS BIGINT) AS template_df,
+                   template_df >= 2 AS is_template
+            FROM b JOIN dfreq USING (template_fp)
         """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.pipeline.dedup import tokens_col
+
 # language marker words; scored by occurrence count, argmax with fixed
 # precedence (en > fr > de > es) on ties; zh wins if any CJK chars present.
 LANG_MARKERS = {
@@ -238,6 +240,148 @@ def length_deciles(documents: DataFrame) -> DataFrame:
         targets.join(cum, cum["cum"] >= targets["target"])
         .groupBy("decile")
         .agg(F.min("len").cast("long").alias("len_value"))
+    )
+
+
+def segment_dedup(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Cross-document duplicated-segment signals (line-dedup analog).
+
+    RefinedWeb/CCNet-style line-level dedup generalized to corpora without
+    newlines: a *segment* is a non-overlapping ``k``-token chunk (trailing
+    partial chunk included), and a segment is *duplicated* when at least one
+    OTHER document contains the same chunk. Per doc we report how much of it
+    is corpus-repeated boilerplate; thresholding ``dup_seg_bp`` (or stripping
+    the flagged chunks) is the curation policy layer.
+
+    Scale shape: one explode (segments ≈ tokens/k, ~10x cheaper than a
+    token explode), one partial->final aggregation keyed on the segment
+    hash (cardinality = #distinct segments), then a join back on that same
+    hash — the aggregated side has exactly one row per key, so join fan-out
+    equals the instance count and a hot boilerplate segment never goes
+    quadratic (contrast the df-capped ngram_jaccard join). Within-doc
+    repeats with corpus df=1 are deliberately NOT counted — that is
+    ``repetition_signals``'s axis.
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    segs = base.select(
+        "doc_id",
+        F.when(
+            F.size("toks") > 0,
+            F.expr(
+                f"transform(sequence(0, (size(toks) - 1) DIV {k}),"
+                f" i -> concat_ws(' ', slice(toks, i * {k} + 1, {k})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("segs"),
+    )
+    inst = segs.select("doc_id", F.explode("segs").alias("seg")).select(
+        "doc_id", F.md5("seg").alias("sh")
+    )
+    dfreq = inst.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        inst.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_segments"),
+            F.expr(
+                "CASE WHEN coalesce(n_segments, 0) > 0"
+                " THEN (1000 * CAST(coalesce(n_dup, 0) AS BIGINT)) DIV n_segments"
+                " ELSE 0 END"
+            ).alias("dup_seg_bp"),
+        )
+    )
+
+
+def lm_score(documents: DataFrame) -> DataFrame:
+    """Corpus-bigram LM fluency score (perplexity-filter analog), integer bp.
+
+    CCNet-style perplexity filtering without a float log: the score is the
+    per-doc average *conditional bigram probability* P(w2|w1) estimated from
+    the corpus itself, in basis points — low = incoherent/rare word
+    sequences, high = predictable text. Exact integer math (floor-div per
+    bigram, then floor-div of the weighted sum) so Spark and the SQL oracle
+    hash identically; a real deployment would swap the corpus counts for a
+    pretrained n-gram table via the same joins.
+
+    Scale shape: bigram instances are pre-aggregated PER DOC to
+    (doc_id, t1, t2, n) before any join, so the join against the global
+    bigram-count relation is (#distinct doc-bigrams) x 1 — never an
+    instance-level fan-out. Global tables: one partial->final agg keyed on
+    (t1, t2) for bigram counts; context counts derive from that same
+    relation by a second tiny agg on t1. Hot contexts ("the ...") skew the
+    t1 agg only, which AQE splits; the per-doc join key is the full bigram.
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<t1:string,t2:string>>)"))
+    inst = base.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")
+    )
+    doc_bg = inst.groupBy("doc_id", "t1", "t2").agg(F.count("*").alias("n"))
+    bg_counts = doc_bg.groupBy("t1", "t2").agg(F.sum("n").alias("cb"))
+    ctx_counts = bg_counts.groupBy("t1").agg(F.sum("cb").alias("cu"))
+    scored = (
+        doc_bg.join(bg_counts, ["t1", "t2"])
+        .join(ctx_counts, "t1")
+        .select(
+            "doc_id",
+            "n",
+            F.expr("(1000 * CAST(cb AS BIGINT)) DIV cu").alias("p_bp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.expr("sum(n * p_bp) DIV sum(n)").alias("lm_bp"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_bp", F.lit(0)).cast("long").alias("lm_bp"),
+        )
+    )
+
+
+def template_stats(documents: DataFrame, head_k: int = 8, min_df: int = 2) -> DataFrame:
+    """Boilerplate-template detection by shared document head.
+
+    Pages stamped from one site template share their first tokens (nav
+    bars, cookie banners); the head fingerprint (md5 of the first
+    ``head_k`` tokens) groups them. Per doc: its template fingerprint, how
+    many documents share it, and the is-boilerplate flag at ``min_df``.
+    Scale: one partial->final agg on the fingerprint + one join back on the
+    same key (aggregated side is one row per template) — the standard
+    count-then-annotate shape, linear in the corpus.
+    """
+    toks = tokens_col()
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, head_k)))
+    base = documents.select("doc_id", fp.alias("template_fp"))
+    dfreq = base.groupBy("template_fp").agg(
+        F.countDistinct("doc_id").alias("template_df")
+    )
+    return base.join(dfreq, "template_fp").select(
+        "doc_id",
+        "template_fp",
+        F.col("template_df").cast("long").alias("template_df"),
+        (F.col("template_df") >= min_df).alias("is_template"),
     )
 
 

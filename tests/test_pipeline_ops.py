@@ -353,3 +353,81 @@ def test_vocab_topk(spark):
     ]
     # en: a=3, b=2 (count desc); fr: z=2, y=1; ties broken by token asc
     assert got == [("en", "a", 3, 1), ("en", "b", 2, 2), ("fr", "z", 2, 1), ("fr", "y", 1, 2)]
+
+
+# ---- cross-doc segment dedup / LM score / template detection ----
+
+
+def test_segment_dedup(spark):
+    from crawler_spark.pipeline.textstats import segment_dedup
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e", "en", "s1", 9),   # segs(k=2): [a b][c d][e]
+            (2, "a b x y", "en", "s1", 7),     # segs: [a b][x y]
+            (3, "zz", "en", "s2", 2),          # segs: [zz]
+            (4, " ", "en", "s2", 1),           # no tokens -> 0 segments
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in segment_dedup(d, k=2).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_segments": 3, "n_dup_segments": 1, "dup_seg_bp": 333
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_segments": 2, "n_dup_segments": 1, "dup_seg_bp": 500
+    }
+    assert got[3]["n_dup_segments"] == 0
+    assert got[4] == {
+        "doc_id": 4, "n_segments": 0, "n_dup_segments": 0, "dup_seg_bp": 0
+    }
+
+
+def test_lm_score(spark):
+    from crawler_spark.pipeline.textstats import lm_score
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b", "en", "s1", 3),
+            (2, "a b", "en", "s1", 3),
+            (3, "a c", "en", "s1", 3),
+            (4, "solo", "en", "s1", 4),  # no bigrams
+        ],
+    )
+    # corpus counts: cb(a,b)=2, cb(a,c)=1, cu(a)=3
+    # p_bp(a,b) = 2000 DIV 3 = 666; p_bp(a,c) = 333
+    got = {r["doc_id"]: r.asDict() for r in lm_score(d).collect()}
+    assert got[1] == {"doc_id": 1, "n_bigrams": 1, "lm_bp": 666}
+    assert got[2]["lm_bp"] == 666
+    assert got[3] == {"doc_id": 3, "n_bigrams": 1, "lm_bp": 333}
+    assert got[4] == {"doc_id": 4, "n_bigrams": 0, "lm_bp": 0}
+
+
+def test_template_stats(spark):
+    from crawler_spark.pipeline.textstats import template_stats
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b tail-one", "en", "s1", 12),
+            (2, "a b tail-two", "en", "s1", 12),
+            (3, "c d other", "en", "s2", 9),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in template_stats(d, head_k=2, min_df=2).collect()}
+    assert got[1]["template_df"] == 2 and got[1]["is_template"]
+    assert got[2]["template_fp"] == got[1]["template_fp"]
+    assert got[3]["template_df"] == 1 and not got[3]["is_template"]
+
+
+def test_segment_dedup_plan_shape(spark):
+    """Aggregation on the segment hash must be partial->final and the
+    annotate-back join a hash join on that same key — no cartesian, no
+    broadcast of the instance side."""
+    from crawler_spark.pipeline.textstats import segment_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_finalmerge" in plan or "HashAggregate" in plan
