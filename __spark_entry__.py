@@ -352,6 +352,27 @@ def q_docs_template_stats(spark, sf_dir):
     return template_stats(_t(spark, sf_dir, "documents"), head_k=8, min_df=2)
 
 
+def q_docs_interleave_spans(spark, sf_dir):
+    """The north rule's interleaved payload shape (BASELINE.json input_hint)
+    materialized deterministically: text chunks + interleaved media refs with
+    closed-form offsets, returned exploded (flat columns) for the hash gate."""
+    from crawler_spark.pipeline.interleaved import synth_spans
+
+    return synth_spans(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
+
+
+def q_docs_interleave_stats(spark, sf_dir):
+    from crawler_spark.pipeline.interleaved import interleave_stats
+
+    return interleave_stats(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
+
+
+def q_docs_interleave_render(spark, sf_dir):
+    from crawler_spark.pipeline.interleaved import render_interleaved
+
+    return render_interleaved(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
+
+
 def q_docs_source_stats(spark, sf_dir):
     from crawler_spark.pipeline.textstats import source_stats
 
@@ -663,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segment_dedup": q_text_segment_dedup,
         "text_lm_score": q_text_lm_score,
         "docs_template_stats": q_docs_template_stats,
+        "docs_interleave_spans": q_docs_interleave_spans,
+        "docs_interleave_stats": q_docs_interleave_stats,
+        "docs_interleave_render": q_docs_interleave_render,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
@@ -702,6 +726,35 @@ sh AS (
     FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
     WHERE len(t) >= 3
 )
+"""
+
+# interleaved span synthesis (pipeline/interleaved.py semantics): 5-token
+# text chunks, a media span after every 2nd chunk, closed-form offsets
+_SPANS_CTE = f"""
+            WITH t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKS} AS toks
+                FROM documents
+            ), ch AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0
+                            THEN list_transform(generate_series(0, (len(toks) - 1) // 5),
+                                                i -> array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS chunks
+                FROM t
+            ), txt AS (
+                SELECT doc_id, CAST(ci + ci // 2 AS INT) AS "offset",
+                       'text' AS kind, chunks[ci + 1] AS text, '' AS media_ref
+                FROM ch, unnest(generate_series(0, len(chunks) - 1)) g(ci)
+                WHERE len(chunks) > 0
+            ), med AS (
+                SELECT doc_id, CAST(3 * j - 1 AS INT) AS "offset",
+                       'media' AS kind, '' AS text,
+                       'asset://' || doc_id || '/' || j AS media_ref
+                FROM ch, unnest(generate_series(1, len(chunks) // 2)) g(j)
+                WHERE len(chunks) >= 2
+            ), spans AS (
+                SELECT * FROM txt UNION ALL SELECT * FROM med
+            )
 """
 
 _STOP_PAT = r"\b(the|and|of|to|is|a|in)\b"
@@ -1044,6 +1097,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(template_df AS BIGINT) AS template_df,
                    template_df >= 2 AS is_template
             FROM b JOIN dfreq USING (template_fp)
+        """,
+        "docs_interleave_spans": _SPANS_CTE + """
+            SELECT * FROM spans
+        """,
+        "docs_interleave_stats": _SPANS_CTE + """
+            , per AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS n_text_spans,
+                       sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media_spans,
+                       sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END) AS text_chars,
+                       max("offset") AS max_offset,
+                       count(DISTINCT "offset") AS n_offsets
+                FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(n_text_spans, 0) AS BIGINT) AS n_text_spans,
+                   CAST(coalesce(n_media_spans, 0) AS BIGINT) AS n_media_spans,
+                   CAST(coalesce(text_chars, 0) AS BIGINT) AS text_chars,
+                   coalesce(max_offset + 1, 0) = coalesce(n_offsets, 0)
+                       AND coalesce(n_offsets, 0) = coalesce(n_spans, 0) AS offsets_ok
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
+        """,
+        "docs_interleave_render": _SPANS_CTE + """
+            , per AS (
+                SELECT doc_id,
+                       md5(string_agg(
+                           CASE WHEN kind = 'text' THEN text
+                                ELSE '<media:' || media_ref || '>' END,
+                           ' ' ORDER BY "offset")) AS render_fp,
+                       count(*) AS n_pieces,
+                       sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media
+                FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(render_fp, md5('')) AS render_fp,
+                   CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces,
+                   CAST(coalesce(n_media, 0) AS BIGINT) AS n_media
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
         """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,

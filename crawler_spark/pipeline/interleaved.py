@@ -1,0 +1,184 @@
+"""Operators over the interleaved text+media span payload.
+
+The north rule's input shape (BASELINE.json input_hint) is an Iceberg table
+of interleaved documents: ``(doc_id, spans:array<struct<kind:string,
+text:string, media_ref:string, offset:int>>)`` — the same shape the crawl
+engine lands (schemas.DOCUMENTS). These operators exercise that payload as
+a first-class relation: deterministic synthesis from flat text (so the
+DuckDB oracles can rebuild the identical table), interleave-invariant
+checks, and rendering a document back to its training-order token stream.
+
+Scale shapes: synthesis is explode + integer arithmetic (no join, no
+window — offsets are CLOSED-FORM in the chunk ordinal, never a running
+count); stats are one partial->final agg keyed on doc_id; render is one
+agg with an order-by-offset string fold (collect_list + sort_array per
+doc, bounded by doc size, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.pipeline.dedup import tokens_col
+
+
+def synth_spans(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
+    """Deterministic interleaved span table from flat text documents.
+
+    Text is cut into non-overlapping ``chunk``-token text spans; after every
+    ``media_every``-th text span a media span is interleaved whose
+    ``media_ref`` is derived from (doc_id, media ordinal) — a stand-in for
+    the image/video refs a real crawl parse emits (operators/parse.py).
+    Offsets are the position in the final interleaved sequence, computed in
+    closed form (text chunk ``i`` sits at ``i + i DIV media_every``; media
+    ``j`` at ``(media_every+1)*j - 1``), so the whole table is one explode
+    plus map-side arithmetic — no window, no shuffle beyond the explode.
+
+    Returns the EXPLODED relation (doc_id, offset, kind, text, media_ref):
+    flat columns so the driver's value-hash comparator applies; wrap with
+    ``to_nested`` for the array<struct> form the engine's documents table
+    uses.
+    """
+    m = media_every
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens_col().alias("toks"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.size("toks") > 0,
+            F.expr(
+                f"transform(sequence(0, (size(toks) - 1) DIV {chunk}),"
+                f" i -> concat_ws(' ', slice(toks, i * {chunk} + 1, {chunk})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("chunks"),
+    )
+    text_spans = base.select(
+        "doc_id", F.posexplode("chunks").alias("ci", "chunk")
+    ).select(
+        "doc_id",
+        F.expr(f"ci + ci DIV {m}").cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("chunk").alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+    media_spans = (
+        base.filter(F.size("chunks") >= m)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(chunks) DIV {m})")).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"({m} + 1) * j - 1").cast("int").alias("offset"),
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("asset://"), F.col("doc_id"), F.lit("/"), F.col("j")).alias(
+                "media_ref"
+            ),
+        )
+    )
+    return text_spans.unionByName(media_spans)
+
+
+def to_nested(spans: DataFrame) -> DataFrame:
+    """Fold the exploded span relation into the engine's documents shape
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>), offset-ordered."""
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(offset, kind, text, media_ref))),"
+                " s -> struct(s.kind AS kind, s.text AS text,"
+                " s.media_ref AS media_ref, s.offset AS offset))"
+            ).alias("spans")
+        )
+    )
+
+
+def interleave_stats(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
+    """Per-document interleave invariants over the span table.
+
+    ``offsets_ok`` asserts the contract the crawl engine's seq/span layer
+    guarantees (SURVEY §7.3): offsets are dense 0..n-1 with no repeats —
+    the property the byte-for-byte span-sequence equality gate relies on.
+    One aggregation keyed on doc_id; every measure is exact integer/bool.
+    """
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    per = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media_spans"),
+        F.sum(F.when(F.col("kind") == "text", F.length("text")).otherwise(0)).alias(
+            "text_chars"
+        ),
+        F.max("offset").alias("max_offset"),
+        F.countDistinct("offset").alias("n_offsets"),
+    )
+    out = (
+        documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_text_spans", F.lit(0)).cast("long").alias("n_text_spans"),
+            F.coalesce("n_media_spans", F.lit(0)).cast("long").alias("n_media_spans"),
+            F.coalesce("text_chars", F.lit(0)).cast("long").alias("text_chars"),
+            (
+                (
+                    F.coalesce(F.col("max_offset") + 1, F.lit(0))
+                    == F.coalesce("n_offsets", F.lit(0))
+                )
+                & (
+                    F.coalesce("n_offsets", F.lit(0))
+                    == F.coalesce("n_spans", F.lit(0))
+                )
+            ).alias("offsets_ok"),
+        )
+    )
+    return out
+
+
+def render_interleaved(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
+    """Render each interleaved document to its training-order token stream.
+
+    Media spans become ``<media:ref>`` placeholder tokens (the multimodal
+    tokenizer hand-off point); the pieces are joined in offset order and
+    fingerprinted. This is the export verb a multimodal packing stage
+    consumes — the md5 keeps the driver comparison cheap while still
+    pinning the exact byte sequence.
+    """
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    piece = F.when(F.col("kind") == "text", F.col("text")).otherwise(
+        F.concat(F.lit("<media:"), F.col("media_ref"), F.lit(">"))
+    )
+    per = (
+        spans.select("doc_id", "offset", "kind", piece.alias("piece"))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(offset, piece))),"
+                        " s -> s.piece)"
+                    ),
+                    " ",
+                )
+            ).alias("render_fp"),
+            F.count("*").alias("n_pieces"),
+            F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+        )
+    )
+    return (
+        documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("render_fp", F.md5(F.lit(""))).alias("render_fp"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
+        )
+    )

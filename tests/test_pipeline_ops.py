@@ -431,3 +431,75 @@ def test_segment_dedup_plan_shape(spark):
     plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_finalmerge" in plan or "HashAggregate" in plan
+
+
+# ---- interleaved span payload (pipeline/interleaved.py) ----
+
+
+def test_synth_spans_interleave(spark):
+    """chunk=2, media_every=2 over 'a b c d e': chunks [a b][c d][e];
+    text offsets 0,1,3 (ci + ci DIV 2), one media span at offset 2."""
+    from crawler_spark.pipeline.interleaved import synth_spans
+
+    d = _docs(spark, [(1, "a b c d e", "en", "s1", 9)])
+    rows = sorted(
+        (r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in synth_spans(d, chunk=2, media_every=2).collect()
+    )
+    assert rows == [
+        (0, "text", "a b", ""),
+        (1, "text", "c d", ""),
+        (2, "media", "", "asset://1/1"),
+        (3, "text", "e", ""),
+    ]
+
+
+def test_interleave_stats_and_render(spark):
+    from crawler_spark.pipeline.interleaved import (
+        interleave_stats,
+        render_interleaved,
+    )
+
+    d = _docs(
+        spark,
+        [(1, "a b c d e", "en", "s1", 9), (2, " ", "en", "s1", 1)],
+    )
+    st = {r["doc_id"]: r.asDict() for r in interleave_stats(d, chunk=2).collect()}
+    assert st["1"] == {
+        "doc_id": "1", "n_spans": 4, "n_text_spans": 3, "n_media_spans": 1,
+        "text_chars": 7, "offsets_ok": True,
+    }
+    assert st["2"]["n_spans"] == 0 and st["2"]["offsets_ok"]
+
+    import hashlib
+
+    rd = {r["doc_id"]: r.asDict() for r in render_interleaved(d, chunk=2).collect()}
+    expected = "a b c d <media:asset://1/1> e"
+    assert rd["1"]["render_fp"] == hashlib.md5(expected.encode()).hexdigest()
+    assert rd["1"]["n_pieces"] == 4 and rd["1"]["n_media"] == 1
+    assert rd["2"]["render_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_to_nested_matches_engine_span_shape(spark):
+    """The folded form must carry the exact input_hint struct fields in
+    offset order — the shape the crawl engine's documents table lands."""
+    from crawler_spark.pipeline.interleaved import synth_spans, to_nested
+
+    d = _docs(spark, [(1, "a b c d e", "en", "s1", 9)])
+    nested = to_nested(synth_spans(d, chunk=2)).collect()[0]
+    kinds = [s["kind"] for s in nested["spans"]]
+    offsets = [s["offset"] for s in nested["spans"]]
+    assert kinds == ["text", "text", "media", "text"]
+    assert offsets == [0, 1, 2, 3]
+    assert set(nested["spans"][0].asDict()) == {"kind", "text", "media_ref", "offset"}
+
+
+def test_synth_spans_plan_no_window(spark):
+    """Offsets are closed-form arithmetic — the synthesis plan must have no
+    Window and no Join (a running-count formulation would serialize)."""
+    from crawler_spark.pipeline.interleaved import synth_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = synth_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan
