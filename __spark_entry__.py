@@ -352,6 +352,15 @@ def q_docs_template_stats(spark, sf_dir):
     return template_stats(_t(spark, sf_dir, "documents"), head_k=8, min_df=2)
 
 
+_MIXTURE_TARGETS = {"en": 400, "fr": 150, "de": 150, "es": 150, "zh": 150}
+
+
+def q_docs_mixture_weights(spark, sf_dir):
+    from crawler_spark.pipeline.assemble import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), _MIXTURE_TARGETS)
+
+
 def q_docs_interleave_spans(spark, sf_dir):
     """The north rule's interleaved payload shape (BASELINE.json input_hint)
     materialized deterministically: text chunks + interleaved media refs with
@@ -684,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segment_dedup": q_text_segment_dedup,
         "text_lm_score": q_text_lm_score,
         "docs_template_stats": q_docs_template_stats,
+        "docs_mixture_weights": q_docs_mixture_weights,
         "docs_interleave_spans": q_docs_interleave_spans,
         "docs_interleave_stats": q_docs_interleave_stats,
         "docs_interleave_render": q_docs_interleave_render,
@@ -1097,6 +1107,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(template_df AS BIGINT) AS template_df,
                    template_df >= 2 AS is_template
             FROM b JOIN dfreq USING (template_fp)
+        """,
+        "docs_mixture_weights": """
+            WITH tgt(lang, target_bp) AS (
+                VALUES ('de', 150), ('en', 400), ('es', 150), ('fr', 150), ('zh', 150)
+            ), c AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ), tot AS (
+                SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c
+            )
+            SELECT t.lang,
+                   CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST((1000 * CAST(coalesce(n_docs, 0) AS BIGINT)) // n_total AS BIGINT) AS share_bp,
+                   CAST(target_bp AS INT) AS target_bp,
+                   CAST((CAST(target_bp AS BIGINT) * n_total) // 1000 AS BIGINT) AS expected_n,
+                   CAST(CASE WHEN coalesce(n_docs, 0) > 0
+                        THEN (1000 * ((CAST(target_bp AS BIGINT) * n_total) // 1000)) // n_docs
+                        ELSE 0 END AS BIGINT) AS weight_bp
+            FROM tgt t LEFT JOIN c USING (lang) CROSS JOIN tot
         """,
         "docs_interleave_spans": _SPANS_CTE + """
             SELECT * FROM spans

@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_repetition",
+    "text_segment_dedup",
+    "text_lm_score",
+    "docs_interleave_render",
     "text_decontam",
     "docs_stratified_sample",
     "docs_pack_sequences",

@@ -116,6 +116,58 @@ def stratified_sample(
     )
 
 
+def mixture_weights(
+    documents: DataFrame,
+    targets_bp: dict[str, int],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum sampling rates that rebalance the corpus to a target
+    mixture (the data-mixing step before ``stratified_sample``).
+
+    ``targets_bp`` maps stratum -> target share of the OUTPUT corpus in
+    basis points (must be the policy's full mixture; strata absent from
+    the corpus get expected_n but n_docs=0). For a same-size output:
+    ``expected_n = target_bp * n_total DIV 1000`` docs wanted, and the
+    per-doc sampling rate ``weight_bp = (1000 * expected_n) DIV n_docs``
+    (>1000 means the stratum must be upsampled / repeated — the signal a
+    mixture review acts on). Exact integer math mirrored by the oracle.
+
+    Scale: one partial->final agg keyed on the stratum (#strata ≪ corpus)
+    + a broadcast-joined targets table; plan size independent of #strata.
+    Feed ``weight_bp`` (capped at 10000-bp hash space) straight into
+    ``stratified_sample``'s rates to execute the rebalance.
+    """
+    spark = documents.sparkSession
+    targets = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(targets_bp.items())],
+            f"{stratum_col} string, target_bp int",
+        )
+    )
+    counts = documents.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        targets.join(counts, stratum_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            stratum_col,
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.expr("(1000 * CAST(coalesce(n_docs, 0) AS BIGINT)) DIV n_total").alias(
+                "share_bp"
+            ),
+            F.col("target_bp").cast("int").alias("target_bp"),
+            F.expr("(CAST(target_bp AS BIGINT) * n_total) DIV 1000").alias(
+                "expected_n"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_docs, 0) > 0"
+                " THEN (1000 * ((CAST(target_bp AS BIGINT) * n_total) DIV 1000)) DIV n_docs"
+                " ELSE 0 END"
+            ).alias("weight_bp"),
+        )
+    )
+
+
 def assemble_export(
     documents: DataFrame,
     rates_bp: dict[str, int],

@@ -503,3 +503,47 @@ def test_synth_spans_plan_no_window(spark):
     plan = synth_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_mixture_weights(spark):
+    """en 6 docs, fr 2, zh 0 in corpus; targets en=250, fr=500, zh=250.
+    n_total=8 -> expected: en 2, fr 4, zh 2; weights: en 333, fr 2000
+    (upsample), zh 0 (nothing to draw from)."""
+    from crawler_spark.pipeline.assemble import mixture_weights
+
+    d = _docs(
+        spark,
+        [(i, f"doc {i}", "en" if i < 6 else "fr", "s", 5) for i in range(8)],
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in mixture_weights(d, {"en": 250, "fr": 500, "zh": 250}).collect()
+    }
+    assert got["en"] == {
+        "lang": "en", "n_docs": 6, "share_bp": 750, "target_bp": 250,
+        "expected_n": 2, "weight_bp": 333,
+    }
+    assert got["fr"]["expected_n"] == 4 and got["fr"]["weight_bp"] == 2000
+    assert got["zh"] == {
+        "lang": "zh", "n_docs": 0, "share_bp": 0, "target_bp": 250,
+        "expected_n": 2, "weight_bp": 0,
+    }
+
+
+def test_mixture_weights_feed_stratified_sample(spark):
+    """The composition contract: weight_bp (scaled to the 10000-bp hash
+    space) drives stratified_sample toward the target mixture."""
+    from crawler_spark.pipeline.assemble import mixture_weights, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {
+        r["lang"]: min(10000, r["weight_bp"] * 10)
+        for r in mixture_weights(docs, {"en": 400, "fr": 150, "de": 150,
+                                        "es": 150, "zh": 150}).collect()
+    }
+    sampled = stratified_sample(docs, w).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in sampled}
+    total = sum(got.values())
+    # en should land near 40% of the sample (hash noise at 500 docs is wide;
+    # the exactness gate is the DuckDB oracle, this pins the direction)
+    assert abs(got.get("en", 0) / total - 0.4) < 0.15
