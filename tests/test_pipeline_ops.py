@@ -547,3 +547,74 @@ def test_mixture_weights_feed_stratified_sample(spark):
     # en should land near 40% of the sample (hash noise at 500 docs is wide;
     # the exactness gate is the DuckDB oracle, this pins the direction)
     assert abs(got.get("en", 0) / total - 0.4) < 0.15
+
+
+def test_segment_lm_render_fuzz(spark):
+    """Spark segment_dedup / lm_score / render_interleaved == trivial
+    pure-Python references on seeded random corpora (small vocab so
+    cross-doc segment collisions and hot bigrams actually occur)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from crawler_spark.pipeline.interleaved import render_interleaved
+    from crawler_spark.pipeline.textstats import lm_score, segment_dedup
+
+    rng = random.Random(11)
+    for trial in range(2):
+        vocab = ["a", "b", "c", "d"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24))),
+             "en", "s", 0)
+            for i in range(rng.randint(1, 40))
+        ]
+        toks = {i: t.split() for i, t, *_ in rows}
+        k, chunk, m = 3, 2, 2
+
+        # --- segment_dedup reference
+        segs = {
+            i: [" ".join(t[j * k : j * k + k]) for j in range((len(t) - 1) // k + 1)]
+            if t else []
+            for i, t in toks.items()
+        }
+        seg_docs = {}
+        for i, ss in segs.items():
+            for s in set(ss):
+                seg_docs.setdefault(s, set()).add(i)
+        got = {r["doc_id"]: r.asDict()
+               for r in segment_dedup(_docs(spark, rows), k=k).collect()}
+        for i, ss in segs.items():
+            dup = sum(1 for s in ss if len(seg_docs[s]) > 1)
+            assert got[i]["n_segments"] == len(ss)
+            assert got[i]["n_dup_segments"] == dup, (trial, i)
+
+        # --- lm_score reference
+        bg = Counter((t[j], t[j + 1]) for t in toks.values()
+                     for j in range(len(t) - 1))
+        ctx = Counter()
+        for (t1, _), c in bg.items():
+            ctx[t1] += c
+        gl = {r["doc_id"]: r.asDict() for r in lm_score(_docs(spark, rows)).collect()}
+        for i, t in toks.items():
+            pairs = [(t[j], t[j + 1]) for j in range(len(t) - 1)]
+            if not pairs:
+                assert gl[i] == {"doc_id": i, "n_bigrams": 0, "lm_bp": 0}
+                continue
+            s = sum(1000 * bg[p] // ctx[p[0]] for p in pairs)
+            assert gl[i]["n_bigrams"] == len(pairs)
+            assert gl[i]["lm_bp"] == s // len(pairs), (trial, i)
+
+        # --- render reference
+        gr = {r["doc_id"]: r.asDict()
+              for r in render_interleaved(_docs(spark, rows), chunk=chunk,
+                                          media_every=m).collect()}
+        for i, t in toks.items():
+            chunks = [" ".join(t[j * chunk : j * chunk + chunk])
+                      for j in range((len(t) - 1) // chunk + 1)] if t else []
+            pieces = []
+            for ci, c in enumerate(chunks):
+                pieces.append(c)
+                if ci % m == m - 1:
+                    pieces.append(f"<media:asset://{i}/{(ci + 1) // m}>")
+            exp = hashlib.md5(" ".join(pieces).encode()).hexdigest()
+            assert gr[str(i)]["render_fp"] == exp, (trial, i)
