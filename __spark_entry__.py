@@ -355,6 +355,12 @@ def q_docs_template_stats(spark, sf_dir):
 _MIXTURE_TARGETS = {"en": 400, "fr": 150, "de": 150, "es": 150, "zh": 150}
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    from crawler_spark.pipeline.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
 def q_docs_mixture_weights(spark, sf_dir):
     from crawler_spark.pipeline.assemble import mixture_weights
 
@@ -693,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segment_dedup": q_text_segment_dedup,
         "text_lm_score": q_text_lm_score,
         "docs_template_stats": q_docs_template_stats,
+        "text_bpe_pairs": q_text_bpe_pairs,
         "docs_mixture_weights": q_docs_mixture_weights,
         "docs_interleave_spans": q_docs_interleave_spans,
         "docs_interleave_stats": q_docs_interleave_stats,
@@ -1107,6 +1114,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(template_df AS BIGINT) AS template_df,
                    template_df >= 2 AS is_template
             FROM b JOIN dfreq USING (template_fp)
+        """,
+        "text_bpe_pairs": f"""
+            WITH tok AS (
+                SELECT unnest({_TOKS}) AS tok FROM documents
+            ), tc AS (
+                SELECT tok, count(*) AS tc FROM tok GROUP BY tok
+            ), pairs AS (
+                SELECT substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1) AS pair, tc
+                FROM tc, unnest(generate_series(1, length(tok) - 1)) g(i)
+                WHERE length(tok) >= 2
+            ), c AS (
+                SELECT pair, CAST(sum(tc) AS BIGINT) AS n FROM pairs GROUP BY pair
+            )
+            SELECT pair, n, rk FROM (
+                SELECT pair, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+                FROM c
+            ) WHERE rk <= 50
         """,
         "docs_mixture_weights": """
             WITH tgt(lang, target_bp) AS (

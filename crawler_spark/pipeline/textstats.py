@@ -385,6 +385,46 @@ def template_stats(documents: DataFrame, head_k: int = 8, min_df: int = 2) -> Da
     )
 
 
+def bpe_pair_counts(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """One BPE-training merge step at corpus scale: counts of adjacent
+    symbol (character) pairs inside word tokens, ranked.
+
+    This is the inner loop of byte-pair-encoding tokenizer training — the
+    pair with the max count is the next merge. Distributed shape: tokens
+    are first aggregated to (token, token_count) — the corpus' word
+    frequency table, orders of magnitude smaller than the token stream —
+    and pairs are exploded from THAT relation weighted by token_count, so
+    a 100 TB corpus pays one token-level agg and a vocab-sized pair
+    explode, not a per-instance character explode. Ties rank on the pair
+    string so the order is total and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    tok_counts = (
+        documents.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tc"))
+    )
+    pairs = tok_counts.filter(F.length("tok") >= 2).select(
+        "tc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> concat(substring(tok, i, 1), ' ', substring(tok, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("tc").alias("n"))
+    # global window is safe here: its input is the aggregated pair relation,
+    # bounded by |charset|^2 rows regardless of corpus size
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_n)
+        .select("pair", F.col("n").cast("long").alias("n"), "rk")
+    )
+
+
 # PII patterns deliberately simple + engine-portable (Java regex == RE2
 # subset): redaction at 100 TB is a straight regexp_replace scan, fully
 # inside whole-stage codegen, so it composes with any other per-doc map

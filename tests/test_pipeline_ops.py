@@ -618,3 +618,15 @@ def test_segment_lm_render_fuzz(spark):
                     pieces.append(f"<media:asset://{i}/{(ci + 1) // m}>")
             exp = hashlib.md5(" ".join(pieces).encode()).hexdigest()
             assert gr[str(i)]["render_fp"] == exp, (trial, i)
+
+
+def test_bpe_pair_counts(spark):
+    """'ab' x3 + 'abc' x1 -> pair 'a b' n=4, 'b c' n=1; single chars drop."""
+    from crawler_spark.pipeline.textstats import bpe_pair_counts
+
+    d = _docs(
+        spark,
+        [(1, "ab ab x", "en", "s", 7), (2, "ab abc", "en", "s", 6)],
+    )
+    rows = {r["pair"]: (r["n"], r["rk"]) for r in bpe_pair_counts(d).collect()}
+    assert rows == {"a b": (4, 1), "b c": (1, 2)}
