@@ -355,6 +355,33 @@ def q_docs_template_stats(spark, sf_dir):
 _MIXTURE_TARGETS = {"en": 400, "fr": 150, "de": 150, "es": 150, "zh": 150}
 
 
+def q_crawl_robots_parse(spark, sf_dir):
+    """Robots.txt ingestion (north_rule politeness source): deterministic
+    robots bodies synthesized per nation-host — a googlebot group that must
+    be ignored, the '*' group with per-host prefixes, an empty (allow-all)
+    Disallow, a trailing comment — parsed to exploded rules."""
+    from crawler_spark.operators.robots import parse_robots
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.regexp_replace(F.lower("n_name"), " ", "-"), F.lit(".example.com")
+    )
+    k = F.col("n_nationkey").cast("int")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for "), host),
+        F.lit("User-Agent: googlebot"),
+        F.lit("Disallow: /secret"),
+        F.lit(""),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /tag/"), k),
+        F.when(k % 3 == 0, F.lit("Disallow:")).otherwise(F.lit("Disallow: /tmp")),
+        F.concat(F.lit("Crawl-delay: "), (k % 5)),
+        F.lit("Disallow: /x # trailing comment"),
+    )
+    return parse_robots(n.select(host.alias("host"), body.alias("body")))
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     from crawler_spark.pipeline.textstats import bpe_pair_counts
 
@@ -699,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segment_dedup": q_text_segment_dedup,
         "text_lm_score": q_text_lm_score,
         "docs_template_stats": q_docs_template_stats,
+        "crawl_robots_parse": q_crawl_robots_parse,
         "text_bpe_pairs": q_text_bpe_pairs,
         "docs_mixture_weights": q_docs_mixture_weights,
         "docs_interleave_spans": q_docs_interleave_spans,
@@ -1114,6 +1142,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(template_df AS BIGINT) AS template_df,
                    template_df >= 2 AS is_template
             FROM b JOIN dfreq USING (template_fp)
+        """,
+        "crawl_robots_parse": r"""
+            WITH b AS (
+                SELECT regexp_replace(lower(n_name), ' ', '-', 'g') || '.example.com' AS host,
+                       '# robots for ' || regexp_replace(lower(n_name), ' ', '-', 'g') || '.example.com'
+                       || chr(10) || 'User-Agent: googlebot'
+                       || chr(10) || 'Disallow: /secret'
+                       || chr(10) || ''
+                       || chr(10) || 'User-agent: *'
+                       || chr(10) || 'Disallow: /tag/' || CAST(n_nationkey AS INT)
+                       || chr(10) || CASE WHEN n_nationkey % 3 = 0
+                                          THEN 'Disallow:' ELSE 'Disallow: /tmp' END
+                       || chr(10) || 'Crawl-delay: ' || CAST(n_nationkey % 5 AS INT)
+                       || chr(10) || 'Disallow: /x # trailing comment' AS body
+                FROM nation
+            ), parts AS (
+                SELECT host, string_split(body, chr(10)) AS ls FROM b
+            ), lines AS (
+                SELECT host, i - 1 AS pos,
+                       trim(regexp_replace(ls[i], '#.*$', '')) AS line
+                FROM parts, unnest(generate_series(1, len(ls))) g(i)
+            ), cl AS (
+                SELECT host, pos,
+                       coalesce(regexp_extract(line, '(?i)^user-agent:\s*(.*)$', 1), '') AS ua,
+                       coalesce(regexp_extract(line, '(?i)^disallow:\s*(.*)$', 1), '') AS disallow,
+                       coalesce(regexp_extract(line, '(?i)^crawl-delay:\s*([0-9]+)$', 1), '') AS delay
+                FROM lines
+            ), gov AS (
+                SELECT *, last_value(CASE WHEN ua <> '' THEN ua END IGNORE NULLS)
+                          OVER (PARTITION BY host ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS gov
+                FROM cl
+            )
+            SELECT host, 'disallow' AS rule_kind, disallow AS rule_value
+            FROM gov WHERE gov = '*' AND disallow <> ''
+            UNION ALL
+            SELECT host, 'crawl_delay_ms' AS rule_kind,
+                   CAST(CAST(delay AS BIGINT) * 1000 AS VARCHAR) AS rule_value
+            FROM gov WHERE gov = '*' AND delay <> ''
         """,
         "text_bpe_pairs": f"""
             WITH tok AS (
