@@ -382,6 +382,38 @@ def q_crawl_robots_parse(spark, sf_dir):
     return parse_robots(n.select(host.alias("host"), body.alias("body")))
 
 
+def q_crawl_sitemap_parse(spark, sf_dir):
+    """Sitemap seed-source ingestion: per supplier-host a deterministic
+    sitemap body (two url entries with messy whitespace; even hosts also
+    carry a sitemap-index child) parsed to exploded (host, kind, loc)."""
+    from crawler_spark.operators.sitemap import parse_sitemaps
+
+    s = _t(spark, sf_dir, "supplier")
+    host = F.concat(F.lit("s"), F.col("s_suppkey").cast("long"), F.lit(".shop.example"))
+    k = F.col("s_suppkey").cast("long")
+    body = F.concat_ws(
+        "\n",
+        F.lit('<?xml version="1.0"?>'),
+        F.lit("<urlset>"),
+        F.concat(F.lit("<url><loc>https://"), host, F.lit("/p/"), k, F.lit("-1</loc></url>")),
+        F.lit("<url>"),
+        F.concat(F.lit("<loc> https://"), host, F.lit("/p/"), k, F.lit("-2 </loc>")),
+        F.lit("</url>"),
+        F.lit("</urlset>"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://"),
+                host,
+                F.lit("/sitemap-"),
+                k,
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return parse_sitemaps(s.select(host.alias("host"), body.alias("body")))
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     from crawler_spark.pipeline.textstats import bpe_pair_counts
 
@@ -727,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "docs_template_stats": q_docs_template_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
+        "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "text_bpe_pairs": q_text_bpe_pairs,
         "docs_mixture_weights": q_docs_mixture_weights,
         "docs_interleave_spans": q_docs_interleave_spans,
@@ -1181,6 +1214,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, 'crawl_delay_ms' AS rule_kind,
                    CAST(CAST(delay AS BIGINT) * 1000 AS VARCHAR) AS rule_value
             FROM gov WHERE gov = '*' AND delay <> ''
+        """,
+        "crawl_sitemap_parse": r"""
+            WITH b AS (
+                SELECT 's' || CAST(s_suppkey AS BIGINT) || '.shop.example' AS host,
+                       '<?xml version="1.0"?>' || chr(10)
+                       || '<urlset>' || chr(10)
+                       || '<url><loc>https://' || ('s' || CAST(s_suppkey AS BIGINT) || '.shop.example')
+                       || '/p/' || CAST(s_suppkey AS BIGINT) || '-1</loc></url>' || chr(10)
+                       || '<url>' || chr(10)
+                       || '<loc> https://' || ('s' || CAST(s_suppkey AS BIGINT) || '.shop.example')
+                       || '/p/' || CAST(s_suppkey AS BIGINT) || '-2 </loc>' || chr(10)
+                       || '</url>' || chr(10)
+                       || '</urlset>' || chr(10)
+                       || CASE WHEN s_suppkey % 2 = 0
+                               THEN '<sitemapindex><sitemap><loc>https://'
+                                    || ('s' || CAST(s_suppkey AS BIGINT) || '.shop.example')
+                                    || '/sitemap-' || CAST(s_suppkey AS BIGINT)
+                                    || '.xml</loc></sitemap></sitemapindex>'
+                               ELSE '' END AS body
+                FROM supplier
+            )
+            SELECT host, 'url' AS kind,
+                   unnest(regexp_extract_all(body, '<url>\s*<loc>\s*([^<]+?)\s*</loc>', 1)) AS loc
+            FROM b
+            UNION ALL
+            SELECT host, 'sitemap' AS kind,
+                   unnest(regexp_extract_all(body, '<sitemap>\s*<loc>\s*([^<]+?)\s*</loc>', 1)) AS loc
+            FROM b
         """,
         "text_bpe_pairs": f"""
             WITH tok AS (
