@@ -623,6 +623,44 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_assemble(spark, sf_dir):
+    """Multimodal training-record assembly: the interleaved documents'
+    media spans fetch+decode their assets (fake codec, real mapInPandas
+    plumbing) and the decoded metadata joins back per document — the
+    spans->assets->record composition a multimodal packing stage runs."""
+    from crawler_spark.pipeline.interleaved import synth_spans
+    from crawler_spark.pipeline.multimodal import decode_assets, synth_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_spans(docs, chunk=5, media_every=2).filter(
+        F.col("kind") == "media"
+    )
+    decoded = decode_assets(
+        synth_assets(spark, media.select("media_ref")), fake=True
+    )
+    per = (
+        media.join(decoded, "media_ref")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
+            F.coalesce("n_ok", F.lit(0)).cast("long").alias("n_ok"),
+            F.coalesce("total_bytes", F.lit(0)).cast("long").alias("total_bytes"),
+            F.coalesce("max_width", F.lit(0)).cast("int").alias("max_width"),
+        )
+    )
+
+
 def q_pipeline_curate(spark, sf_dir):
     """The end-to-end training-data curation decision in ONE plan: a
     document survives iff it is the exact-dedup representative of its
@@ -783,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_multitable": q_sim_ann_multitable,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_assemble": q_multimodal_assemble,
         "pipeline_curate": q_pipeline_curate,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "crawl_e2e_order": q_crawl_e2e_order,
@@ -1855,6 +1894,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 AS BIGINT) AS n_bytes,
                    TRUE AS ok
             FROM refs
+        """,
+        "multimodal_assemble": _SPANS_CTE + """
+            , mspans AS (
+                SELECT doc_id, media_ref FROM spans WHERE kind = 'media'
+            ), per AS (
+                SELECT doc_id, count(*) AS n_media,
+                       count(*) AS n_ok,
+                       CAST(count(*) * 256 AS BIGINT) AS total_bytes,
+                       max(CAST((length(media_ref) * 7) % 640 + 1 AS INT)) AS max_width
+                FROM mspans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_media, 0) AS BIGINT) AS n_media,
+                   CAST(coalesce(n_ok, 0) AS BIGINT) AS n_ok,
+                   CAST(coalesce(total_bytes, 0) AS BIGINT) AS total_bytes,
+                   CAST(coalesce(max_width, 0) AS INT) AS max_width
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
         """,
         # crawl_e2e_order: the stateful round loop is not SQL-expressible,
         # but its expected output on the deterministic fixture is — the

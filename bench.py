@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sim_ann_multitable",
     "sim_ann_ivf",
     "pipeline_curate",
+    "multimodal_assemble",
     "pipeline_assemble",
     "agg_pricing_summary",
     "events_sessionize",
