@@ -38,7 +38,6 @@ def test_parse_robots_star_group_only(spark):
 
 
 def test_to_robots_table_matches_engine_schema(spark):
-    from crawler_spark import schemas
 
     tbl = to_robots_table(_parsed(spark))
     row = tbl.collect()[0]
@@ -62,3 +61,40 @@ def test_parse_robots_single_window_per_host(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], (\[[^\]]*\])", plan):
         assert m.group(1) != "[]", plan
+
+
+def test_robots_roundtrip_fixture_table(spark):
+    """Render the crawl fixture's robots table as robots.txt bodies, parse
+    them back, and require EXACT equality with the table the engine
+    consumes — the full ingestion path is lossless for the engine's
+    politeness semantics."""
+    from crawler_spark.fixtures import make_fixture
+
+    fx = make_fixture()
+    bodies = [
+        (
+            r["host"],
+            "\n".join(
+                ["# generated", "User-agent: *"]
+                + [f"Disallow: {p}" for p in r["disallow_prefixes"]]
+                + [f"Crawl-delay: {r['crawl_delay_ms'] // 1000}"]
+            ),
+        )
+        for r in fx.robots
+    ]
+    parsed = to_robots_table(
+        parse_robots(spark.createDataFrame(bodies, "host string, body string"))
+    )
+    got = {
+        r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in parsed.collect()
+    }
+    want = {
+        r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in fx.robots
+        # ms below 1000 floor to delay 0 in the text rendering; fixture
+        # delays are whole seconds (assert that precondition first)
+    }
+    for r in fx.robots:
+        assert r["crawl_delay_ms"] % 1000 == 0
+    assert got == want
