@@ -38,6 +38,7 @@ def test_parse_robots_star_group_only(spark):
 
 
 def test_to_robots_table_matches_engine_schema(spark):
+    from crawler_spark import schemas
 
     tbl = to_robots_table(_parsed(spark))
     row = tbl.collect()[0]
