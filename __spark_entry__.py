@@ -414,6 +414,15 @@ def q_crawl_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(s.select(host.alias("host"), body.alias("body")))
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """MOSS-style winnowed-fingerprint near-dup pairs (code-dedup family)."""
+    from crawler_spark.pipeline.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_df=100
+    )
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     from crawler_spark.pipeline.textstats import bpe_pair_counts
 
@@ -798,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_template_stats": q_docs_template_stats,
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
+        "dedup_winnow": q_dedup_winnow,
         "text_bpe_pairs": q_text_bpe_pairs,
         "docs_mixture_weights": q_docs_mixture_weights,
         "docs_interleave_spans": q_docs_interleave_spans,
@@ -1253,6 +1263,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, 'crawl_delay_ms' AS rule_kind,
                    CAST(CAST(delay AS BIGINT) * 1000 AS VARCHAR) AS rule_value
             FROM gov WHERE gov = '*' AND delay <> ''
+        """,
+        "dedup_winnow": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), hh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+                            ELSE list_transform(generate_series(0, len(toks) - 3),
+                                 i -> CAST(('0x' || substr(md5(array_to_string(toks[i + 1 : i + 3], ' ')), 1, 15)) AS BIGINT))
+                       END AS h
+                FROM t
+            ), sig AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) = 0 THEN h
+                            WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+                            ELSE list_distinct(list_transform(generate_series(0, len(h) - 4),
+                                 j -> list_aggregate(h[j + 1 : j + 4], 'min')))
+                       END AS fps
+                FROM hh
+            ), inst AS (
+                SELECT doc_id, unnest(fps) AS fp FROM sig
+            ), cold AS (
+                SELECT * FROM inst
+                WHERE fp NOT IN (SELECT fp FROM inst GROUP BY fp HAVING count(*) > 100)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM cold a JOIN cold b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         "crawl_sitemap_parse": r"""
             WITH b AS (

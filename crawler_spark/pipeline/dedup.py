@@ -304,6 +304,136 @@ def neardup_clusters(
     )
 
 
+def winnow_signatures(documents: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """MOSS-style winnowed fingerprint set per document (Schleimer et al.,
+    SIGMOD'03) — the robust-fingerprinting dedup used for code corpora.
+
+    Shingle hashes are computed positionally; each length-``w`` window of
+    consecutive hashes contributes its minimum, and the distinct minima are
+    the document's fingerprint set (density ~2/(w+1) of the shingle count,
+    so the inverted index downstream is ~w/2 times smaller than the full
+    ngram index while still guaranteeing detection of any match of length
+    >= w+k-1 tokens). Entirely array-side arithmetic per row — no shuffle,
+    no Python; a doc with fewer than ``w`` shingles contributes the single
+    global minimum (the classic short-doc rule).
+
+    Hash = first 15 hex chars of md5 as a 60-bit integer — the same
+    engine-portable construction as assemble._hash_bucket, mirrored exactly
+    by the DuckDB oracle.
+
+    NOTE: this array-lambda form is the semantic definition (kept for
+    array-shaped callers and as the parity spec, like ``shingles_col``);
+    higher-order lambdas are interpreted per element, so the hot path is
+    ``_winnow_instance_fps`` — posexplode + windowed sliding min, fully
+    codegen (measured ~50x faster). Equality of the two forms is pinned by
+    tests/test_dedup_clusters.py.
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks")).select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE WHEN size(toks) < {k} THEN CAST(array() AS array<bigint>)
+            ELSE transform(sequence(0, size(toks) - {k}),
+              i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {k}))), 1, 15), 16, 10) AS BIGINT))
+            END
+            """
+        ).alias("h"),
+    )
+    return base.select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE
+              WHEN size(h) = 0 THEN h
+              WHEN size(h) < {w} THEN array(array_min(h))
+              ELSE array_distinct(transform(sequence(0, size(h) - {w}),
+                j -> array_min(slice(h, j + 1, {w}))))
+            END
+            """
+        ).alias("fps"),
+    )
+
+
+def _winnow_instance_fps(documents: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """(doc_id, fp) DISTINCT winnowed fingerprints — the codegen hot path.
+
+    posexplode tokens -> lead() shingles (one window keyed on doc_id) ->
+    sliding min over the next ``w`` shingle hashes (a second frame on the
+    SAME (doc_id, pos) sort, so no extra shuffle) -> keep window starts
+    (pos <= m-w, or pos=0 when m<w: the rowsBetween frame clips to the doc
+    end, which IS the short-doc global-min rule) -> distinct. Everything
+    whole-stage-codegen; one shuffle keyed on doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    tok = documents.select("doc_id", F.posexplode(tokens_col()).alias("pos", "t"))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(wnd) for j in range(1, k)]
+    sh = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("t", k - 1).over(wnd).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy("doc_id")
+    return (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(frame).alias("win_min"),
+            F.count("*").over(whole).alias("m"),
+            F.min("pos").over(whole).alias("pos0"),
+        )
+        .where(F.col("pos") - F.col("pos0") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowed fingerprints.
+
+    Same bounded inverted-index shape as ngram_jaccard_pairs (hot-key cap
+    at ``max_df`` before the self-join) but over the winnowed set — ~w/2x
+    fewer index entries for the same guarantee window, which is the point
+    of winnowing at 100 TB.
+    """
+    inst = _winnow_instance_fps(documents, k, w)
+    hot = (
+        inst.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("fp")
+    )
+    cold = inst.join(hot, "fp", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 3,

@@ -73,3 +73,58 @@ def test_neardup_clusters_full_assignment(spark):
     assert out["d3"] == ("d1", False)
     assert out["dx"] == ("dx", True)  # singleton: own cluster
     assert out["dy"] == ("dy", True)  # < k tokens: no shingles, singleton
+
+
+# ---- winnowing (MOSS fingerprints) ----
+
+
+def test_winnow_instance_matches_array_spec(spark):
+    """The codegen instance path must produce exactly the semantic array
+    form's fingerprint sets on random small-vocab corpora."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.dedup import (
+        _winnow_instance_fps,
+        winnow_signatures,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 20))),
+         "en", "s", 0)
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    want = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_signatures(d, k=3, w=4).collect()
+        if r["fps"]
+    }
+    got = {}
+    for r in _winnow_instance_fps(d, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == want
+
+
+def test_winnow_pairs_detects_shared_run(spark):
+    """Two docs sharing a long token run must pair; an unrelated doc must
+    not. Guarantee: any shared run of >= w+k-1 tokens shares >= 1
+    fingerprint; with 12 shared tokens and min_shared=2 the pair shows."""
+    from crawler_spark.pipeline.dedup import winnow_pairs
+
+    shared = "q w e r t y u i o p a s"
+    d = spark.createDataFrame(
+        [
+            (1, shared + " one tail here", "en", "s", 0),
+            (2, "prefix bit " + shared, "en", "s", 0),
+            (3, "completely different words entirely unrelated corpus row", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in winnow_pairs(d, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
