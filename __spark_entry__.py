@@ -456,6 +456,24 @@ def q_docs_interleave_render(spark, sf_dir):
     return render_interleaved(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
 
 
+def q_docs_caption_pairs(spark, sf_dir):
+    """Image-caption candidate mining: each media span paired with its
+    adjacent preceding/following text spans in offset order (the alignment
+    heuristic interleaved multimodal training pairs are mined with). One
+    doc_id-partitioned window, no self-join."""
+    from crawler_spark.pipeline.interleaved import caption_pairs
+
+    return caption_pairs(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
+
+
+def q_docs_modality_mix(spark, sf_dir):
+    """Per-language modality mixture (tokens per media asset, media doc
+    share) — closed-form in token counts, never materializes spans."""
+    from crawler_spark.pipeline.interleaved import modality_mix
+
+    return modality_mix(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
+
+
 def q_docs_source_stats(spark, sf_dir):
     from crawler_spark.pipeline.textstats import source_stats
 
@@ -813,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_interleave_spans": q_docs_interleave_spans,
         "docs_interleave_stats": q_docs_interleave_stats,
         "docs_interleave_render": q_docs_interleave_render,
+        "docs_caption_pairs": q_docs_caption_pairs,
+        "docs_modality_mix": q_docs_modality_mix,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
@@ -1399,6 +1419,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_media, 0) AS BIGINT) AS n_media
             FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "docs_caption_pairs": _SPANS_CTE + """
+            , nb AS (
+                SELECT doc_id, "offset", kind, media_ref,
+                       CASE WHEN lag(kind) OVER w = 'text'
+                            THEN lag(text) OVER w ELSE '' END AS cap_before,
+                       CASE WHEN lead(kind) OVER w = 'text'
+                            THEN lead(text) OVER w ELSE '' END AS cap_after
+                FROM spans
+                WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
+            )
+            SELECT doc_id, "offset", media_ref,
+                   coalesce(cap_before, '') AS cap_before,
+                   coalesce(cap_after, '') AS cap_after
+            FROM nb WHERE kind = 'media'
+        """,
+        "docs_modality_mix": f"""
+            WITH t AS (
+                SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents
+            ), p AS (
+                SELECT lang, n_toks,
+                       (CASE WHEN n_toks > 0 THEN (n_toks - 1) // 5 + 1 ELSE 0 END) // 2
+                           AS n_media
+                FROM t
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_media > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_with_media,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_media) AS BIGINT) AS total_media,
+                   CAST(CASE WHEN sum(n_media) > 0
+                             THEN (sum(n_toks) * 10000) // sum(n_media)
+                             ELSE 0 END AS BIGINT) AS tokens_per_media_bp
+            FROM p GROUP BY lang
         """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,

@@ -142,6 +142,90 @@ def interleave_stats(documents: DataFrame, chunk: int = 5, media_every: int = 2)
     return out
 
 
+def caption_pairs(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
+    """Image-caption candidate mining over the interleaved payload.
+
+    For every media span, pair it with the text spans immediately before and
+    after it in offset order — the standard alignment heuristic multimodal
+    training sets (image+caption pairs mined from interleaved web documents)
+    are built from. Offsets are dense 0..n-1 (interleave_stats' ``offsets_ok``
+    invariant), so adjacency in offset order IS adjacency in the document.
+
+    Scale shape: ONE window partitioned by doc_id ordered by offset
+    (lag/lead), then a filter — no self-join, no second shuffle. Window state
+    is bounded by the largest single document, never the corpus. Guards keep
+    it correct on arbitrary span tables too: a neighbor that is itself a
+    media span (possible for media_every=1 or real crawled spans) yields ''.
+    """
+    from pyspark.sql import Window
+
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    neighbor = spans.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        F.when(F.lag("kind").over(w) == "text", F.lag("text").over(w))
+        .otherwise(F.lit(""))
+        .alias("cap_before"),
+        F.when(F.lead("kind").over(w) == "text", F.lead("text").over(w))
+        .otherwise(F.lit(""))
+        .alias("cap_after"),
+    )
+    return (
+        neighbor.filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "offset",
+            "media_ref",
+            F.coalesce("cap_before", F.lit("")).alias("cap_before"),
+            F.coalesce("cap_after", F.lit("")).alias("cap_after"),
+        )
+    )
+
+
+def modality_mix(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
+    """Per-language modality-mixture report: the knob a multimodal data mix
+    is tuned with (how many text tokens ride along with each media asset).
+
+    The span counts are CLOSED-FORM in the token count (n_chunks =
+    (n_toks-1) DIV chunk + 1; n_media = n_chunks DIV media_every — the same
+    arithmetic synth_spans materializes), so this never explodes spans at
+    all: one narrow projection + one partial->final aggregation on lang.
+    All measures exact integers; tokens-per-media is integer basis points.
+    """
+    per_doc = (
+        documents.select(
+            F.col("lang"),
+            F.size(tokens_col()).cast("long").alias("n_toks"),
+        )
+        .withColumn(
+            "n_chunks",
+            F.expr(f"IF(n_toks > 0, (n_toks - 1) DIV {chunk} + 1, 0)"),
+        )
+        .withColumn("n_media", F.expr(f"n_chunks DIV {media_every}"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_media") > 0, 1).otherwise(0)).alias(
+                "docs_with_media"
+            ),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_media").cast("long").alias("total_media"),
+        )
+        .withColumn(
+            "tokens_per_media_bp",
+            F.expr(
+                "IF(total_media > 0, (total_tokens * 10000) DIV total_media,"
+                " CAST(0 AS BIGINT))"
+            ),
+        )
+    )
+
+
 def render_interleaved(documents: DataFrame, chunk: int = 5, media_every: int = 2) -> DataFrame:
     """Render each interleaved document to its training-order token stream.
 

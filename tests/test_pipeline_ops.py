@@ -630,3 +630,46 @@ def test_bpe_pair_counts(spark):
     )
     rows = {r["pair"]: (r["n"], r["rk"]) for r in bpe_pair_counts(d).collect()}
     assert rows == {"a b": (4, 1), "b c": (1, 2)}
+
+
+def test_caption_pairs_adjacency(spark):
+    """chunk=2, media_every=2: 'a b c d e f g h i' -> chunks [a b, c d,
+    e f, g h, i]; media 1 after chunk 2 (cap_before='c d', cap_after='e f'),
+    media 2 after chunk 4 (cap_before='g h', cap_after='i')."""
+    from crawler_spark.pipeline.interleaved import caption_pairs
+
+    d = _docs(spark, [(1, "a b c d e f g h i", "en", "s", 17)])
+    rows = {
+        r["media_ref"]: (r["cap_before"], r["cap_after"])
+        for r in caption_pairs(d, chunk=2, media_every=2).collect()
+    }
+    assert rows == {
+        "asset://1/1": ("c d", "e f"),
+        "asset://1/2": ("g h", "i"),
+    }
+    # trailing media span has no following text -> cap_after = ''
+    d2 = _docs(spark, [(2, "a b c d", "en", "s", 7)])
+    rows2 = caption_pairs(d2, chunk=2, media_every=2).collect()
+    assert len(rows2) == 1
+    assert (rows2[0]["cap_before"], rows2[0]["cap_after"]) == ("c d", "")
+
+
+def test_modality_mix_closed_form(spark):
+    """9 tokens -> 2 chunks? no: chunk=5 -> (9-1)//5+1 = 2 chunks -> 1 media;
+    3 tokens -> 1 chunk -> 0 media; empty doc -> 0 chunks."""
+    from crawler_spark.pipeline.interleaved import modality_mix
+
+    d = _docs(
+        spark,
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s", 26),
+            (2, "x y z", "en", "s", 5),
+            (3, "", "fr", "s", 0),
+        ],
+    )
+    got = {r["lang"]: r.asDict() for r in modality_mix(d).collect()}
+    assert got["en"] == {
+        "lang": "en", "n_docs": 2, "docs_with_media": 1,
+        "total_tokens": 12, "total_media": 1, "tokens_per_media_bp": 120000,
+    }
+    assert got["fr"]["total_media"] == 0 and got["fr"]["tokens_per_media_bp"] == 0
