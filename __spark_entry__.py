@@ -456,6 +456,55 @@ def q_docs_interleave_render(spark, sf_dir):
     return render_interleaved(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
 
 
+def q_crawl_trap_templates(spark, sf_dir):
+    """Crawl-trap detection: URL-template explosion per host. Synthetic
+    frontier from orders — a calendar family (/cal/DATE, trap), a static
+    family (/p/PRIORITY, 5 URLs/host, benign), an id family (/item/N/view,
+    trap)."""
+    from crawler_spark.pipeline.frontier import trap_templates
+
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.expr(
+            "concat('http://h', o_custkey % 20, '.shop.example',"
+            " CASE WHEN o_orderkey % 3 = 0 THEN concat('/cal/', o_orderdate)"
+            "      WHEN o_orderkey % 3 = 1 THEN concat('/p/', o_orderpriority)"
+            "      ELSE concat('/item/', o_orderkey, '/view') END)"
+        ).alias("url")
+    )
+    return trap_templates(urls, min_urls=100)
+
+
+def q_crawl_refetch_schedule(spark, sf_dir):
+    """Adaptive re-fetch scheduling (freshness backoff): events as fetch
+    history — user_id is the url, 'purchase' marks a content change."""
+    from crawler_spark.pipeline.frontier import refetch_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.col("event_id").alias("fetch_id"),
+        (F.col("event_type") == "purchase").alias("changed"),
+    )
+    return refetch_schedule(hist, base_s=3600, max_doublings=8)
+
+
+def q_crawl_host_skew(spark, sf_dir):
+    """Host-skew report sizing the engine's salting: synthetic skewed
+    frontier (half of all URLs collapse onto host h0)."""
+    from crawler_spark.pipeline.frontier import host_skew
+
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.expr(
+            "concat('h', CASE WHEN o_orderkey % 10 < 5 THEN 0"
+            " ELSE o_orderkey % 10 END)"
+        ).alias("host")
+    )
+    return host_skew(fr, n_parts=32)
+
+
 def q_docs_caption_pairs(spark, sf_dir):
     """Image-caption candidate mining: each media span paired with its
     adjacent preceding/following text spans in offset order (the alignment
@@ -831,6 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_interleave_spans": q_docs_interleave_spans,
         "docs_interleave_stats": q_docs_interleave_stats,
         "docs_interleave_render": q_docs_interleave_render,
+        "crawl_trap_templates": q_crawl_trap_templates,
+        "crawl_refetch_schedule": q_crawl_refetch_schedule,
+        "crawl_host_skew": q_crawl_host_skew,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
         "docs_source_stats": q_docs_source_stats,
@@ -1419,6 +1471,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_media, 0) AS BIGINT) AS n_media
             FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "crawl_trap_templates": """
+            WITH u AS (
+                SELECT 'http://h' || (o_custkey % 20) || '.shop.example' ||
+                       CASE WHEN o_orderkey % 3 = 0 THEN '/cal/' || o_orderdate
+                            WHEN o_orderkey % 3 = 1 THEN '/p/' || o_orderpriority
+                            ELSE '/item/' || o_orderkey || '/view' END AS url
+                FROM orders
+            ), p AS (
+                SELECT lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                       regexp_replace(
+                           regexp_extract(url,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                           '[0-9]+([-._][0-9]+)*', 'N', 'g') AS template,
+                       url
+                FROM u
+            )
+            SELECT host, template,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   count(DISTINCT url) >= 100 AS is_trap
+            FROM p GROUP BY host, template
+        """,
+        "crawl_refetch_schedule": """
+            WITH h AS (
+                SELECT user_id AS url_id, ts, event_id AS fetch_id,
+                       event_type = 'purchase' AS changed
+                FROM events
+            ), r AS (
+                SELECT url_id, ts, changed,
+                       row_number() OVER (PARTITION BY url_id
+                                          ORDER BY ts, fetch_id) AS rn
+                FROM h
+            ), p AS (
+                SELECT url_id,
+                       CAST(count(*) AS BIGINT) AS n_fetches,
+                       max(ts) AS last_ts,
+                       CAST(coalesce(max(CASE WHEN changed THEN rn END), 0)
+                            AS BIGINT) AS last_change_rn
+                FROM r GROUP BY url_id
+            )
+            SELECT url_id, n_fetches,
+                   n_fetches - last_change_rn AS unchanged_streak,
+                   CAST(3600 AS BIGINT)
+                       << CAST(least(n_fetches - last_change_rn, 8) AS INT)
+                       AS interval_s,
+                   CAST(floor(epoch(last_ts)) AS BIGINT)
+                       + (CAST(3600 AS BIGINT)
+                          << CAST(least(n_fetches - last_change_rn, 8) AS INT))
+                       AS next_fetch_epoch
+            FROM p
+        """,
+        "crawl_host_skew": """
+            WITH f AS (
+                SELECT 'h' || CASE WHEN o_orderkey % 10 < 5 THEN 0
+                                   ELSE o_orderkey % 10 END AS host
+                FROM orders
+            ), c AS (
+                SELECT host, count(*) AS n FROM f GROUP BY host
+            ), t10 AS (
+                SELECT sum(n) AS top10_n
+                FROM (SELECT n FROM c ORDER BY n DESC, host LIMIT 10)
+            ), r AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_urls,
+                       CAST(count(*) AS BIGINT) AS n_hosts,
+                       CAST(max(n) AS BIGINT) AS max_n
+                FROM c
+            )
+            SELECT n_urls, n_hosts,
+                   CAST((max_n * 10000) // n_urls AS BIGINT) AS max_host_share_bp,
+                   CAST((top10_n * 10000) // n_urls AS BIGINT) AS top10_share_bp,
+                   CAST((max_n * 32 + n_urls - 1) // n_urls AS BIGINT) AS salt_factor_32
+            FROM r, t10
         """,
         "docs_caption_pairs": _SPANS_CTE + """
             , nb AS (

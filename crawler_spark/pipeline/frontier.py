@@ -1,0 +1,155 @@
+"""Frontier-analytics operators: the queries a crawl operator runs against
+the URL frontier / fetch history to keep a 10^10-URL crawl healthy.
+
+These complement the engine's round loop (engine.py): the loop *executes*
+politeness and wave selection; these operators *diagnose and steer* it —
+crawl-trap detection (infinite URL spaces), adaptive re-fetch scheduling
+(freshness backoff, the incremental-crawl analog of the reference's
+once-only seen set), and host-skew reports that size the engine's salting
+(engine.py host-salted repartitioning, north_rule "skew handled explicitly").
+
+Scale shapes: trap detection and skew are single partial->final
+aggregations keyed on (host[, template]) — never keyed on url, so the
+hot-host problem they diagnose cannot skew the diagnosis itself beyond the
+group row. The refetch schedule is one url-partitioned window + one
+aggregation; state bounded per url by its history length. All measures are
+exact integers (basis points, epoch seconds, shifted-left intervals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# digit runs (and digit runs joined by - . _ as in dates/versions) collapse
+# to one N: /cal/2024-05-17 and /cal/2024-05-18 share a template.
+_TEMPLATE_PAT = r"[0-9]+([-._][0-9]+)*"
+
+
+def trap_templates(urls: DataFrame, url_col: str = "url", min_urls: int = 100) -> DataFrame:
+    """Crawl-trap detection by URL-template explosion.
+
+    Classic trap signatures (calendars, session ids, faceted search) show up
+    as ONE path template generating an unbounded number of concrete URLs.
+    Template = host + path with digit runs collapsed to ``N``; any template
+    whose distinct-URL count reaches ``min_urls`` is flagged, and the crawl
+    loop can cap or blocklist it (the reference has no analog — its corpus
+    is finite; at 10^10 URLs this is what keeps the frontier finite).
+
+    One exact ``count(DISTINCT url)`` aggregation keyed on (host, template):
+    partial aggregation collapses duplicates map-side, and the key space is
+    bounded by real site structure (hosts x templates), not by URL count.
+    """
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    ).alias("host")
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(path, _TEMPLATE_PAT, "N").alias("template")
+    return (
+        urls.select(host, template, u.alias("_url"))
+        .groupBy("host", "template")
+        .agg(F.countDistinct("_url").alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") >= F.lit(min_urls))
+    )
+
+
+def refetch_schedule(
+    history: DataFrame,
+    base_s: int = 3600,
+    max_doublings: int = 8,
+) -> DataFrame:
+    """Adaptive re-fetch scheduling (freshness backoff) from fetch history.
+
+    Input: one row per past fetch — ``(url_id, ts, changed)`` where
+    ``changed`` says the content differed from the previous fetch. Per URL,
+    the re-fetch interval doubles for every consecutive unchanged fetch
+    since the last observed change (capped at ``max_doublings``) and resets
+    to ``base_s`` on change — the standard incremental-recrawl policy
+    (Cho & Garcia-Molina's uniform-refresh result motivates the cap). The
+    reference crawls once-only (its seen set never expires); this operator
+    is what turns the same frontier tables into a continuous crawl.
+
+    Shape: one window (row_number per url in fetch order) + one aggregation
+    per url — both keyed on url_id, one shuffle total. Exact integer math:
+    interval = base_s << min(streak, max_doublings); epoch-second output so
+    no engine-specific timestamp arithmetic is compared. ``fetch_id`` is the
+    total tie-break (row_number over a tied ts would be nondeterministic).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_id").orderBy("ts", "fetch_id")
+    ranked = history.select(
+        "url_id",
+        "ts",
+        F.col("changed").cast("boolean").alias("changed"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per_url = ranked.groupBy("url_id").agg(
+        F.count("*").alias("n_fetches"),
+        F.max("ts").alias("last_ts"),
+        F.coalesce(
+            F.max(F.when(F.col("changed"), F.col("rn"))), F.lit(0)
+        ).alias("last_change_rn"),
+    )
+    interval = F.expr(
+        f"shiftleft(CAST({base_s} AS BIGINT),"
+        f" CAST(least(unchanged_streak, {max_doublings}) AS INT))"
+    )
+    return (
+        per_url.withColumn(
+            "unchanged_streak",
+            (F.col("n_fetches") - F.col("last_change_rn")).cast("long"),
+        )
+        .withColumn("interval_s", interval)
+        .select(
+            "url_id",
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            "unchanged_streak",
+            "interval_s",
+            (F.unix_timestamp("last_ts") + F.col("interval_s")).alias(
+                "next_fetch_epoch"
+            ),
+        )
+    )
+
+
+def host_skew(frontier: DataFrame, host_col: str = "host", n_parts: int = 32) -> DataFrame:
+    """Frontier host-skew report: the numbers that size the engine's
+    host-salting (engine.py salted repartitioning; north_rule skew clause).
+
+    Returns ONE row: total URLs, distinct hosts, the hottest host's share
+    and the top-10 hosts' share (basis points), and the salt factor the
+    hottest host needs so its rows spread over at most its fair share of
+    ``n_parts`` partitions — ``ceil(max_count * n_parts / total)``.
+
+    Two tiny aggregations: per-host counts (partial->final, one row per
+    host — the diagnosis is never itself skewed by the hot host), then a
+    single-row rollup over #hosts rows. The top-10 share sorts only the
+    per-host count relation (10^6-10^7 rows at web scale, trivially fine).
+    """
+    counts = frontier.groupBy(F.col(host_col).alias("_host")).agg(
+        F.count("*").alias("n")
+    )
+    top10 = (
+        counts.orderBy(F.desc("n"), "_host")
+        .limit(10)
+        .agg(F.sum("n").alias("top10_n"))
+    )
+    roll = counts.agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_hosts"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        roll.crossJoin(top10)
+        .select(
+            "n_urls",
+            "n_hosts",
+            F.expr("(max_n * 10000) DIV n_urls").alias("max_host_share_bp"),
+            F.expr("(top10_n * 10000) DIV n_urls").alias("top10_share_bp"),
+            F.expr(f"(max_n * {n_parts} + n_urls - 1) DIV n_urls").alias(
+                f"salt_factor_{n_parts}"
+            ),
+        )
+    )

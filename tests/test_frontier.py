@@ -1,0 +1,77 @@
+"""Hand-computed unit tests for the frontier-analytics operators
+(pipeline/frontier.py). The sf0.01 DuckDB oracle covers the same ops at
+corpus scale via tools/check_oracles.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from crawler_spark.pipeline.frontier import (
+    host_skew,
+    refetch_schedule,
+    trap_templates,
+)
+
+
+def test_trap_templates(spark):
+    urls = spark.createDataFrame(
+        [(f"http://A.example/item/{i}/view",) for i in range(5)]
+        + [("http://a.example/about",)]
+        + [("http://b.example/cal/2024-05-17",), ("http://b.example/cal/2024-06-01",)]
+        + [("http://A.example/item/3/view",)],  # exact dup of an existing URL
+        # (case-variant hosts group together via lower(); the distinct count
+        # is over the RAW url — canonicalization is upstream, with_canonical)
+        "url string",
+    )
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in trap_templates(urls, min_urls=5).collect()
+    }
+    assert got == {
+        ("a.example", "/item/N/view"): (5, True),  # 5 distinct (dup collapsed)
+        ("a.example", "/about"): (1, False),
+        ("b.example", "/cal/N"): (2, False),  # date runs collapse to one N
+    }
+
+
+def test_refetch_schedule_backoff(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # url 1: change at fetch 2 of 4 -> streak 2 -> interval 3600<<2
+        (1, t0, 10, False),
+        (1, t0 + dt.timedelta(hours=1), 11, True),
+        (1, t0 + dt.timedelta(hours=2), 12, False),
+        (1, t0 + dt.timedelta(hours=3), 13, False),
+        # url 2: never changed, 12 fetches -> streak 12 capped at 8
+        *[(2, t0 + dt.timedelta(hours=i), 20 + i, False) for i in range(12)],
+        # url 3: changed on the last fetch -> streak 0 -> base interval
+        (3, t0, 30, True),
+    ]
+    hist = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, fetch_id long, changed boolean"
+    )
+    got = {r["url_id"]: r.asDict() for r in refetch_schedule(hist).collect()}
+    assert got[1]["unchanged_streak"] == 2
+    assert got[1]["interval_s"] == 3600 << 2
+    assert got[1]["next_fetch_epoch"] == int(
+        (t0 + dt.timedelta(hours=3)).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) + (3600 << 2)
+    assert got[2]["unchanged_streak"] == 12
+    assert got[2]["interval_s"] == 3600 << 8  # capped at max_doublings=8
+    assert got[3]["unchanged_streak"] == 0
+    assert got[3]["interval_s"] == 3600
+
+
+def test_host_skew_report(spark):
+    # 10 urls: h0 x6, h1 x3, h2 x1 -> max share 6000bp, salt over 32 parts
+    fr = spark.createDataFrame(
+        [("h0",)] * 6 + [("h1",)] * 3 + [("h2",)], "host string"
+    )
+    row = host_skew(fr, n_parts=32).collect()[0].asDict()
+    assert row == {
+        "n_urls": 10,
+        "n_hosts": 3,
+        "max_host_share_bp": 6000,
+        "top10_share_bp": 10000,
+        "salt_factor_32": (6 * 32 + 9) // 10,  # ceil(192/10) = 20
+    }
