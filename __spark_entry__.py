@@ -456,6 +456,22 @@ def q_docs_interleave_render(spark, sf_dir):
     return render_interleaved(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
 
 
+def q_text_quality_model(spark, sf_dir):
+    """Hashed-feature linear quality scorer (fasttext-classifier shape) with
+    a deterministic hash-derived weight table the oracle re-derives."""
+    from crawler_spark.pipeline.textstats import quality_model
+
+    return quality_model(_t(spark, sf_dir, "documents"), threshold_bp=0)
+
+
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail terciles over the integer
+    LM fluency score, via histogram rank-math (no per-doc window)."""
+    from crawler_spark.pipeline.textstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_crawl_trap_templates(spark, sf_dir):
     """Crawl-trap detection: URL-template explosion per host. Synthetic
     frontier from orders — a calendar family (/cal/DATE, trap), a static
@@ -880,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_interleave_spans": q_docs_interleave_spans,
         "docs_interleave_stats": q_docs_interleave_stats,
         "docs_interleave_render": q_docs_interleave_render,
+        "text_quality_model": q_text_quality_model,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "crawl_trap_templates": q_crawl_trap_templates,
         "crawl_refetch_schedule": q_crawl_refetch_schedule,
         "crawl_host_skew": q_crawl_host_skew,
@@ -1471,6 +1489,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_media, 0) AS BIGINT) AS n_media
             FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "text_quality_model": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), inst AS (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ), per AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum((7 * length(tok) + ascii(tok)) % 13 - 6)
+                            AS BIGINT) AS w_sum
+                FROM inst GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce((10000 * w_sum) // n_tokens, 0) AS BIGINT)
+                       AS score_bp,
+                   coalesce((10000 * w_sum) // n_tokens, 0) >= 0 AS keep
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "text_ccnet_buckets": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), inst AS (
+                SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+            ), doc_bg AS (
+                SELECT doc_id, t1, t2, count(*) AS n
+                FROM inst GROUP BY doc_id, t1, t2
+            ), bg AS (
+                SELECT t1, t2, sum(n) AS cb FROM doc_bg GROUP BY t1, t2
+            ), ctx AS (
+                SELECT t1, sum(cb) AS cu FROM bg GROUP BY t1
+            ), scored AS (
+                SELECT doc_id, n,
+                       (1000 * CAST(cb AS BIGINT)) // cu AS p_bp
+                FROM doc_bg JOIN bg USING (t1, t2) JOIN ctx USING (t1)
+            ), per AS (
+                SELECT doc_id, sum(n * p_bp) // sum(n) AS lm_bp
+                FROM scored GROUP BY doc_id
+            ), lm AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(coalesce(lm_bp, 0) AS BIGINT) AS lm_bp
+                FROM documents d LEFT JOIN per USING (doc_id)
+            ), hist AS (
+                SELECT lang, lm_bp, count(*) AS c FROM lm GROUP BY lang, lm_bp
+            ), cum AS (
+                SELECT lang, lm_bp,
+                       sum(c) OVER (PARTITION BY lang ORDER BY lm_bp DESC) - c
+                           AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            )
+            SELECT lm.doc_id, lm.lang, lm.lm_bp,
+                   CASE WHEN 3 * cum < n THEN 'head'
+                        WHEN 3 * cum < 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lm JOIN cum USING (lang, lm_bp)
         """,
         "crawl_trap_templates": """
             WITH u AS (

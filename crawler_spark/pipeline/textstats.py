@@ -448,3 +448,97 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         n_email.alias("n_emails"),
         n_num.alias("n_longnums"),
     )
+
+
+def quality_model(documents: DataFrame, threshold_bp: int = 0) -> DataFrame:
+    """Hashed-feature linear quality scorer (fasttext-classifier shape).
+
+    The production pattern for model-based quality filtering (e.g. the
+    fasttext classifiers used by LLaMA/CCNet-style pipelines) is: hash each
+    token to a weight, average, threshold. The Spark-side plumbing here is
+    the real thing — tokenize, per-token weight lookup, exact integer
+    mean, keep flag — with the learned weight table replaced by a
+    deterministic hash-derived weight w(tok) = (7*len(tok) +
+    codepoint(tok[0])) % 13 - 6, so the DuckDB oracle can re-derive every
+    score. Swapping in trained weights = broadcast-joining a real
+    (token -> weight) relation in place of the arithmetic; no shape change.
+
+    Scale: explode + one partial->final agg keyed doc_id (whole-stage
+    codegen end to end; the weight is computed map-side). Score is exact
+    integer basis points: (10000 * sum_w) DIV n_tokens.
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    inst = base.select("doc_id", F.explode("toks").alias("tok"))
+    per = (
+        inst.select(
+            "doc_id",
+            F.expr(
+                "(7 * length(tok) + ascii(substring(tok, 1, 1))) % 13 - 6"
+            ).cast("long").alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("w_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(10000 * w_sum) DIV n_tokens").alias("score_bp"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("score_bp", F.lit(0)).cast("long").alias("score_bp"),
+            (F.coalesce("score_bp", F.lit(0)) >= threshold_bp).alias("keep"),
+        )
+    )
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail bucket per language from the LM score.
+
+    CCNet splits each language's corpus into perplexity terciles and trains
+    preferentially on the head. Here the fluency signal is ``lm_score``'s
+    integer lm_bp (high = predictable = head). Bucket boundaries are exact
+    tercile rank-math over the per-(lang, lm_bp) HISTOGRAM — the
+    length_deciles pattern: lm_bp is bounded in [0, 1000], so the histogram
+    is at most #langs x 1001 rows, the cumulative window runs over THAT
+    relation (never per-doc — a per-doc rank window partitioned by lang
+    would funnel a whole language through one partition at corpus scale),
+    and the bucket cutoffs broadcast-join back to documents. Tie rule:
+    every doc sharing a (lang, lm_bp) value lands in the bucket of the
+    value group's FIRST sorted position (cum = docs strictly better):
+    head if 3*cum < n, middle if 3*cum < 2n, else tail — deterministic
+    without ordering within ties.
+    """
+    from pyspark.sql import Window
+
+    lm = lm_score(documents).select("doc_id", "lm_bp")
+    scored = documents.select("doc_id", "lang").join(lm, "doc_id")
+    hist = scored.groupBy("lang", "lm_bp").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_bp")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "lang",
+        "lm_bp",
+        (F.sum("c").over(w) - F.col("c")).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    buckets = cum.select(
+        "lang",
+        "lm_bp",
+        F.expr(
+            "CASE WHEN 3 * cum < n THEN 'head'"
+            " WHEN 3 * cum < 2 * n THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+    return scored.join(F.broadcast(buckets), ["lang", "lm_bp"]).select(
+        "doc_id", "lang", F.col("lm_bp").cast("long").alias("lm_bp"), "bucket"
+    )

@@ -673,3 +673,34 @@ def test_modality_mix_closed_form(spark):
         "total_tokens": 12, "total_media": 1, "tokens_per_media_bp": 120000,
     }
     assert got["fr"]["total_media"] == 0 and got["fr"]["tokens_per_media_bp"] == 0
+
+
+def test_quality_model_hashed_weights(spark):
+    """w('ab') = (14+97)%13-6 = 1; w('a') = (7+97)%13-6 = -6."""
+    from crawler_spark.pipeline.textstats import quality_model
+
+    d = _docs(
+        spark,
+        [(1, "ab ab", "en", "s", 5), (2, "a", "en", "s", 1), (3, "", "en", "s", 0)],
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_model(d).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 2, "score_bp": 10000, "keep": True}
+    assert got[2] == {"doc_id": 2, "n_tokens": 1, "score_bp": -60000, "keep": False}
+    assert got[3] == {"doc_id": 3, "n_tokens": 0, "score_bp": 0, "keep": True}
+
+
+def test_ccnet_buckets_terciles(spark):
+    """Three en docs with lm_bp 1000 / 833 / 666 -> head / middle / tail
+    (cum-of-strictly-better rank-math: 3*cum < n / < 2n cutoffs)."""
+    from crawler_spark.pipeline.textstats import ccnet_buckets
+
+    d = _docs(
+        spark,
+        [
+            (1, "x y x y", "en", "s", 7),   # lm_bp 833
+            (2, "p q r", "en", "s", 5),     # lm_bp 1000
+            (3, "x y x z", "en", "s", 7),   # lm_bp 666
+        ],
+    )
+    got = {r["doc_id"]: (r["lm_bp"], r["bucket"]) for r in ccnet_buckets(d).collect()}
+    assert got == {2: (1000, "head"), 1: (833, "middle"), 3: (666, "tail")}
