@@ -618,6 +618,29 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(_order_supplier_edges(spark, sf_dir), iters=3)
 
 
+def q_graph_hits(spark, sf_dir):
+    """Shift-normalized exact-integer HITS (2 iterations) on the forward
+    bipartite graph: orders are hubs, suppliers are authorities."""
+    from crawler_spark.pipeline.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits(fwd, iters=2)
+
+
+def q_sim_ann_recall(spark, sf_dir):
+    """Measured recall@10 of single-table LSH ANN vs exact cosine top-10 —
+    the quality number that justifies the bucketed index."""
+    from crawler_spark.pipeline.similarity import ann_recall
+
+    return ann_recall(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
 def q_pipeline_assemble(spark, sf_dir):
     """Composed assembly decision: stratified sample -> eval-set
     decontamination -> GPT-style sequence packing, one declarative plan."""
@@ -911,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_assemble": q_pipeline_assemble,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
+        "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
@@ -1039,6 +1064,45 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 10
     return "".join(parts)
 
 
+def _hits_sql(iters: int = 2, scale: int = 10**9) -> str:
+    """Unrolled fixed-iteration shift-normalized integer HITS (mirrors
+    pipeline/graph.py hits(): x' = x DIV greatest(max(x) DIV scale, 1),
+    every division floor division, so hub/auth match to the last unit).
+    Runs on the FORWARD bipartite lineitem graph (orders are hubs,
+    suppliers are authorities)."""
+    parts = [
+        "WITH fwd AS (SELECT DISTINCT 'o:' || l_orderkey AS src,"
+        " 's:' || l_suppkey AS dst FROM lineitem), "
+        "n AS (SELECT src AS node FROM fwd UNION SELECT dst FROM fwd), "
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM n)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        a{t}r AS (
+            SELECT fwd.dst AS node, sum(h{t - 1}.hub) AS s
+            FROM fwd JOIN h{t - 1} ON h{t - 1}.node = fwd.src GROUP BY fwd.dst
+        ),
+        a{t}g AS (SELECT greatest(max(s) // {scale}, 1) AS g FROM a{t}r),
+        a{t} AS (
+            SELECT n.node, CAST(coalesce(s, 0) // g AS BIGINT) AS auth
+            FROM n LEFT JOIN a{t}r USING (node) CROSS JOIN a{t}g
+        ),
+        h{t}r AS (
+            SELECT fwd.src AS node, sum(a{t}.auth) AS s
+            FROM fwd JOIN a{t} ON a{t}.node = fwd.dst GROUP BY fwd.src
+        ),
+        h{t}g AS (SELECT greatest(max(s) // {scale}, 1) AS g FROM h{t}r),
+        h{t} AS (
+            SELECT n.node, CAST(coalesce(s, 0) // g AS BIGINT) AS hub
+            FROM n LEFT JOIN h{t}r USING (node) CROSS JOIN h{t}g
+        )""")
+    parts.append(
+        f" SELECT n.node, h{iters}.hub, a{iters}.auth"
+        f" FROM n JOIN h{iters} USING (node) JOIN a{iters} USING (node)"
+    )
+    return "".join(parts)
+
+
 def _ann_planes_sql(table: int = 0) -> str:
     """Inline the deterministic hyperplanes as SQL literals (same md5-derived
     constants similarity._hyperplanes produces)."""
@@ -1066,7 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         WHEN c_de > 0 AND c_de >= c_es THEN 'de'
         WHEN c_es > 0 THEN 'es' ELSE 'und' END"""
 
-    return {
+    d = {
         "crawl_canonical_keys": """
             SELECT 'HTTP://Orders.Example.COM:80/o/' || o_orderkey || '?b=2&a=1#frag' AS raw_url,
                    'http://orders.example.com/o/' || o_orderkey || '?a=1&b=2' AS curl,
@@ -2214,4 +2278,21 @@ def oracle_sql() -> dict[str, str]:
         # but its expected output on the deterministic fixture is — the
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
+        "graph_hits": _hits_sql(iters=2),
     }
+    # recall@k composes two oracles already in the dict: exact top-k as the
+    # denominator relation, single-table LSH ANN as the hit set.
+    d["sim_ann_recall"] = f"""
+        WITH exact AS ({d["sim_cosine_topk"]}),
+             ann AS ({d["sim_ann_lsh"]})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST((100 * count(a.neighbor_id)) // count(*) AS BIGINT)
+                   AS recall_pct
+        FROM exact e
+        LEFT JOIN ann a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+    return d

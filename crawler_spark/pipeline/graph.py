@@ -113,3 +113,68 @@ def pagerank(
         )
     e.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """(node, hub, auth) after ``iters`` shift-normalized integer HITS steps.
+
+    Kleinberg's HITS on a directed edge list: auth(v) = sum of hub over
+    in-neighbors, hub(u) = sum of auth over out-neighbors, renormalized
+    each half-step. The float L2 normalization is replaced by SHIFT
+    normalization in exact integers: x' = x DIV g with g = greatest(max(x)
+    DIV scale, 1) — division of every value by one positive per-side
+    constant, so the RANKING is preserved exactly, values stay ~[0, scale],
+    and Spark and the SQL oracle agree to the last unit (no float, no
+    int64 overflow: values <= ~scale, sums <= n * scale).
+
+    Scale shape per iteration: two keyed join+agg passes (edges x hub on
+    src -> agg on dst; edges x auth on dst -> agg on src) plus one scalar
+    max broadcast each — the same distributed shape as ``pagerank``, with
+    localCheckpoint keeping lineage constant across iterations.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(int(scale)).cast("long")).localCheckpoint()
+
+    def _shift_norm(raw: DataFrame, col: str) -> DataFrame:
+        g = raw.agg(
+            F.expr(f"greatest(max({col}) DIV {scale}, CAST(1 AS BIGINT))").alias("g")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(g))
+            .select(
+                "node",
+                F.expr(f"coalesce({col}, CAST(0 AS BIGINT)) DIV g")
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _shift_norm(a_raw, "auth").localCheckpoint()
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _shift_norm(h_raw, "hub").localCheckpoint()
+    e.unpersist()
+    return hub.join(auth, "node").select("node", "hub", "auth")

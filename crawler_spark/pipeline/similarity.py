@@ -477,3 +477,46 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= sim_threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim6"))
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int | None = None,
+) -> DataFrame:
+    """Measured recall@k of the LSH ANN against the exact cosine top-k.
+
+    The number that justifies an ANN index: per query, how many of the true
+    top-k the bucketed search recovered (integer percent). ``n_tables``
+    selects the multi-table variant; None measures the single-table path.
+    At corpus scale this runs on a SAMPLE of queries — the exact side is
+    the expensive one (broadcast scan per query), the ANN side is the
+    production path, and a few hundred sampled queries bound recall tightly.
+
+    Shape: both sides end in per-query top-k relations (query_ids x k
+    rows); the recall join + agg is over that tiny product, keyed on
+    (query_id, neighbor_id).
+    """
+    exact = cosine_topk(embeddings, query_ids, k).select("query_id", "neighbor_id")
+    approx = (
+        ann_topk_multitable(embeddings, query_ids, k, dim, n_planes, n_tables)
+        if n_tables
+        else ann_topk(embeddings, query_ids, k, dim, n_planes)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("(100 * n_hit) DIV n_exact").alias("recall_pct"),
+        )
+    )

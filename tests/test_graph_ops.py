@@ -32,3 +32,22 @@ def test_pagerank_dedupes_edges(spark):
     e = _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")])
     one = {r["node"]: r["rank"] for r in pagerank(e, iters=1, scale=1000).collect()}
     assert one == {"a": 1000, "b": 1000}
+
+
+def test_hits_shift_normalized(spark):
+    # a->x, a->y, b->x; scale 10^9 = S.
+    # iter1: auth_raw x=2S y=S -> g=2 -> auth x=S y=S/2 (a,b: 0)
+    #        hub_raw a=S+S/2 b=S -> g=1 -> hub a=1.5S b=S (x,y: 0)
+    # iter2: auth_raw x=2.5S y=1.5S -> g=2 -> x=1.25S y=0.75S
+    #        hub_raw a=2S b=1.25S -> g=2 -> a=S b=0.625S
+    from crawler_spark.pipeline.graph import hits
+
+    S = 10**9
+    e = _edges(spark, [("a", "x"), ("a", "y"), ("b", "x")])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iters=2).collect()}
+    assert got == {
+        "a": (S, 0),
+        "b": (625_000_000, 0),
+        "x": (0, 1_250_000_000),
+        "y": (0, 750_000_000),
+    }
