@@ -854,6 +854,39 @@ def q_stream_windowed_metrics(spark, sf_dir):
     )
 
 
+def q_stream_rate_limit(spark, sf_dir):
+    """Stateful streaming politeness limiter through the driver gate: the
+    events table becomes a fetch-request firehose, admission-controlled to
+    3 requests per host per 600 s tumbling window via
+    applyInPandasWithState (streaming/ratelimit.py). Verdicts depend only
+    on data order (epoch_s, req_id), so the batch SQL replay in the oracle
+    reproduces them exactly."""
+    import tempfile
+
+    from crawler_spark.streaming.ratelimit import streaming_rate_limit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.col("event_id").cast("long").alias("req_id"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_ratelimit_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/req")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/req")
+    sink = "entry_stream_ratelimit"
+    q = (
+        streaming_rate_limit(stream, cap=3, window_s=600)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_crawl_e2e_order(spark, sf_dir):
     """Full crawl-engine micro-round E2E on the deterministic fixture
     (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
@@ -949,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_assemble": q_multimodal_assemble,
         "pipeline_curate": q_pipeline_curate,
         "stream_windowed_metrics": q_stream_windowed_metrics,
+        "stream_rate_limit": q_stream_rate_limit,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
 
@@ -2279,6 +2313,25 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
+        # batch replay of the streaming limiter: verdicts are a pure
+        # function of (host, window, data order), so row_number per
+        # (host, window) reproduces the stateful stream exactly.
+        "stream_rate_limit": """
+            WITH h AS (
+                SELECT 'h' || (user_id % 50) AS host,
+                       CAST(event_id AS BIGINT) AS req_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+                FROM events
+            ), w AS (
+                SELECT host, req_id, epoch_s,
+                       (epoch_s // 600) * 600 AS win_start,
+                       row_number() OVER (PARTITION BY host, epoch_s // 600
+                                          ORDER BY epoch_s, req_id) AS rn
+                FROM h
+            )
+            SELECT host, req_id, epoch_s, win_start, rn <= 3 AS allowed
+            FROM w
+        """,
     }
     # recall@k composes two oracles already in the dict: exact top-k as the
     # denominator relation, single-table LSH ANN as the hit set.

@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "events_sessionize",
     "crawl_wave_topk",
+    "docs_caption_pairs",
+    "docs_modality_mix",
+    "crawl_trap_templates",
+    "crawl_refetch_schedule",
+    "text_quality_model",
+    "text_ccnet_buckets",
+    "graph_hits",
+    "sim_ann_recall",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.

@@ -162,3 +162,55 @@ def test_jvm_parse_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_caption_pairs_single_window_no_join(spark):
+    from crawler_spark.pipeline.interleaved import caption_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(caption_pairs(docs))
+    # adjacency via ONE doc_id-partitioned lag/lead window — never a
+    # spans-x-spans self-join, and never an unpartitioned window
+    assert plan.count("Window") >= 1, plan
+    assert "Join" not in plan, plan
+    assert "PartitionBy: [doc_id" in plan or "partitionBy" in plan.lower() or \
+        re.search(r"Arguments:.*doc_id", plan), plan
+
+
+def test_modality_mix_no_explode_no_window(spark):
+    from crawler_spark.pipeline.interleaved import modality_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(modality_mix(docs))
+    # closed-form span counts: one projection + one agg; spans are never
+    # materialized (no Generate/explode), no window, one shuffle on lang
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg exchange(s)
+
+
+def test_ccnet_buckets_broadcasts_cutoffs(spark):
+    from crawler_spark.pipeline.textstats import ccnet_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ccnet_buckets(docs))
+    # the histogram-derived bucket relation joins back via broadcast —
+    # the per-doc side is never globally sorted or rank-windowed by lang
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_trap_templates_partial_agg(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import trap_templates
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    urls = o.select(
+        F.concat(F.lit("http://h"), F.col("o_custkey") % 20,
+                 F.lit(".x/e/"), F.col("o_orderkey")).alias("url")
+    )
+    plan = _plan(trap_templates(urls))
+    # count(DISTINCT url) keyed (host, template) must partial-aggregate
+    # map-side before the exchange (duplicates collapse before shuffle)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan

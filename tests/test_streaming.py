@@ -85,3 +85,50 @@ def test_streaming_dedup_exactly_once_across_batches(spark, tmpdir_):
     # exactly one emission per distinct URL, across micro-batch boundaries
     assert urls == ["http://a.com/1", "http://a.com/2", "http://a.com/3"]
     assert all(r.key == _k(r.url) for r in out)
+
+
+def test_streaming_rate_limit_state_carries_across_batches(spark, tmpdir_):
+    from crawler_spark.streaming.ratelimit import streaming_rate_limit
+
+    src = f"{tmpdir_}/req"
+    os.makedirs(src)
+    # batch 1: three window-0 requests for host A exhaust its cap
+    f1 = [("A", 1, 0), ("A", 2, 10), ("A", 3, 20)]
+    # batch 2: two more window-0 requests (must be denied: state carries
+    # used=3 across the batch boundary) + one window-1 request (fresh cap)
+    f2 = [("A", 4, 30), ("A", 5, 40), ("A", 6, 650)]
+    import time as _time
+
+    for name, rows in (("f1", f1), ("f2", f2)):
+        spark.createDataFrame(
+            rows, "host string, req_id long, epoch_s long"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        _time.sleep(1.1)  # distinct mtimes pin micro-batch order f1 -> f2
+
+    stream = (
+        spark.readStream.schema("host string, req_id long, epoch_s long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_rate_limit(stream, cap=3, window_s=600)
+        .writeStream.format("memory")
+        .queryName("rlout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_rl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.req_id: (r.win_start, r.allowed)
+        for r in spark.sql("SELECT * FROM rlout").collect()
+    }
+    assert got == {
+        1: (0, True),
+        2: (0, True),
+        3: (0, True),
+        4: (0, False),
+        5: (0, False),
+        6: (600, True),
+    }
