@@ -539,6 +539,36 @@ def q_docs_modality_mix(spark, sf_dir):
     return modality_mix(_t(spark, sf_dir, "documents"), chunk=5, media_every=2)
 
 
+def q_docs_span_dedup(spark, sf_dir):
+    """Cross-document text-span dedup over the interleaved payload: spans
+    repeated across docs are boilerplate to drop while keeping each doc's
+    media and unique text."""
+    from crawler_spark.pipeline.interleaved import span_dedup
+
+    return span_dedup(
+        _t(spark, sf_dir, "documents"), chunk=5, media_every=2, min_df=2
+    )
+
+
+def q_crawl_url_features(spark, sf_dir):
+    """Per-URL frontier-prioritizer features (path depth, params, digit
+    count, length) — map-side codegen, no shuffle."""
+    from crawler_spark.pipeline.frontier import url_features
+
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        F.expr(
+            "concat('http://h', o_custkey % 20, '.shop.example',"
+            " CASE WHEN o_orderkey % 4 = 0"
+            "      THEN concat('/a/b/c/item', o_orderkey, '?p=1&q=', o_custkey)"
+            "      WHEN o_orderkey % 4 = 1 THEN '/about'"
+            "      WHEN o_orderkey % 4 = 2 THEN concat('/item/', o_orderkey)"
+            "      ELSE concat('/x?session=', o_orderkey) END)"
+        ).alias("url")
+    )
+    return url_features(urls)
+
+
 def q_docs_source_stats(spark, sf_dir):
     from crawler_spark.pipeline.textstats import source_stats
 
@@ -959,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_skew": q_crawl_host_skew,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
+        "docs_span_dedup": q_docs_span_dedup,
+        "crawl_url_features": q_crawl_url_features,
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
@@ -1753,6 +1785,53 @@ def oracle_sql() -> dict[str, str]:
                              THEN (sum(n_toks) * 10000) // sum(n_media)
                              ELSE 0 END AS BIGINT) AS tokens_per_media_bp
             FROM p GROUP BY lang
+        """,
+        "docs_span_dedup": _SPANS_CTE + """
+            , ts AS (
+                SELECT doc_id, "offset", kind, text, media_ref,
+                       md5(text) AS span_fp
+                FROM spans WHERE kind = 'text'
+            ), dfq AS (
+                SELECT span_fp, count(DISTINCT doc_id) AS span_df
+                FROM ts GROUP BY span_fp
+            )
+            SELECT ts.doc_id, ts."offset", ts.kind, ts.text, ts.media_ref,
+                   CAST(dfq.span_df AS BIGINT) AS span_df,
+                   dfq.span_df >= 2 AS drop_span
+            FROM ts JOIN dfq USING (span_fp)
+            UNION ALL
+            SELECT doc_id, "offset", kind, text, media_ref,
+                   CAST(0 AS BIGINT) AS span_df, FALSE AS drop_span
+            FROM spans WHERE kind = 'media'
+        """,
+        "crawl_url_features": """
+            WITH u AS (
+                SELECT 'http://h' || (o_custkey % 20) || '.shop.example' ||
+                       CASE WHEN o_orderkey % 4 = 0
+                            THEN '/a/b/c/item' || o_orderkey || '?p=1&q=' || o_custkey
+                            WHEN o_orderkey % 4 = 1 THEN '/about'
+                            WHEN o_orderkey % 4 = 2 THEN '/item/' || o_orderkey
+                            ELSE '/x?session=' || o_orderkey END AS url
+                FROM orders
+            ), p AS (
+                SELECT url,
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u
+            )
+            SELECT url,
+                   CAST(length(url) AS BIGINT) AS url_len,
+                   CAST(CASE WHEN length(path) > 1
+                             THEN len(string_split(path, '/')) - 1
+                             ELSE 0 END AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN length(query) > 0
+                             THEN len(string_split(query, '&'))
+                             ELSE 0 END AS BIGINT) AS n_params,
+                   CAST(length(url) -
+                        length(regexp_replace(url, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digits
+            FROM p
         """,
         "docs_source_stats": r"""
             SELECT source, count(*) AS n_docs,

@@ -153,3 +153,37 @@ def host_skew(frontier: DataFrame, host_col: str = "host", n_parts: int = 32) ->
             ),
         )
     )
+
+
+def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL structural features for frontier prioritization.
+
+    The signals a learned (or heuristic) frontier prioritizer scores:
+    path depth, query-parameter count, digit density, URL length — cheap
+    predictors of page value (shallow, parameter-free, digit-light URLs
+    are disproportionately content pages; deep parameterized ones are
+    faceted/session noise). Everything is whole-stage-codegen string
+    arithmetic, map-side only — no shuffle, no UDF — so it rides along
+    with canonicalization in the enqueue stage at zero extra passes.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return urls.select(
+        u.alias("url"),
+        F.length(u).cast("long").alias("url_len"),
+        F.when(
+            F.length(path) > 1,
+            F.size(F.split(path, "/")) - 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("path_depth"),
+        F.when(F.length(query) > 0, F.size(F.split(query, "&")))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_params"),
+        (
+            F.length(u) - F.length(F.regexp_replace(u, r"[0-9]", ""))
+        ).cast("long").alias("n_digits"),
+    )

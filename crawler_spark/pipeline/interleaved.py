@@ -266,3 +266,48 @@ def render_interleaved(documents: DataFrame, chunk: int = 5, media_every: int = 
             F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
         )
     )
+
+
+def span_dedup(documents: DataFrame, chunk: int = 5, media_every: int = 2, min_df: int = 2) -> DataFrame:
+    """Cross-document TEXT-SPAN dedup over the interleaved payload.
+
+    The span-level analog of segment_dedup (textstats.py): a text span
+    (nav bar, cookie banner, footer) repeated across documents is
+    boilerplate inside the interleaved sequence — flagging it lets a
+    packing stage drop the span while KEEPING the document's media and
+    unique text (document-level dedup would throw the whole doc away).
+    Returns one row per text span with the span's corpus document
+    frequency and its drop verdict; media spans pass through untouched
+    (df 0, never dropped) so the output still renders in offset order.
+
+    Shape: one partial->final agg keyed on the span fingerprint (md5 of
+    span text) + one broadcast-eligible join back on that key. Hot
+    fingerprints (a banner in 10^8 docs) skew only the count row, not the
+    join fan-out — each span row joins exactly one df row.
+    """
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    text_spans = spans.filter(F.col("kind") == "text").withColumn(
+        "span_fp", F.md5("text")
+    )
+    dfreq = text_spans.groupBy("span_fp").agg(
+        F.countDistinct("doc_id").alias("span_df")
+    )
+    flagged = text_spans.join(dfreq, "span_fp").select(
+        "doc_id",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.col("span_df").cast("long").alias("span_df"),
+        (F.col("span_df") >= min_df).alias("drop_span"),
+    )
+    media = spans.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.lit(0).cast("long").alias("span_df"),
+        F.lit(False).alias("drop_span"),
+    )
+    return flagged.unionByName(media)

@@ -75,3 +75,23 @@ def test_host_skew_report(spark):
         "top10_share_bp": 10000,
         "salt_factor_32": (6 * 32 + 9) // 10,  # ceil(192/10) = 20
     }
+
+
+def test_url_features(spark):
+    from crawler_spark.pipeline.frontier import url_features
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/a/b/c?x=1&y=2#f",),
+            ("http://a.example/",),
+            ("http://a.example/about",),
+            ("http://a.example/x?session=abc",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r.asDict() for r in url_features(urls).collect()}
+    r = got["http://a.example/a/b/c?x=1&y=2#f"]
+    assert (r["path_depth"], r["n_params"], r["n_digits"]) == (3, 2, 2)
+    assert got["http://a.example/"]["path_depth"] == 0
+    assert got["http://a.example/about"]["path_depth"] == 1
+    assert got["http://a.example/x?session=abc"]["n_params"] == 1

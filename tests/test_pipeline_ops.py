@@ -704,3 +704,27 @@ def test_ccnet_buckets_terciles(spark):
     )
     got = {r["doc_id"]: (r["lm_bp"], r["bucket"]) for r in ccnet_buckets(d).collect()}
     assert got == {2: (1000, "head"), 1: (833, "middle"), 3: (666, "tail")}
+
+
+def test_span_dedup_boilerplate_across_docs(spark):
+    """Two docs share their first 5-token chunk -> that span has df=2 and
+    drops in both; unique tails keep; media spans pass through untouched."""
+    from crawler_spark.pipeline.interleaved import span_dedup
+
+    d = _docs(
+        spark,
+        [
+            (1, "nav nav nav nav nav body one x y z", "en", "s", 34),
+            (2, "nav nav nav nav nav body two p q r", "en", "s", 34),
+        ],
+    )
+    rows = span_dedup(d, chunk=5, media_every=2, min_df=2).collect()
+    by = {(r["doc_id"], r["offset"]): r for r in rows}
+    # offset 0: the shared head chunk
+    assert by[("1", 0)]["span_df"] == 2 and by[("1", 0)]["drop_span"]
+    assert by[("2", 0)]["drop_span"]
+    # offset 1: unique tails
+    assert by[("1", 1)]["span_df"] == 1 and not by[("1", 1)]["drop_span"]
+    # offset 2: media span after the 2nd chunk, never dropped
+    assert by[("1", 2)]["kind"] == "media" and not by[("1", 2)]["drop_span"]
+    assert by[("1", 2)]["span_df"] == 0
