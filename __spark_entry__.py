@@ -661,6 +661,47 @@ def q_graph_hits(spark, sf_dir):
     return hits(fwd, iters=2)
 
 
+def q_graph_components(spark, sf_dir):
+    """Hash-min connected components (4 rounds) over a sparsified link
+    graph: customer->order stars bridged by a 1-in-97 slice of the
+    order->supplier edges — the host-community signal a frontier uses to
+    spread budget across site clusters."""
+    from crawler_spark.pipeline.graph import components
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    stars = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    bridges = li.filter(
+        (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
+    ).select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    fwd = stars.unionByName(bridges)
+    und = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return components(und, iters=4)
+
+
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText document-quality rule signals + keep verdict."""
+    from crawler_spark.pipeline.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_span_lang_mix(spark, sf_dir):
+    """Per-span language mix over the interleaved payload — the
+    code-switching signal doc-level lang-ID averages away."""
+    from crawler_spark.pipeline.interleaved import span_lang_mix
+
+    return span_lang_mix(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_ann_recall(spark, sf_dir):
     """Measured recall@10 of single-table LSH ANN vs exact cosine top-10 —
     the quality number that justifies the bucketed index."""
@@ -1000,6 +1041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_components": q_graph_components,
+        "text_gopher_rules": q_text_gopher_rules,
+        "docs_span_lang_mix": q_docs_span_lang_mix,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -1127,6 +1171,38 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 10
             ) s ON s.node = n.node
         )""")
     parts.append(f' SELECT node, "rank" FROM r{iters}')
+    return "".join(parts)
+
+
+def _components_sql(iters: int = 4) -> str:
+    """Unrolled fixed-iteration hash-min label propagation (mirrors
+    pipeline/graph.py components(): min over self + in-neighbors per
+    round, binary string comparison) on the sparsified customer-order-
+    supplier graph."""
+    parts = [
+        "WITH stars AS (SELECT 'c:' || o_custkey AS src,"
+        " 'o:' || o_orderkey AS dst FROM orders), "
+        "bridges AS (SELECT 'o:' || l_orderkey AS src,"
+        " 's:' || l_suppkey AS dst FROM lineitem"
+        " WHERE l_orderkey % 97 = 0 AND l_linenumber = 1), "
+        "fwd AS (SELECT src, dst FROM stars UNION ALL SELECT src, dst FROM bridges), "
+        "e AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)), "
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "l0 AS (SELECT node, node AS comp FROM n)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        l{t} AS (
+            SELECT n.node,
+                   least(l{t - 1}.comp, coalesce(m.m, l{t - 1}.comp)) AS comp
+            FROM n JOIN l{t - 1} USING (node)
+            LEFT JOIN (
+                SELECT e.dst AS node, min(l{t - 1}.comp) AS m
+                FROM e JOIN l{t - 1} ON l{t - 1}.node = e.src GROUP BY e.dst
+            ) m USING (node)
+        )""")
+    parts.append(f" SELECT node, comp FROM l{iters}")
     return "".join(parts)
 
 
@@ -2392,6 +2468,78 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
+        "graph_components": _components_sql(iters=4),
+        "text_gopher_rules": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+                       CAST(coalesce(list_sum(list_transform(
+                           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                           x -> length(x))), 0) AS BIGINT) AS sum_wl,
+                       CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                            + len(regexp_extract_all(text, '(\\.\\.\\.|…)', 0)) AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '' AND regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+                       CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '' AND regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis,
+                       CAST(len(list_filter(
+                           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                           x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                       CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+                FROM documents
+            ), bp AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0 THEN (1000 * sum_wl) // n_words ELSE 0 END AS mean_wl_bp,
+                       CASE WHEN n_words > 0 THEN (1000 * n_symbols) // n_words ELSE 0 END AS symbol_bp,
+                       CASE WHEN n_lines > 0 THEN (1000 * n_bullet) // n_lines ELSE 0 END AS bullet_bp,
+                       CASE WHEN n_lines > 0 THEN (1000 * n_ellipsis) // n_lines ELSE 0 END AS ellipsis_bp,
+                       CASE WHEN n_words > 0 THEN (1000 * n_alpha) // n_words ELSE 0 END AS alpha_bp,
+                       stop_hits
+                FROM b
+            )
+            SELECT doc_id, n_words, mean_wl_bp, symbol_bp, bullet_bp,
+                   ellipsis_bp, alpha_bp, stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wl_bp BETWEEN 3000 AND 10000
+                    AND symbol_bp <= 100 AND bullet_bp <= 900
+                    AND ellipsis_bp <= 300 AND alpha_bp >= 800
+                    AND stop_hits >= 2) AS keep
+            FROM bp
+        """,
+        "docs_span_lang_mix": _SPANS_CTE + f""",
+            sl AS (
+                SELECT doc_id, text,
+                       {en} AS c_en, {fr} AS c_fr, {de} AS c_de, {es} AS c_es
+                FROM spans WHERE kind = 'text'
+            ),
+            langs AS (SELECT doc_id, {pred} AS span_lang FROM sl),
+            counts AS (
+                SELECT doc_id, span_lang, count(*) AS cnt
+                FROM langs GROUP BY doc_id, span_lang
+            ),
+            major AS (
+                SELECT doc_id, span_lang AS major_lang, cnt AS major_cnt
+                FROM counts
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, span_lang) = 1
+            ),
+            tot AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_text_spans,
+                       CAST(count(*) AS BIGINT) AS n_langs
+                FROM counts GROUP BY doc_id
+            )
+            SELECT t.doc_id, n_text_spans, n_langs, major_lang,
+                   CAST(major_cnt AS BIGINT) AS major_cnt,
+                   CAST(CASE WHEN n_text_spans > 0
+                        THEN (1000 * (n_text_spans - major_cnt)) // n_text_spans
+                        ELSE 0 END AS BIGINT) AS minority_bp
+            FROM tot t JOIN major USING (doc_id)
+        """,
         # batch replay of the streaming limiter: verdicts are a pure
         # function of (host, window, data order), so row_number per
         # (host, window) reproduces the stateful stream exactly.

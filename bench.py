@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "text_quality_model",
     "text_ccnet_buckets",
     "graph_hits",
+    "graph_components",
+    "text_gopher_rules",
+    "docs_span_lang_mix",
     "sim_ann_recall",
 ]
 

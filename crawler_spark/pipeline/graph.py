@@ -138,6 +138,8 @@ def hits(
     max broadcast each — the same distributed shape as ``pagerank``, with
     localCheckpoint keeping lineage constant across iterations.
     """
+    if iters < 1:
+        raise ValueError("hits needs iters >= 1 (auth is defined by the first half-step)")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.cache()
     nodes = (
@@ -178,3 +180,52 @@ def hits(
         hub = _shift_norm(h_raw, "hub").localCheckpoint()
     e.unpersist()
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def components(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, comp) after ``iters`` rounds of hash-min label propagation.
+
+    Every node starts labeled with its own id; each round it takes the
+    minimum label over itself and its in-neighbors along ``edges`` (pass
+    both edge directions for undirected components — the callers here do).
+    After enough rounds the label is the component-wide minimum id; with a
+    fixed ``iters`` the result is the exact k-round propagation state,
+    which the unrolled SQL oracle reproduces label-for-label. Labels are
+    compared as plain binary strings, identical in Spark and DuckDB for
+    the ASCII ids used here.
+
+    Scale shape per iteration: one join keyed on src (edges x labels) and
+    one min-aggregation keyed on dst — the same two keyed exchanges as
+    ``pagerank``, no driver-side state, lineage truncated per round with
+    localCheckpoint. Hash-min converges in O(diameter) rounds; the classic
+    large-star/small-star variant (Kiveris et al.) halves that at the cost
+    of re-writing edges — out of scope while diameters stay modest.
+    """
+    if iters < 1:
+        raise ValueError("components needs iters >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lbl = nodes.withColumn("comp", F.col("node")).localCheckpoint()
+    for _ in range(iters):
+        inflow = (
+            e.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("m"))
+        )
+        lbl = (
+            lbl.join(inflow, "node", "left")
+            .select("node", F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return lbl

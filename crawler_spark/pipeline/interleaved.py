@@ -311,3 +311,59 @@ def span_dedup(documents: DataFrame, chunk: int = 5, media_every: int = 2, min_d
         F.lit(False).alias("drop_span"),
     )
     return flagged.unionByName(media)
+
+
+def span_lang_mix(
+    documents: DataFrame, chunk: int = 5, media_every: int = 2
+) -> DataFrame:
+    """Per-document language mix over the interleaved TEXT spans.
+
+    Interleaved training documents code-switch: a caption block in one
+    language inside a body in another. Doc-level language ID (textstats.
+    lang_id) averages that away; this operator predicts a language PER
+    TEXT SPAN and aggregates the mix per document:
+
+    - ``n_text_spans`` — text spans in the doc,
+    - ``n_langs`` — distinct predicted span languages,
+    - ``major_lang`` / ``major_cnt`` — plurality language (ties break to
+      the lexicographically smallest, deterministic in both engines),
+    - ``minority_bp`` — fraction of spans NOT in the plurality language,
+      in integer basis points: the code-switching / contamination signal
+      a curation pass thresholds.
+
+    Scale shape: the span synthesis is one explode with closed-form
+    offsets; the mix is two keyed aggregations (doc x lang, then doc) plus
+    one row_number window PARTITIONED BY doc_id — every exchange keys on
+    the document, so the plan parallelizes with the corpus.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.textstats import lang_pred_col
+
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    txt = spans.filter(F.col("kind") == "text").select(
+        "doc_id", lang_pred_col("text").alias("span_lang")
+    )
+    counts = txt.groupBy("doc_id", "span_lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("span_lang"))
+    major = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("span_lang").alias("major_lang"),
+                F.col("cnt").alias("major_cnt"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_text_spans"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    return totals.join(major, "doc_id").select(
+        "doc_id",
+        "n_text_spans",
+        "n_langs",
+        "major_lang",
+        F.col("major_cnt").cast("long").alias("major_cnt"),
+        F.expr(
+            "CASE WHEN n_text_spans > 0 THEN"
+            " (1000 * (n_text_spans - major_cnt)) DIV n_text_spans ELSE 0 END"
+        ).cast("long").alias("minority_bp"),
+    )

@@ -24,9 +24,24 @@ LANG_MARKERS = {
 CJK = r"[一-鿿]"
 
 
-def _marker_count(lang: str):
+def _marker_count(lang: str, col: str = "text"):
     pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(1)))
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(1)))
+
+
+def lang_pred_col(col: str = "text"):
+    """Predicted-language Column over any text column — the argmax CASE
+    chain shared by lang_id (doc level) and span_lang_mix (span level)."""
+    has_cjk = F.size(F.regexp_extract_all(col, F.lit(CJK), F.lit(0))) > 0
+    c = {l: _marker_count(l, col) for l in LANG_MARKERS}
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((c["en"] > 0) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]) & (c["en"] >= c["es"]), F.lit("en"))
+        .when((c["fr"] > 0) & (c["fr"] >= c["de"]) & (c["fr"] >= c["es"]), F.lit("fr"))
+        .when((c["de"] > 0) & (c["de"] >= c["es"]), F.lit("de"))
+        .when(c["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -35,20 +50,8 @@ def lang_id(documents: DataFrame) -> DataFrame:
     The CASE chain (zh-if-CJK, then en >= all, fr >= rest, ...) is written
     identically in the DuckDB oracle, so predictions match exactly.
     """
-    d = documents
-    for lang in LANG_MARKERS:
-        d = d.withColumn(f"c_{lang}", _marker_count(lang))
-    has_cjk = F.size(F.regexp_extract_all("text", F.lit(CJK), F.lit(0))) > 0
-    c = {l: F.col(f"c_{l}") for l in LANG_MARKERS}
-    pred = (
-        F.when(has_cjk, F.lit("zh"))
-        .when((c["en"] > 0) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]) & (c["en"] >= c["es"]), F.lit("en"))
-        .when((c["fr"] > 0) & (c["fr"] >= c["de"]) & (c["fr"] >= c["es"]), F.lit("fr"))
-        .when((c["de"] > 0) & (c["de"] >= c["es"]), F.lit("de"))
-        .when(c["es"] > 0, F.lit("es"))
-        .otherwise(F.lit("und"))
-    )
-    return d.select(
+    pred = lang_pred_col("text")
+    return documents.select(
         "doc_id",
         F.col("lang").alias("actual"),
         pred.alias("predicted"),
@@ -542,3 +545,87 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
     return scored.join(F.broadcast(buckets), ["lang", "lm_bp"]).select(
         "doc_id", "lang", F.col("lm_bp").cast("long").alias("lm_bp"), "bucket"
     )
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-paper quality-rule signals and the combined keep verdict.
+
+    The published Gopher/MassiveText repetition-free document filters
+    (Rae et al. 2021, table A1), each as an exact-integer signal so the
+    verdict hashes identically to the SQL oracle:
+
+    - ``n_words`` — whitespace tokens; cut outside [50, 100_000].
+    - ``mean_wl_bp`` — mean word length in milli-chars; cut outside
+      [3000, 10000] (3..10 chars).
+    - ``symbol_bp`` — ('#' chars + ellipsis sequences) per 1000 words;
+      cut above 100.
+    - ``bullet_bp`` / ``ellipsis_bp`` — fraction of non-blank lines
+      starting with a bullet / ending with an ellipsis, in bp of lines;
+      cut above 900 / 300.
+    - ``alpha_bp`` — fraction of words containing an alphabetic char;
+      cut below 800.
+    - ``stop_hits`` — how many of the 5 required stopwords (the, be,
+      to, of, and) appear; cut below 2.
+
+    All whole-stage-codegen expressions (split / filter / aggregate /
+    regexp counts + integer div) — zero shuffles, the filter runs at scan
+    speed and the verdict column is what a curation pass feeds to a
+    WHERE clause. Thresholds mirror the paper; they are encoded here (not
+    parameters) so the keep column is a stable, oracle-checkable contract.
+    """
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+    lines = "filter(split(text, '\\n'), l -> trim(l) <> '')"
+    base = documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        ).alias("sum_wl"),
+        (
+            F.length(F.regexp_replace("text", r"[^#]", ""))
+            + F.size(F.regexp_extract_all("text", F.lit(r"(\.\.\.|…)"), F.lit(0)))
+        ).cast("long").alias("n_symbols"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> ltrim(l) RLIKE '^[-*•]'))"
+        ).cast("long").alias("n_bullet"),
+        F.expr(
+            f"size(filter({lines}, l -> rtrim(l) RLIKE '(\\\\.\\\\.\\\\.|…)$'))"
+        ).cast("long").alias("n_ellipsis"),
+        F.expr(
+            f"size(filter({toks}, x -> x RLIKE '[a-z]'))"
+        ).cast("long").alias("n_alpha"),
+        (
+            F.expr("CASE WHEN lower(text) RLIKE '\\\\bthe\\\\b' THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN lower(text) RLIKE '\\\\bbe\\\\b' THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN lower(text) RLIKE '\\\\bto\\\\b' THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN lower(text) RLIKE '\\\\bof\\\\b' THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN lower(text) RLIKE '\\\\band\\\\b' THEN 1 ELSE 0 END")
+        ).cast("long").alias("stop_hits"),
+    )
+    bp = base.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000 * sum_wl) DIV n_words ELSE 0 END"
+        ).alias("mean_wl_bp"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000 * n_symbols) DIV n_words ELSE 0 END"
+        ).alias("symbol_bp"),
+        F.expr(
+            "CASE WHEN n_lines > 0 THEN (1000 * n_bullet) DIV n_lines ELSE 0 END"
+        ).alias("bullet_bp"),
+        F.expr(
+            "CASE WHEN n_lines > 0 THEN (1000 * n_ellipsis) DIV n_lines ELSE 0 END"
+        ).alias("ellipsis_bp"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000 * n_alpha) DIV n_words ELSE 0 END"
+        ).alias("alpha_bp"),
+        "stop_hits",
+    )
+    keep = (
+        "n_words BETWEEN 50 AND 100000 AND mean_wl_bp BETWEEN 3000 AND 10000"
+        " AND symbol_bp <= 100 AND bullet_bp <= 900 AND ellipsis_bp <= 300"
+        " AND alpha_bp >= 800 AND stop_hits >= 2"
+    )
+    return bp.withColumn("keep", F.expr(keep))

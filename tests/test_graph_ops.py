@@ -51,3 +51,25 @@ def test_hits_shift_normalized(spark):
         "x": (0, 1_250_000_000),
         "y": (0, 750_000_000),
     }
+
+
+def test_components_hash_min_propagation(spark):
+    # two chains: a-b-c and x-y (undirected: both directions passed).
+    # hash-min with 1 iter labels b=a, c=b -> 'b' still; 2 iters converge.
+    fwd = [("a", "b"), ("b", "c"), ("x", "y")]
+    und = fwd + [(d, s) for s, d in fwd]
+    from crawler_spark.pipeline.graph import components
+
+    one = {r["node"]: r["comp"] for r in components(_edges(spark, und), iters=1).collect()}
+    assert one == {"a": "a", "b": "a", "c": "b", "x": "x", "y": "x"}
+    two = {r["node"]: r["comp"] for r in components(_edges(spark, und), iters=2).collect()}
+    assert two == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_requires_iters(spark):
+    import pytest
+
+    from crawler_spark.pipeline.graph import components
+
+    with pytest.raises(ValueError):
+        components(_edges(spark, [("a", "b")]), iters=0)

@@ -728,3 +728,33 @@ def test_span_dedup_boilerplate_across_docs(spark):
     # offset 2: media span after the 2nd chunk, never dropped
     assert by[("1", 2)]["kind"] == "media" and not by[("1", 2)]["drop_span"]
     assert by[("1", 2)]["span_df"] == 0
+
+
+def test_gopher_rules_hand_computed(spark):
+    from crawler_spark.pipeline.textstats import gopher_rules
+
+    good = "the quick brown fox likes to be near the river of calm and " * 10
+    bullets = "- one\n- two\n- three"
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, "### #### ##")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[1]["n_words"] == 130 and got[1]["stop_hits"] == 5
+    # all three lines are bullets -> 1000 bp > 900 cut
+    assert got[2]["bullet_bp"] == 1000 and got[2]["keep"] is False
+    # symbol storm: no alpha words, no stopwords
+    assert got[3]["alpha_bp"] == 0 and got[3]["keep"] is False
+
+
+def test_span_lang_mix_code_switch(spark):
+    from crawler_spark.pipeline.interleaved import span_lang_mix
+
+    # chunk=5 tokens per span: 2 english spans + 1 french span
+    text = "the cat and the dog is of to in all " + "le la et les des"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = span_lang_mix(docs).collect()[0]
+    assert row["n_text_spans"] == 3 and row["n_langs"] == 2
+    assert row["major_lang"] == "en" and row["major_cnt"] == 2
+    assert row["minority_bp"] == 333
