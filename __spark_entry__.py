@@ -702,6 +702,23 @@ def q_docs_span_lang_mix(spark, sf_dir):
     return span_lang_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_docs_interleave_pack(spark, sf_dir):
+    """Span-atomic multimodal sequence packing: text spans cost BPE
+    tokens, media spans a fixed 64-visual-token budget; global bin
+    assignment via the two-level prefix sum (never a global window)."""
+    from crawler_spark.pipeline.interleaved import pack_interleaved
+
+    return pack_interleaved(_t(spark, sf_dir, "documents"), capacity=2048)
+
+
+def q_docs_media_dedup(spark, sf_dir):
+    """Content-hash dedup of media assets across the interleaved corpus
+    (pool-of-16 deterministic content stand-in)."""
+    from crawler_spark.pipeline.interleaved import media_dedup
+
+    return media_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_ann_recall(spark, sf_dir):
     """Measured recall@10 of single-table LSH ANN vs exact cosine top-10 —
     the quality number that justifies the bucketed index."""
@@ -1044,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "text_gopher_rules": q_text_gopher_rules,
         "docs_span_lang_mix": q_docs_span_lang_mix,
+        "docs_interleave_pack": q_docs_interleave_pack,
+        "docs_media_dedup": q_docs_media_dedup,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -2469,6 +2488,38 @@ def oracle_sql() -> dict[str, str]:
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
         "graph_components": _components_sql(iters=4),
+        "docs_interleave_pack": _SPANS_CTE + f""",
+            costed AS (
+                SELECT CAST(doc_id AS BIGINT) AS did, doc_id, "offset", kind,
+                       CASE WHEN kind = 'text'
+                            THEN CAST(len(regexp_extract_all(text, '{_BPE_PAT}', 1)) AS BIGINT)
+                            ELSE CAST(64 AS BIGINT) END AS n_tok
+                FROM spans
+            ), c2 AS (
+                SELECT doc_id, "offset", kind, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY did, "offset"
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start_off
+                FROM costed
+            )
+            SELECT doc_id, "offset", kind, n_tok, start_off,
+                   start_off // 2048 AS first_bin,
+                   CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
+                        ELSE start_off // 2048 END AS last_bin
+            FROM c2
+        """,
+        "docs_media_dedup": _SPANS_CTE + """,
+            medkey AS (
+                SELECT doc_id, media_ref,
+                       md5('pool:' || (CAST(regexp_extract(media_ref, '/(\\d+)$', 1)
+                            AS BIGINT) % 16)) AS content_key
+                FROM spans WHERE kind = 'media'
+            )
+            SELECT content_key,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(media_ref) AS canonical_ref
+            FROM medkey GROUP BY content_key
+        """,
         "text_gopher_rules": """
             WITH b AS (
                 SELECT doc_id,

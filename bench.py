@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "graph_components",
     "text_gopher_rules",
     "docs_span_lang_mix",
+    "docs_interleave_pack",
+    "docs_media_dedup",
     "sim_ann_recall",
 ]
 

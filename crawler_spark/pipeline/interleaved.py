@@ -367,3 +367,130 @@ def span_lang_mix(
             " (1000 * (n_text_spans - major_cnt)) DIV n_text_spans ELSE 0 END"
         ).cast("long").alias("minority_bp"),
     )
+
+
+def pack_interleaved(
+    documents: DataFrame,
+    capacity: int = 2048,
+    media_tokens: int = 64,
+    chunk: int = 5,
+    media_every: int = 2,
+    bound: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing over the INTERLEAVED span stream.
+
+    Multimodal training packs the span stream, not flat text: text spans
+    cost their BPE-ish token count, media spans cost a FIXED visual-token
+    budget (``media_tokens`` — the ViT patch allowance an image occupies
+    in the sequence). Spans are laid out in (doc_id, offset) order and the
+    stream splits every ``capacity`` tokens; each span reports its global
+    ``start_off`` and the [first_bin, last_bin] range it occupies.
+
+    Scale shape — identical to assemble.pack_sequences: the global prefix
+    sum is two-level (arithmetic range-bucket on doc_id -> within-bucket
+    cumulative window PARTITIONED BY bucket ordered by (doc_id, offset) ->
+    per-bucket totals collected as P scalars and rebroadcast), never a
+    single-partition global window. ``bound`` = inclusive max doc_id
+    (catalog stats at warehouse scale; one columnar scan here).
+    """
+    spark = documents.sparkSession
+    n = int(n_parts or spark.conf.get("spark.sql.shuffle.partitions"))
+    bpe_pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    costed = spans.select(
+        F.col("doc_id").cast("long").alias("_did"),
+        "doc_id",
+        "offset",
+        "kind",
+        F.when(
+            F.col("kind") == "text",
+            F.size(F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(1))),
+        )
+        .otherwise(F.lit(int(media_tokens)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    if bound is None:
+        bound = documents.agg(F.max("doc_id")).first()[0]
+        if bound is None:
+            bound = 0
+    from pyspark.sql import Window
+
+    bucket = F.least(
+        F.lit(n - 1), F.floor(F.col("_did") * F.lit(n) / F.lit(int(bound) + 1))
+    ).cast("long")
+    w = Window.partitionBy("_bucket").orderBy("_did", "offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = (
+        costed.withColumn("_bucket", bucket)
+        .repartition(n, "_bucket")
+        .withColumn("_cum", F.sum("n_tok").over(w))
+    )
+    local = local.cache()
+    sizes = {
+        int(r["_bucket"]): int(r["_tot"])
+        for r in local.groupBy("_bucket").agg(F.sum("n_tok").alias("_tot")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sizes):
+        offsets.append((b, acc))
+        acc += sizes[b]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_bucket long, _off long"))
+    cap = int(capacity)
+    return (
+        local.join(off_df, "_bucket")
+        .withColumn("start_off", F.col("_off") + F.col("_cum") - F.col("n_tok"))
+        .withColumn("first_bin", F.expr(f"start_off DIV {cap}"))
+        .withColumn(
+            "last_bin",
+            F.when(
+                F.col("n_tok") > 0, F.expr(f"(start_off + n_tok - 1) DIV {cap}")
+            ).otherwise(F.expr(f"start_off DIV {cap}")),
+        )
+        .select("doc_id", "offset", "kind", "n_tok", "start_off", "first_bin", "last_bin")
+    )
+
+
+def media_dedup(documents: DataFrame, pool: int = 16, chunk: int = 5,
+                media_every: int = 2) -> DataFrame:
+    """Content-hash dedup of media assets across the interleaved corpus.
+
+    Web media is massively duplicated (logos, tracking pixels, boilerplate
+    imagery); training pipelines dedup assets by CONTENT hash before
+    fetching/decoding, not by ref. The synthetic corpus has unique refs, so
+    the content key is derived from the media ordinal modulo a ``pool``
+    size — the deterministic stand-in for "many refs resolve to the same
+    bytes" (the real key is decode_assets' payload sha1). Per content key:
+    reference count, distinct-document count, and the canonical (minimum)
+    ref the asset table keeps.
+
+    Scale shape: one partial->final aggregation keyed on the content hash;
+    count(DISTINCT doc_id) expands to the standard two-level exact
+    distinct. No joins, no windows.
+    """
+    spans = synth_spans(documents, chunk=chunk, media_every=media_every)
+    med = spans.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "media_ref",
+        # try_cast: the projection can be evaluated speculatively on rows
+        # the kind filter later drops (text rows carry media_ref=''), and
+        # ANSI cast of '' would throw there; media rows always match.
+        F.md5(
+            F.concat(
+                F.lit("pool:"),
+                F.expr(
+                    f"try_cast(regexp_extract(media_ref, '/([0-9]+)$', 1)"
+                    f" AS BIGINT) % {int(pool)}"
+                ).cast("string"),
+            )
+        ).alias("content_key"),
+    )
+    return med.groupBy("content_key").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("media_ref").alias("canonical_ref"),
+    )

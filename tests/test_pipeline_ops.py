@@ -758,3 +758,53 @@ def test_span_lang_mix_code_switch(spark):
     assert row["n_text_spans"] == 3 and row["n_langs"] == 2
     assert row["major_lang"] == "en" and row["major_cnt"] == 2
     assert row["minority_bp"] == 333
+
+
+def test_pack_interleaved_span_costs(spark):
+    from crawler_spark.pipeline.interleaved import pack_interleaved
+
+    # doc 1: 10 one-letter words -> 2 text spans (5 BPE tokens each) and
+    # 1 media span at offset 2 costing the fixed visual budget.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    rows = {
+        (r["offset"], r["kind"]): r.asDict()
+        for r in pack_interleaved(docs, capacity=8, media_tokens=64).collect()
+    }
+    assert set(rows) == {(0, "text"), (1, "text"), (2, "media")}
+    assert rows[(0, "text")]["n_tok"] == 5 and rows[(0, "text")]["start_off"] == 0
+    assert rows[(1, "text")]["start_off"] == 5
+    m = rows[(2, "media")]
+    assert m["n_tok"] == 64 and m["start_off"] == 10
+    # media span crosses bins: [10, 73] with capacity 8 -> bins 1..9
+    assert m["first_bin"] == 1 and m["last_bin"] == 9
+
+
+def test_pack_interleaved_global_offsets_across_docs(spark):
+    from crawler_spark.pipeline.interleaved import pack_interleaved
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["offset"]): r["start_off"]
+        for r in pack_interleaved(docs, capacity=4).collect()
+    }
+    # doc 1: one 5-token span at 0; doc 2 starts where doc 1 ended
+    assert got[("1", 0)] == 0 and got[("2", 0)] == 5
+
+
+def test_media_dedup_pool_groups(spark):
+    from crawler_spark.pipeline.interleaved import media_dedup
+
+    # 40 docs x 4 text spans -> media ordinals j in {1, 2} per doc;
+    # pool=2 collapses them to content keys by j % 2.
+    docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(40)], "doc_id long, text string"
+    )
+    rows = media_dedup(docs, pool=2).collect()
+    assert len(rows) == 2
+    by_key = {r["canonical_ref"].rsplit("/", 1)[1]: r for r in rows}
+    assert by_key["1"]["n_refs"] == 40 and by_key["1"]["n_docs"] == 40
+    assert by_key["2"]["n_refs"] == 40
