@@ -719,6 +719,59 @@ def q_docs_media_dedup(spark, sf_dir):
     return media_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_crawl_rank_budget(spark, sf_dir):
+    """Link mass feeding the frontier: PageRank (2 exact-integer
+    iterations) over the order-supplier graph becomes a per-supplier
+    politeness budget (1 + rank/quarter-scale, capped at 8), which pops
+    that many orders per supplier — the graph->scheduler composition a
+    rank-aware crawler runs every refresh cycle. All keyed exchanges
+    (rank join + per-supplier row_number window over candidates)."""
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.graph import RANK_SCALE, pagerank
+
+    ranks = pagerank(_order_supplier_edges(spark, sf_dir), iters=2)
+    q = RANK_SCALE // 4
+    budgets = ranks.filter(F.col("node").startswith("s:")).select(
+        "node",
+        (F.lit(1) + F.least(F.lit(7), F.expr(f"rank DIV {q}")))
+        .cast("long")
+        .alias("budget"),
+    )
+    cand = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("node"),
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("node").orderBy("orderkey")
+    return (
+        cand.join(budgets, "node")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select("node", "orderkey", "rn", "budget")
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strictly-ordered view->click->purchase funnel per user: two stacked
+    O(1)-state window passes over one user-keyed sort, no self-joins."""
+    from crawler_spark.pipeline.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))
+
+
+def q_text_inverted_index(spark, sf_dir):
+    """Bounded inverted index: df/cf per term, posting lists only for
+    terms under the df cap (hot stopword-class terms flagged, not
+    materialized)."""
+    from crawler_spark.pipeline.textstats import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_df=100)
+
+
 def q_sim_ann_recall(spark, sf_dir):
     """Measured recall@10 of single-table LSH ANN vs exact cosine top-10 —
     the quality number that justifies the bucketed index."""
@@ -1063,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_lang_mix": q_docs_span_lang_mix,
         "docs_interleave_pack": q_docs_interleave_pack,
         "docs_media_dedup": q_docs_media_dedup,
+        "events_funnel": q_events_funnel,
+        "text_inverted_index": q_text_inverted_index,
+        "crawl_rank_budget": q_crawl_rank_budget,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -1191,6 +1247,32 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 10
         )""")
     parts.append(f' SELECT node, "rank" FROM r{iters}')
     return "".join(parts)
+
+
+def _rank_budget_sql(iters: int = 2, scale: int = 10**9) -> str:
+    """PageRank CTEs (same unrolled builder as _pagerank_sql) + the
+    budget/top-k tail mirroring q_crawl_rank_budget."""
+    body = _pagerank_sql(iters=iters, scale=scale)
+    body = body[: body.rindex(" SELECT ")]  # keep the WITH-chain only
+    q = scale // 4
+    return body + f""",
+        budgets AS (
+            SELECT node, CAST(1 + least(7, "rank" // {q}) AS BIGINT) AS budget
+            FROM r{iters} WHERE node LIKE 's:%'
+        ),
+        cand AS (
+            SELECT DISTINCT 's:' || l_suppkey AS node,
+                   CAST(l_orderkey AS BIGINT) AS orderkey
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT c.node, c.orderkey, b.budget,
+                   CAST(row_number() OVER (
+                       PARTITION BY c.node ORDER BY c.orderkey) AS INT) AS rn
+            FROM cand c JOIN budgets b USING (node)
+        )
+        SELECT node, orderkey, rn, budget FROM ranked WHERE rn <= budget
+    """
 
 
 def _components_sql(iters: int = 4) -> str:
@@ -2020,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i ON i.node = n.node
         """,
         "graph_pagerank": _pagerank_sql(iters=3),
+        "crawl_rank_budget": _rank_budget_sql(iters=2),
         "pipeline_assemble": f"""
             WITH {_SHINGLES_CTE},
             r(lang, rate_bp) AS (
@@ -2488,6 +2571,58 @@ def oracle_sql() -> dict[str, str]:
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
         "graph_components": _components_sql(iters=4),
+        "events_funnel": """
+            WITH m AS (
+                SELECT user_id, event_type, ts, event_id,
+                       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen1
+                FROM events
+            ), m2 AS (
+                SELECT *, CASE WHEN event_type = 'click' AND seen1 = 1
+                               THEN 1 ELSE 0 END AS q2
+                FROM m
+            ), m3 AS (
+                SELECT *, max(q2)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen2
+                FROM m2
+            ), q AS (
+                SELECT *, CASE WHEN event_type = 'purchase' AND seen2 = 1
+                               THEN 1 ELSE 0 END AS q3
+                FROM m3
+            ), agg AS (
+                SELECT user_id,
+                       CAST(min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS BIGINT) AS t1_us,
+                       CAST(min(CASE WHEN q2 = 1 THEN epoch_us(ts) END) AS BIGINT) AS t2_us,
+                       CAST(min(CASE WHEN q3 = 1 THEN epoch_us(ts) END) AS BIGINT) AS t3_us
+                FROM q GROUP BY user_id
+            )
+            SELECT user_id, t1_us, t2_us, t3_us,
+                   CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                             WHEN t2_us IS NOT NULL THEN 2
+                             WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+            FROM agg
+        """,
+        "text_inverted_index": f"""
+            WITH base AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY term, doc_id
+            ), stats AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(tf) AS BIGINT) AS cf
+                FROM base GROUP BY term
+            ), postings AS (
+                SELECT b.term,
+                       array_to_string(list_sort(list(b.doc_id)), ',') AS postings
+                FROM base b JOIN stats s USING (term)
+                WHERE s.df <= 100
+                GROUP BY b.term
+            )
+            SELECT s.term, s.df, s.cf, s.df > 100 AS capped, p.postings
+            FROM stats s LEFT JOIN postings p USING (term)
+        """,
         "docs_interleave_pack": _SPANS_CTE + f""",
             costed AS (
                 SELECT CAST(doc_id AS BIGINT) AS did, doc_id, "offset", kind,

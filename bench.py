@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "docs_span_lang_mix",
     "docs_interleave_pack",
     "docs_media_dedup",
+    "events_funnel",
+    "text_inverted_index",
+    "crawl_rank_budget",
     "sim_ann_recall",
 ]
 

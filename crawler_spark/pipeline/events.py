@@ -73,3 +73,62 @@ def asof_last_before(
             - F.unix_micros(F.col("prev_ts").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Strictly-ordered 3-step funnel per user, one shuffle.
+
+    A step-k event QUALIFIES only if a qualifying step-(k-1) event happened
+    strictly earlier in the per-user total order (ts, then event_id — the
+    same tie-break as asof_last_before). Per user: the first qualifying
+    completion time of each step (epoch micros; NULL if never reached) and
+    ``reached`` in 0..3.
+
+    Scale shape: the sequential dependency is TWO stacked window passes
+    over the SAME (user_id, ts, event_id) sort — Catalyst plans one
+    exchange + one sort + two Window nodes, each carrying O(1) running
+    state per row (a running max flag), then one partial->final agg on
+    user_id. No self-joins: the naive step-k>=join-step-(k-1) plan is
+    quadratic per user on power-law users.
+    """
+    s1, s2, s3 = steps
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = events.select("user_id", "event_type", "ts", "event_id")
+    e = e.withColumn(
+        "_seen1",
+        F.max(F.expr(f"CASE WHEN event_type = '{s1}' THEN 1 ELSE 0 END")).over(w_prev),
+    )
+    e = e.withColumn(
+        "_q2",
+        F.expr(f"CASE WHEN event_type = '{s2}' AND _seen1 = 1 THEN 1 ELSE 0 END"),
+    )
+    e = e.withColumn("_seen2", F.max("_q2").over(w_prev))
+    e = e.withColumn(
+        "_q3",
+        F.expr(f"CASE WHEN event_type = '{s3}' AND _seen2 = 1 THEN 1 ELSE 0 END"),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min(
+            F.expr(f"CASE WHEN event_type = '{s1}' THEN unix_micros(cast(ts AS TIMESTAMP)) END")
+        ).cast("long").alias("t1_us"),
+        F.min(F.expr("CASE WHEN _q2 = 1 THEN unix_micros(cast(ts AS TIMESTAMP)) END"))
+        .cast("long")
+        .alias("t2_us"),
+        F.min(F.expr("CASE WHEN _q3 = 1 THEN unix_micros(cast(ts AS TIMESTAMP)) END"))
+        .cast("long")
+        .alias("t3_us"),
+    )
+    return agg.withColumn(
+        "reached",
+        F.expr(
+            "CASE WHEN t3_us IS NOT NULL THEN 3 WHEN t2_us IS NOT NULL THEN 2"
+            " WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END"
+        ).cast("int"),
+    )

@@ -629,3 +629,57 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         " AND alpha_bp >= 800 AND stop_hits >= 2"
     )
     return bp.withColumn("keep", F.expr(keep))
+
+
+def inverted_index(documents: DataFrame, max_df: int = 100) -> DataFrame:
+    """Bounded inverted index: per term df, cf, and a posting list capped
+    by document frequency.
+
+    The search-side artifact of a crawl. Per lowercase whitespace term:
+    ``df`` (documents containing it), ``cf`` (total occurrences), and for
+    COLD terms (df <= ``max_df``) the sorted posting list as a
+    comma-joined doc_id string; HOT terms (stopword-class) keep their
+    stats but ``capped=true`` and a NULL posting list — the same explicit
+    hot-key cap as ngram_jaccard/winnow_pairs (a posting list for 'the'
+    is |corpus| long and useless; real engines tier those into skip
+    lists, out of scope here).
+
+    Scale shape: explode -> partial->final count keyed on (term, doc) ->
+    stats keyed on term (map-side partial aggregation absorbs hot terms)
+    -> posting collect_list bounded by max_df after a keyed semi-join.
+    No unbounded per-group state anywhere.
+    """
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = base.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    cold = stats.filter(F.col("df") <= max_df).select("term")
+    postings = (
+        base.join(cold, "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(postings, "term", "left")
+        .select(
+            "term",
+            "df",
+            "cf",
+            (F.col("df") > max_df).alias("capped"),
+            "postings",
+        )
+    )

@@ -73,3 +73,24 @@ def test_components_requires_iters(spark):
 
     with pytest.raises(ValueError):
         components(_edges(spark, [("a", "b")]), iters=0)
+
+
+def test_rank_budget_composition(spark):
+    """Budget math: supplier rank 1+least(7, rank DIV quarter-scale) caps
+    the per-supplier pop; hand graph where one supplier dominates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.graph import RANK_SCALE, pagerank
+
+    # two orders point at s1; one at s2 (bidirectional like the query)
+    fwd = [("o:1", "s:1"), ("o:2", "s:1"), ("o:3", "s:2")]
+    e = _edges(spark, fwd + [(d, s) for s, d in fwd])
+    ranks = pagerank(e, iters=2)
+    q = RANK_SCALE // 4
+    budgets = {
+        r["node"]: 1 + min(7, r["rank"] // q)
+        for r in ranks.collect() if r["node"].startswith("s:")
+    }
+    # s1 gathers 2 orders' mass, s2 one: budget(s1) >= budget(s2) >= 1
+    assert budgets["s:1"] >= budgets["s:2"] >= 1

@@ -808,3 +808,63 @@ def test_media_dedup_pool_groups(spark):
     by_key = {r["canonical_ref"].rsplit("/", 1)[1]: r for r in rows}
     assert by_key["1"]["n_refs"] == 40 and by_key["1"]["n_docs"] == 40
     assert by_key["2"]["n_refs"] == 40
+
+
+def test_funnel_strict_ordering(spark):
+    from crawler_spark.pipeline.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, t0 + dt.timedelta(seconds=sec), user, typ, 0.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            # user 7: full funnel in order
+            ev(1, 0, 7, "view"), ev(2, 10, 7, "click"), ev(3, 20, 7, "purchase"),
+            # user 8: purchase BEFORE the click -> reaches only step 2
+            ev(4, 0, 8, "view"), ev(5, 5, 8, "purchase"), ev(6, 10, 8, "click"),
+            # user 9: click with no prior view -> reaches step 0
+            ev(7, 0, 9, "click"), ev(8, 5, 9, "purchase"),
+            # user 10: same-ts view then click (event_id order) qualifies
+            ev(9, 0, 10, "view"), ev(10, 0, 10, "click"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["user_id"]: r.asDict() for r in funnel(events).collect()}
+    assert got[7]["reached"] == 3
+    assert got[8]["reached"] == 2 and got[8]["t3_us"] is None
+    assert got[9]["reached"] == 0 and got[9]["t1_us"] is None
+    assert got[10]["reached"] == 2
+
+
+def test_funnel_plan_single_sort_no_join(spark):
+    from crawler_spark.pipeline.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 7, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    plan = funnel(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # both window passes share one user-keyed sort: exactly one Sort node
+    assert plan.count("Sort ") == 1
+
+
+def test_inverted_index_df_cap(spark):
+    from crawler_spark.pipeline.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the"), (2, "the dog"), (3, "the cat")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r.asDict() for r in inverted_index(docs, max_df=2).collect()}
+    assert got["the"]["df"] == 3 and got["the"]["cf"] == 4
+    assert got["the"]["capped"] is True and got["the"]["postings"] is None
+    assert got["cat"] == {
+        "term": "cat", "df": 2, "cf": 2, "capped": False, "postings": "1,3",
+    }
+    assert got["dog"]["postings"] == "2"
