@@ -995,6 +995,39 @@ def q_stream_windowed_metrics(spark, sf_dir):
     )
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Stateful streaming funnel through the driver gate: the events table
+    becomes a per-user event stream folded into strictly-ordered 3-step
+    completion state (streaming/funnel.py, applyInPandasWithState, O(1)
+    state per user). One AvailableNow batch == the batch funnel exactly,
+    so the DuckDB oracle is the batch funnel SQL."""
+    import tempfile
+
+    from crawler_spark.streaming.funnel import streaming_funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_funnel_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/ev")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/ev")
+    sink = "entry_stream_funnel"
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_stream_rate_limit(spark, sf_dir):
     """Stateful streaming politeness limiter through the driver gate: the
     events table becomes a fetch-request firehose, admission-controlled to
@@ -1134,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
+        "stream_funnel": q_stream_funnel,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
 
@@ -2761,4 +2795,5 @@ def oracle_sql() -> dict[str, str]:
                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
     """
+    d["stream_funnel"] = d["events_funnel"]
     return d

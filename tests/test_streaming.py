@@ -132,3 +132,50 @@ def test_streaming_rate_limit_state_carries_across_batches(spark, tmpdir_):
         5: (0, False),
         6: (600, True),
     }
+
+
+def test_streaming_funnel_state_carries_across_batches(spark, tmpdir_):
+    from crawler_spark.streaming.funnel import streaming_funnel
+
+    src = f"{tmpdir_}/fev"
+    os.makedirs(src)
+    # batch 1: user 7 views; user 8 clicks (no prior view -> no progress)
+    f1 = [(7, 1, "view", 100), (8, 2, "click", 100)]
+    # batch 2: user 7 clicks then purchases (completes the funnel; the
+    # qualifying view lives in batch 1's state); user 8 views (step 1 only
+    # — the batch-1 click must NOT retroactively count)
+    f2 = [(7, 3, "click", 200), (7, 4, "purchase", 300), (8, 5, "view", 200)]
+    import time as _time
+
+    for name, rows in (("f1", f1), ("f2", f2)):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts_us long"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("fnout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_fn")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM fnout").collect()
+    # one row per user per batch they appeared in
+    per_batch = {}
+    for r in rows:
+        per_batch.setdefault(r.user_id, []).append(
+            (r.reached, r.t1_us, r.t2_us, r.t3_us)
+        )
+    assert per_batch[7] == [(1, 100, None, None), (3, 100, 200, 300)]
+    assert per_batch[8] == [(0, None, None, None), (1, 200, None, None)]
