@@ -772,6 +772,27 @@ def q_text_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"), max_df=100)
 
 
+def q_sim_lsh_bucket_stats(spark, sf_dir):
+    """Bucket-size skew diagnostic per LSH table — the ops-health query
+    that tells you when a table needs more planes or multi-probe: bucket
+    count, max bucket size, and max/avg skew in integer bp. Two keyed
+    aggregations over the bucket index, no joins."""
+    from crawler_spark.pipeline.similarity import lsh_buckets_multitable
+
+    b = lsh_buckets_multitable(_t(spark, sf_dir, "embeddings"), n_tables=4)
+    per = b.groupBy(F.col("table").alias("tbl"), "bucket").agg(
+        F.count("*").alias("sz")
+    )
+    return per.groupBy("tbl").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_vecs"),
+        F.max("sz").cast("long").alias("max_sz"),
+        F.expr("CAST(1000 * max(sz) * count(*) DIV sum(sz) AS BIGINT)").alias(
+            "skew_bp"
+        ),
+    )
+
+
 def q_sim_ann_recall(spark, sf_dir):
     """Measured recall@10 of single-table LSH ANN vs exact cosine top-10 —
     the quality number that justifies the bucketed index."""
@@ -1152,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "text_inverted_index": q_text_inverted_index,
         "crawl_rank_budget": q_crawl_rank_budget,
+        "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -2402,6 +2424,28 @@ def oracle_sql() -> dict[str, str]:
         # candidate = shares the query's bucket in ANY of the 4 independent
         # tables (OR of per-table equality), then exact-cosine rerank —
         # mirrors ann_topk_multitable's union-distinct exactly
+        "sim_lsh_bucket_stats": f"""
+            WITH bkt AS (
+                SELECT vec_id,
+                       {_ann_planes_sql(0)} AS b0,
+                       {_ann_planes_sql(1)} AS b1,
+                       {_ann_planes_sql(2)} AS b2,
+                       {_ann_planes_sql(3)} AS b3
+                FROM embeddings
+            ), longf AS (
+                SELECT 0 AS tbl, b0 AS bucket FROM bkt
+                UNION ALL SELECT 1, b1 FROM bkt
+                UNION ALL SELECT 2, b2 FROM bkt
+                UNION ALL SELECT 3, b3 FROM bkt
+            ), per AS (
+                SELECT tbl, bucket, count(*) AS sz FROM longf GROUP BY tbl, bucket
+            )
+            SELECT tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(sz) AS BIGINT) AS n_vecs,
+                   CAST(max(sz) AS BIGINT) AS max_sz,
+                   CAST(1000 * max(sz) * count(*) // sum(sz) AS BIGINT) AS skew_bp
+            FROM per GROUP BY tbl
+        """,
         "sim_ann_multitable": f"""
             WITH bkt AS (
                 SELECT vec_id, embedding,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "text_inverted_index",
     "crawl_rank_budget",
+    "sim_lsh_bucket_stats",
     "sim_ann_recall",
 ]
 

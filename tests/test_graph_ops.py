@@ -94,3 +94,36 @@ def test_rank_budget_composition(spark):
     }
     # s1 gathers 2 orders' mass, s2 one: budget(s1) >= budget(s2) >= 1
     assert budgets["s:1"] >= budgets["s:2"] >= 1
+
+
+def test_components_fuzz_vs_python_fold(spark):
+    """Randomized small graphs: k-round hash-min in Spark must equal the
+    pure-Python fold exactly (including the not-yet-converged states)."""
+    import random
+
+    rng = random.Random(42)
+    from crawler_spark.pipeline.graph import components
+
+    for trial in range(4):
+        n = rng.randint(2, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        fwd = sorted({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(1, 20))
+        })
+        und = sorted(set(fwd) | {(d, s) for s, d in fwd})
+        iters = rng.randint(1, 4)
+
+        # pure-Python reference: min over self + in-neighbors per round
+        present = sorted({x for e in und for x in e})
+        lbl = {v: v for v in present}
+        for _ in range(iters):
+            inflow = {}
+            for s, d in und:
+                inflow[d] = min(inflow.get(d, lbl[s]), lbl[s])
+            lbl = {v: min(lbl[v], inflow.get(v, lbl[v])) for v in present}
+
+        got = {
+            r["node"]: r["comp"]
+            for r in components(_edges(spark, und), iters=iters).collect()
+        }
+        assert got == lbl, (trial, und, iters)

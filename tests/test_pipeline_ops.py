@@ -868,3 +868,50 @@ def test_inverted_index_df_cap(spark):
         "term": "cat", "df": 2, "cf": 2, "capped": False, "postings": "1,3",
     }
     assert got["dog"]["postings"] == "2"
+
+
+def test_funnel_fuzz_vs_python_fold(spark):
+    """Randomized event streams: the windowed funnel must equal a pure
+    fold over the (ts, event_id)-sorted stream."""
+    import random
+
+    from crawler_spark.pipeline.events import funnel
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows, expect = [], {}
+    eid = 0
+    for user in range(12):
+        evs = []
+        for _ in range(rng.randint(0, 10)):
+            eid += 1
+            evs.append((eid, rng.randint(0, 5), rng.choice(types)))
+        for e, sec, typ in evs:
+            rows.append((e, t0 + dt.timedelta(seconds=sec), user, typ, 0.0, "{}"))
+        t1 = t2 = t3 = None
+        for e, sec, typ in sorted(evs, key=lambda x: (x[1], x[0])):
+            us = int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+            if t1 is None:
+                if typ == "view":
+                    t1 = us
+            elif t2 is None:
+                if typ == "click":
+                    t2 = us
+            elif t3 is None and typ == "purchase":
+                t3 = us
+        if evs:
+            expect[user] = (
+                t1, t2, t3,
+                3 if t3 else 2 if t2 else 1 if t1 else 0,
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["reached"])
+        for r in funnel(events).collect()
+    }
+    assert got == expect

@@ -214,3 +214,54 @@ def test_trap_templates_partial_agg(spark):
     # map-side before the exchange (duplicates collapse before shuffle)
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+
+
+def test_gopher_rules_is_pure_projection(spark):
+    """The quality-rule filter must evaluate at scan speed: no Exchange,
+    no Window, no Join — one projection over the pruned (doc_id, text)
+    scan, so it composes with partition pruning for free."""
+    from crawler_spark.pipeline.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_rules(docs))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    schemas = _read_schema_cols(plan)
+    assert all(s <= {"doc_id", "text"} for s in schemas), schemas
+
+
+def test_components_keyed_exchanges_only(spark):
+    """Hash-min propagation must shuffle by key (hashpartitioning), never
+    collapse to a single partition or a cartesian product."""
+    from crawler_spark.pipeline.graph import components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    plan = _plan(components(e, iters=2))
+    assert "CartesianProduct" not in plan and "SinglePartition" not in plan, plan
+
+
+def test_inverted_index_no_unbounded_window(spark):
+    """Posting lists are collected only after the df-cap semi-join; the
+    plan must carry keyed aggregations, no Window at all (a rank-window
+    over raw term instances would funnel hot terms)."""
+    from crawler_spark.pipeline.textstats import inverted_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(inverted_index(docs))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_pack_interleaved_window_is_bucket_partitioned(spark):
+    """The packing prefix sum must never be a global window: every Window
+    node in the plan carries a partition spec (the arithmetic _bucket)."""
+    import re as _re
+
+    from crawler_spark.pipeline.interleaved import pack_interleaved
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_interleaved(docs, bound=10**6))
+    for m in _re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bucket" in m.group(1), m.group(0)
