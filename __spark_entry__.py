@@ -823,6 +823,31 @@ def q_docs_shard_assign(spark, sf_dir):
     return shard_assign(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+def q_docs_epoch_order(spark, sf_dir):
+    """Reproducible per-epoch training order (3 epochs x 8 shards):
+    coordination-free reshuffle, each epoch an independent hash
+    permutation."""
+    from crawler_spark.pipeline.assemble import epoch_order
+
+    return epoch_order(_t(spark, sf_dir, "documents"), n_epochs=3, n_shards=8)
+
+
+def q_agg_pricing_rollup(spark, sf_dir):
+    """Grouping-sets aggregate (ROLLUP over returnflag, linestatus) with
+    grouping_id — the subtotal/total OLAP surface in one pass; Spark plans
+    one Expand + one partial->final aggregation, never G separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "n_rows", "qty_cents", "gid")
+    )
+
+
 def q_docs_dataset_card(spark, sf_dir):
     from crawler_spark.pipeline.assemble import dataset_card
 
@@ -1174,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+        "docs_epoch_order": q_docs_epoch_order,
+        "agg_pricing_rollup": q_agg_pricing_rollup,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -2200,6 +2227,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 2048
                         ELSE start_off // 2048 END AS last_bin
             FROM c2
+        """,
+        "docs_epoch_order": """
+            WITH e AS (
+                SELECT d.doc_id, g.epoch,
+                       md5('epoch' || g.epoch || ':' || d.doc_id) AS h
+                FROM documents d,
+                     unnest(generate_series(0, 2)) g(epoch)
+            ), s AS (
+                SELECT doc_id, CAST(epoch AS INT) AS epoch, h,
+                       ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+                FROM e
+            )
+            SELECT doc_id, epoch, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+            FROM s
+        """,
+        "agg_pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "docs_shard_assign": """
             WITH h AS (

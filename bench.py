@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "text_inverted_index",
     "crawl_rank_budget",
     "sim_lsh_bucket_stats",
+    "docs_epoch_order",
+    "agg_pricing_rollup",
     "sim_ann_recall",
 ]
 

@@ -342,3 +342,46 @@ def pack_sequences(
     )
     out._cached = local  # caller-side unpersist handle
     return out
+
+
+def epoch_order(
+    documents: DataFrame, n_epochs: int = 3, n_shards: int = 8,
+    salt: str = "epoch"
+) -> DataFrame:
+    """Reproducible per-epoch training order: (doc_id, epoch, shard, pos).
+
+    A training run reshuffles the corpus every epoch; the order must be a
+    deterministic pure function of (salt, epoch, doc_id) so any worker —
+    or a re-run — can reconstruct exactly which sample sat at position p
+    of shard s in epoch e without a coordination service. Same hash-shard
+    + within-shard-rank shape as shard_assign, with the epoch folded into
+    the hash so each epoch is an independent permutation.
+
+    Scale shape: one explode (xN_epochs) + one exchange keyed on
+    (epoch, shard) + a window partitioned by that same key — partition
+    count multiplies by n_epochs, per-partition size stays corpus/shards.
+    """
+    e = documents.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {int(n_epochs) - 1})")).alias("epoch")
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(f"{salt}"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return (
+        e.select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            h.alias("h"),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+                "shard"
+            ),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "epoch", "shard", "pos")
+    )

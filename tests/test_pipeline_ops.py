@@ -915,3 +915,25 @@ def test_funnel_fuzz_vs_python_fold(spark):
         for r in funnel(events).collect()
     }
     assert got == expect
+
+
+def test_epoch_order_independent_permutations(spark):
+    from crawler_spark.pipeline.assemble import epoch_order
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(30)], "doc_id long, text string"
+    )
+    rows = epoch_order(docs, n_epochs=2, n_shards=4).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for e, rs in by_epoch.items():
+        # permutation: every doc exactly once; positions dense per shard
+        assert sorted(r["doc_id"] for r in rs) == list(range(30))
+        for shard in {r["shard"] for r in rs}:
+            pos = sorted(r["pos"] for r in rs if r["shard"] == shard)
+            assert pos == list(range(1, len(pos) + 1))
+    # epochs are DIFFERENT permutations (shard assignment differs somewhere)
+    m0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[0]}
+    m1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[1]}
+    assert m0 != m1
