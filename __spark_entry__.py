@@ -823,6 +823,14 @@ def q_docs_shard_assign(spark, sf_dir):
     return shard_assign(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """2x2 agreement matrix between the exact-hash and 64-bit simhash dup
+    detectors — the threshold-tuning diagnostic."""
+    from crawler_spark.pipeline.dedup import dedup_agreement
+
+    return dedup_agreement(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_epoch_order(spark, sf_dir):
     """Reproducible per-epoch training order (3 epochs x 8 shards):
     coordination-free reshuffle, each epoch an independent hash
@@ -922,6 +930,26 @@ def q_multimodal_decode(spark, sf_dir):
     assets = synth_assets(spark, refs)
     return decode_assets(assets, fake=True).select(
         "asset_id", "media_ref", "width", "height", "n_bytes", "ok"
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing through the driver gate: one asset row in,
+    n_frames rows out via mapInPandas (the video-frame shape). The frame
+    payload hash is dropped from the gated projection (the fake codec's
+    sha1-over-binary has no DuckDB analog); the 1->N row explosion,
+    ordinals, and timestamps are what the oracle checks exactly."""
+    from crawler_spark.pipeline.multimodal import sample_frames, synth_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    refs = docs.select(
+        F.concat(F.lit("img://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias(
+            "media_ref"
+        )
+    )
+    assets = synth_assets(spark, refs)
+    return sample_frames(assets, every_ms=1000, n_frames=3).select(
+        "asset_id", "frame_idx", "t_ms"
     )
 
 
@@ -1201,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
+        "dedup_agreement": q_dedup_agreement,
+        "multimodal_frames": q_multimodal_frames,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
@@ -2350,6 +2380,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))} AS BIGINT) AS simhash_lo
             FROM sums
         """,
+        "dedup_agreement": f"""
+            WITH ex AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            exd AS (SELECT fp, count(*) AS c FROM ex GROUP BY fp),
+            exflag AS (
+                SELECT doc_id, (c > 1) AS exact_dup FROM ex JOIN exd USING (fp)
+            ),
+            inst AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            sums AS (
+                SELECT doc_id,
+                       {", ".join(f"sum(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32))},
+                       {", ".join(f"sum(CASE WHEN (h_hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32, 64))}
+                FROM inst GROUP BY doc_id
+            ),
+            sims AS (
+                SELECT doc_id,
+                       CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64))} AS BIGINT) AS simhash_hi,
+                       CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))} AS BIGINT) AS simhash_lo
+                FROM sums
+            ),
+            shd AS (
+                SELECT simhash_hi, simhash_lo, count(*) AS c2
+                FROM sims GROUP BY simhash_hi, simhash_lo
+            ),
+            shflag AS (
+                SELECT doc_id, (c2 > 1) AS simhash_dup
+                FROM sims JOIN shd USING (simhash_hi, simhash_lo)
+            )
+            SELECT exact_dup, simhash_dup, CAST(count(*) AS BIGINT) AS n_docs
+            FROM exflag JOIN shflag USING (doc_id)
+            GROUP BY exact_dup, simhash_dup
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2675,6 +2741,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 AS BIGINT) AS n_bytes,
                    TRUE AS ok
             FROM refs
+        """,
+        "multimodal_frames": """
+            WITH refs AS (
+                SELECT DISTINCT 'img://' || source || '/' || doc_id AS media_ref
+                FROM documents
+            )
+            SELECT md5(media_ref) AS asset_id,
+                   CAST(g.i AS INT) AS frame_idx,
+                   CAST(g.i * 1000 AS INT) AS t_ms
+            FROM refs, unnest(generate_series(0, 2)) g(i)
         """,
         "multimodal_assemble": _SPANS_CTE + """
             , mspans AS (

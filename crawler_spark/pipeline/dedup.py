@@ -499,3 +499,38 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b", "inter", "un")
     )
+
+
+def dedup_agreement(documents: DataFrame) -> DataFrame:
+    """Agreement matrix between the exact and simhash dup detectors.
+
+    Curation tuning wants to know how often the cheap exact hash and the
+    near-dup fingerprint agree before picking thresholds: per document,
+    ``exact_dup`` (its md5(text) group has >1 member) and ``simhash_dup``
+    (its 64-bit simhash group has >1 member), rolled up to the 2x2 matrix
+    (exact implies simhash up to sign-boundary noise; the off-diagonal
+    cell simhash-only is the near-dup yield, exact-only should be ~0).
+
+    Scale shape: each detector's dup flag is a count window PARTITIONED BY
+    its key (one keyed exchange, group size bounded by the dup family, and
+    the expensive simhash aggregation is computed ONCE — a group-count +
+    join-back would evaluate it twice), then one join on doc_id and a
+    final 4-row aggregation. Every exchange keyed, nothing quadratic.
+    """
+    from pyspark.sql import Window
+
+    exflag = documents.select("doc_id", F.md5("text").alias("fp")).select(
+        "doc_id",
+        (F.count("*").over(Window.partitionBy("fp")) > 1).alias("exact_dup"),
+    )
+    shflag = simhash(documents, bits=64).select(
+        "doc_id",
+        (
+            F.count("*").over(Window.partitionBy("simhash_hi", "simhash_lo")) > 1
+        ).alias("simhash_dup"),
+    )
+    return (
+        exflag.join(shflag, "doc_id")
+        .groupBy("exact_dup", "simhash_dup")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

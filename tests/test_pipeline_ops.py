@@ -937,3 +937,23 @@ def test_epoch_order_independent_permutations(spark):
     m0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[0]}
     m1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[1]}
     assert m0 != m1
+
+
+def test_dedup_agreement_matrix(spark):
+    from crawler_spark.pipeline.dedup import dedup_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # exact dup of 1 (same simhash)
+            (3, "completely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["exact_dup"], r["simhash_dup"]): r["n_docs"]
+        for r in dedup_agreement(docs).collect()
+    }
+    assert got[(True, True)] == 2
+    assert got[(False, False)] == 1
+    assert (True, False) not in got  # exact implies simhash
