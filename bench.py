@@ -490,6 +490,12 @@ def run_crawl_bench_inproc(spark) -> dict:
 def _append_bench_md(scaling: dict) -> None:
     """Append the scaling evidence, with labels derived from the ACTUAL
     masters/run counts in the result dict (never hardcoded)."""
+    if FAT_BOOKS < 100_000:
+        # Sub-protocol (smoke / wiring-test) runs are noise-dominated —
+        # never record them as scaling evidence.
+        print(f"# scaling run at FAT_BOOKS={FAT_BOOKS} (<100k): "
+              "smoke scale, not appended to BENCH/BASELINE.md", file=sys.stderr)
+        return
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     masters = [k for k in scaling if k.startswith("local[")]
