@@ -840,6 +840,16 @@ def q_docs_epoch_order(spark, sf_dir):
     return epoch_order(_t(spark, sf_dir, "documents"), n_epochs=3, n_shards=8)
 
 
+def q_docs_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights (exact-integer
+    likelihood ratio in bp): target = the corpus's English slice, raw =
+    the whole corpus."""
+    from crawler_spark.pipeline.assemble import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+
+
 def q_agg_pricing_rollup(spark, sf_dir):
     """Grouping-sets aggregate (ROLLUP over returnflag, linestatus) with
     grouping_id — the subtotal/total OLAP surface in one pass; Spark plans
@@ -1230,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
         "dedup_agreement": q_dedup_agreement,
+        "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
         "sim_ann_recall": q_sim_ann_recall,
         "docs_shard_assign": q_docs_shard_assign,
@@ -2173,6 +2184,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN counts c USING (doc_id)
             LEFT JOIN ov o USING (doc_id)
             WHERE d.doc_id % 53 <> 0
+        """,
+        "docs_dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            raw AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('dsir:' || tok), 1, 8))::BIGINT % 4096 AS bucket
+                FROM toks
+            ),
+            tgt_toks AS (
+                SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en'
+            ),
+            tgtb AS (
+                SELECT ('0x' || substr(md5('dsir:' || tok), 1, 8))::BIGINT % 4096 AS bucket
+                FROM tgt_toks
+            ),
+            src AS (SELECT bucket, count(*) AS s_b FROM raw GROUP BY bucket),
+            tgt AS (SELECT bucket, count(*) AS t_b FROM tgtb GROUP BY bucket),
+            scored AS (
+                SELECT r.doc_id,
+                       (10000 * (COALESCE(t.t_b, 0) + 1)) // (COALESCE(s.s_b, 0) + 1) AS tok_bp
+                FROM raw r
+                LEFT JOIN src s USING (bucket)
+                LEFT JOIN tgt t USING (bucket)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(tok_bp) // count(*) AS BIGINT) AS imp_bp
+            FROM scored GROUP BY doc_id
         """,
         "docs_stratified_sample": """
             WITH r(lang, rate_bp) AS (

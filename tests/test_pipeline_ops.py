@@ -957,3 +957,26 @@ def test_dedup_agreement_matrix(spark):
     assert got[(True, True)] == 2
     assert got[(False, False)] == 1
     assert (True, False) not in got  # exact implies simhash
+
+
+def test_dsir_weights_exact_integer_ratio(spark):
+    from crawler_spark.pipeline.assemble import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en"),
+            (2, "the cat ran", "en"),
+            (3, "zzz qqq www", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["imp_bp"])
+        for r in dsir_weights(docs, docs.where("lang = 'en'")).collect()
+    }
+    # en tokens: 'the'/'cat' s_b=2,t_b=2 -> 30000//3 = 10000;
+    # 'sat'/'ran' s_b=1,t_b=1 -> 20000//2 = 10000 (neutral ratio).
+    assert got[1] == (3, 10000)
+    assert got[2] == (3, 10000)
+    # out-of-target tokens: s_b=1, t_b=0 -> 10000//2 = 5000 (downweighted).
+    assert got[3] == (3, 5000)
