@@ -1112,6 +1112,38 @@ def q_stream_funnel(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionizer through the driver gate: the events
+    table becomes a per-user stream folded into gap-based sessions
+    (streaming/sessionize.py, applyInPandasWithState, O(1) state per
+    user). One AvailableNow batch == the batch sessionizer exactly, so
+    the DuckDB oracle is the batch sessionize SQL."""
+    import tempfile
+
+    from crawler_spark.streaming.sessionize import streaming_sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_sessionize_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/ev")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/ev")
+    sink = "entry_stream_sessionize"
+    q = (
+        streaming_sessionize(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_stream_rate_limit(spark, sf_dir):
     """Stateful streaming politeness limiter through the driver gate: the
     events table becomes a fetch-request firehose, admission-controlled to
@@ -1258,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
         "stream_funnel": q_stream_funnel,
+        "stream_sessionize": q_stream_sessionize,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
 
@@ -3008,4 +3041,5 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.query_id
     """
     d["stream_funnel"] = d["events_funnel"]
+    d["stream_sessionize"] = d["events_sessionize"]
     return d

@@ -179,3 +179,49 @@ def test_streaming_funnel_state_carries_across_batches(spark, tmpdir_):
         )
     assert per_batch[7] == [(1, 100, None, None), (3, 100, 200, 300)]
     assert per_batch[8] == [(0, None, None, None), (1, 200, None, None)]
+
+
+def test_streaming_sessionize_state_carries_across_batches(spark, tmpdir_):
+    from crawler_spark.streaming.sessionize import streaming_sessionize
+
+    src = f"{tmpdir_}/sev"
+    os.makedirs(src)
+    us = 1_000_000
+    # batch 1: user 7 two events 10s apart (one session); user 8 one event
+    s1 = [(7, 1, 0 * us), (7, 2, 10 * us), (8, 3, 0 * us)]
+    # batch 2: user 7 continues the session (gap 20s < 1800s) then breaks
+    # it (gap 5000s); user 8 breaks immediately (gap 3600s)
+    s2 = [(7, 4, 30 * us), (7, 5, 5030 * us), (8, 6, 3600 * us)]
+    import time as _time
+
+    for name, rows in (("s1", s1), ("s2", s2)):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sessout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessout").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.sess_id, r.n_events))
+    # user 7: batch 1 emits session 1 @ 2 events; batch 2 re-emits session
+    # 1 at its final count 3 (cross-batch continuation) AND the new
+    # session 2 @ 1 event
+    assert sorted(per_user[7]) == [(1, 2), (1, 3), (2, 1)]
+    # user 8: session 1 @ 1, then the 3600s gap opens session 2
+    assert sorted(per_user[8]) == [(1, 1), (2, 1)]
