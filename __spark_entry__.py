@@ -831,6 +831,14 @@ def q_dedup_agreement(spark, sf_dir):
     return dedup_agreement(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_lsh_quality(spark, sf_dir):
+    """Confusion matrix of MinHash-LSH candidate pairs vs exact Jaccard
+    truth (>= 1/5) — the banding-parameter tuning diagnostic."""
+    from crawler_spark.pipeline.dedup import lsh_pair_quality
+
+    return lsh_pair_quality(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_epoch_order(spark, sf_dir):
     """Reproducible per-epoch training order (3 epochs x 8 shards):
     coordination-free reshuffle, each epoch an independent hash
@@ -1272,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
         "dedup_agreement": q_dedup_agreement,
+        "dedup_lsh_quality": q_dedup_lsh_quality,
         "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
         "sim_ann_recall": q_sim_ann_recall,
@@ -2489,6 +2498,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT exact_dup, simhash_dup, CAST(count(*) AS BIGINT) AS n_docs
             FROM exflag JOIN shflag USING (doc_id)
             GROUP BY exact_dup, simhash_dup
+        """,
+        "dedup_lsh_quality": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            truth AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE 5 * inter >= 1 * (sa.n + sb.n - inter)
+            )
+            SELECT coalesce(c.doc_a IS NOT NULL, FALSE) AS in_lsh,
+                   coalesce(t.doc_a IS NOT NULL, FALSE) AS is_true,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM cand c
+            FULL OUTER JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+            GROUP BY 1, 2
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -501,6 +501,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_pair_quality(
+    documents: DataFrame,
+    num_hashes: int = 9,
+    band_size: int = 3,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Confusion matrix of MinHash-LSH candidate pairs vs exact Jaccard.
+
+    LSH parameters (H hashes, b bands) trade recall for candidate volume;
+    tuning them blind at corpus scale is how dedup quietly loses 10% of its
+    near-dups. This diagnostic measures the trade on a sample: the truth
+    set is ``ngram_jaccard_pairs`` (exact integer Jaccard >= num/den over
+    the df-capped inverted index — the same bounded-join shape, so the
+    diagnostic itself never goes quadratic), the candidate set is
+    ``minhash_lsh_pairs``, and the output is one row per (in_lsh, is_true)
+    cell with pair counts: (true,true) = hits, (true,false) = LSH false
+    positives a verifier pass must re-check, (false,true) = recall loss.
+    Precision = tt/(tt+tf), recall = tt/(tt+ft) — derivable from the cells;
+    counts are emitted rather than ratios to keep the result hash-exact.
+
+    Scale shape: both pair generators are bucket-bounded (LSH bands / df
+    cap); the comparison is one full-outer join on the pair key followed by
+    a <=3-row aggregation. Nothing here is heavier than the dedup passes it
+    diagnoses.
+    """
+    cand = minhash_lsh_pairs(documents, num_hashes, band_size, k).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_lsh")
+    )
+    truth = ngram_jaccard_pairs(
+        documents, k, threshold_num, threshold_den, max_df
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    return (
+        cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        )
+        .groupBy("in_lsh", "is_true")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def dedup_agreement(documents: DataFrame) -> DataFrame:
     """Agreement matrix between the exact and simhash dup detectors.
 

@@ -128,3 +128,50 @@ def test_winnow_pairs_detects_shared_run(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in winnow_pairs(d, min_shared=2).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_lsh_pair_quality_cells(spark):
+    """The confusion matrix must expose both LSH false positives and
+    recall misses, not just the happy diagonal.
+
+    Construction: doc pairs (a1,a2) are exact duplicates -> LSH catches
+    them and Jaccard=1 (hit). Pair (m1,m2) shares most shingles (true at
+    threshold 1/5) but differs in every 3rd token so minhash signatures
+    disagree on all 9 hashes with this seed -> recall-miss cell must be
+    nonzero whenever LSH misses it; we assert cell arithmetic rather than
+    which side of the s-curve the pair lands on: total truth pairs and
+    total LSH pairs reconstructed from the cells must match the
+    standalone generators.
+    """
+    from crawler_spark.pipeline.dedup import (
+        lsh_pair_quality,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta X gamma delta Y epsilon zeta Z eta theta W iota"
+    rows = [
+        ("a1", dup),
+        ("a2", dup),
+        ("m1", dup + " lambda mu nu xi"),
+        ("m2", near + " lambda mu nu"),
+        ("solo", "completely different words nothing shared here at all today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    cells = {
+        (r["in_lsh"], r["is_true"]): r["n_pairs"]
+        for r in lsh_pair_quality(docs).collect()
+    }
+    n_lsh = minhash_lsh_pairs(docs).count()
+    n_true = ngram_jaccard_pairs(
+        docs, k=3, threshold_num=1, threshold_den=5, max_df=100
+    ).count()
+
+    assert sum(v for (l, _), v in cells.items() if l) == n_lsh
+    assert sum(v for (_, t), v in cells.items() if t) == n_true
+    # the exact-dup pair is both an LSH candidate and a truth pair
+    assert cells.get((True, True), 0) >= 1
+    # no (False, False) cell can exist: every emitted row came from a pair
+    assert (False, False) not in cells
