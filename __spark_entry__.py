@@ -328,6 +328,14 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_text_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-5 keywords by integer-exact TF-IDF (idf = bit-length of
+    N/df — engine-portable, no float ranks)."""
+    from crawler_spark.pipeline.textstats import tfidf_topterms
+
+    return tfidf_topterms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_text_vocab_topk(spark, sf_dir):
     from crawler_spark.pipeline.textstats import vocab_topk
 
@@ -1238,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_tfidf_topterms": q_text_tfidf_topterms,
         "text_vocab_topk": q_text_vocab_topk,
         "text_segment_dedup": q_text_segment_dedup,
         "text_lm_score": q_text_lm_score,
@@ -1706,6 +1715,30 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "text_tfidf_topterms": f"""
+            WITH inst AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            base AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM inst GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM base GROUP BY term
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+            scored AS (
+                SELECT b.doc_id, b.term, b.tf, d.df,
+                       b.tf * CAST(length(bin(n.n_corpus // d.df)) AS BIGINT) AS score
+                FROM base b JOIN dfreq d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score, rk FROM (
+                SELECT doc_id, term, tf, df, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, term) AS INT) AS rk
+                FROM scored
+            ) WHERE rk <= 5
         """,
         "text_vocab_topk": f"""
             WITH inst AS (

@@ -183,6 +183,54 @@ def vocab_topk(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def tfidf_topterms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by an integer-exact TF-IDF.
+
+    Keyword extraction for corpus triage (what is this cluster of pages
+    about?) and a building block for topic-balance mixing. The usual
+    ``tf * ln(N/df)`` is float and engine-dependent at the ULP level, so
+    ranks would not be stable across engines; this uses the integer
+    surrogate ``idf_bits = length(bin(N div df))`` — the bit-length of the
+    inverse document frequency, i.e. floor(log2(N/df)) + 1 >= 1 — giving
+    ``score = tf * idf_bits`` in exact BIGINT arithmetic. Same ordering
+    intuition (rare terms weighted up, ubiquitous terms at weight 1), total
+    rank order via (score desc, term asc).
+
+    Scale shape: explode -> partial->final (doc,term) tf aggregate -> term
+    df aggregate (tiny: one row per distinct term) joined back — AQE
+    broadcasts it at small scale, shuffle-joins on term at corpus scale ->
+    corpus size N via a 1-row aggregate cross-join (broadcast) -> top-k
+    window over the AGGREGATED per-doc relation partitioned by doc_id
+    (group size = doc vocabulary, never corpus-wide).
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    base = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = base.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = documents.select(F.count("*").cast("long").alias("n_corpus"))
+    scored = (
+        base.join(dfreq, "term")
+        .crossJoin(n)
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.length(F.bin(F.expr("n_corpus div df"))).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source (host/domain analog) corpus rollup for curation triage.
 
