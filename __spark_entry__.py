@@ -244,6 +244,14 @@ def q_events_sessionize(spark, sf_dir):
     return x.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users active k days after their first
+    event, grouped by first-event date."""
+    from crawler_spark.pipeline.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of correlation: for each purchase, the most recent strictly-earlier
     click by the same user — single windowed pass, no join explosion."""
@@ -642,6 +650,32 @@ def _order_supplier_edges(spark, sf_dir):
     )
 
 
+def _cosupplier_edges(spark, sf_dir):
+    """Co-occurrence graph: suppliers sharing an order (the testdata
+    stand-in for hosts sharing in-links — NOT bipartite, so it has
+    triangles). Canonical u < v, deduped."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node exact triangle counts via degree-ordered orientation
+    (bounded wedge join — no hub blowup)."""
+    from crawler_spark.pipeline.graph import triangles
+
+    return triangles(_cosupplier_edges(spark, sf_dir))
+
+
 def q_graph_degrees(spark, sf_dir):
     from crawler_spark.pipeline.graph import degrees
 
@@ -837,6 +871,14 @@ def q_dedup_agreement(spark, sf_dir):
     from crawler_spark.pipeline.dedup import dedup_agreement
 
     return dedup_agreement(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directional shingle containment (|A∩B|/|A| >= 4/5): the asymmetric
+    dup family Jaccard dilutes away (quotes, partial scrapes)."""
+    from crawler_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_lsh_quality(spark, sf_dir):
@@ -1277,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_triangles": q_graph_triangles,
         "graph_components": q_graph_components,
         "text_gopher_rules": q_text_gopher_rules,
         "docs_span_lang_mix": q_docs_span_lang_mix,
@@ -1289,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
         "dedup_agreement": q_dedup_agreement,
+        "dedup_containment": q_dedup_containment,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
@@ -1296,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
+        "events_retention": q_events_retention,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_embedding_clusters": q_sim_embedding_clusters,
@@ -1646,6 +1691,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM y
             )
             SELECT user_id, sess_id, count(*) AS n_events FROM z GROUP BY user_id, sess_id
+        """,
+        "events_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            )
+            SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+                   CAST(date_diff('day', f.cohort_date, a.d) AS INT) AS offset_days,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_asof_join": """
             WITH m AS (
@@ -2532,6 +2591,29 @@ def oracle_sql() -> dict[str, str]:
             FROM exflag JOIN shflag USING (doc_id)
             GROUP BY exact_dup, simhash_dup
         """,
+        "dedup_containment": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairboth AS (
+                SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            SELECT doc_a AS contained, doc_b AS container, inter, na AS n_contained
+            FROM pairboth WHERE 5 * inter >= 4 * na
+            UNION ALL
+            SELECT doc_b AS contained, doc_a AS container, inter, nb AS n_contained
+            FROM pairboth WHERE 5 * inter >= 4 * nb
+        """,
         "dedup_lsh_quality": f"""
             WITH {_SHINGLES_CTE},
             sig AS (
@@ -2931,6 +3013,32 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
+        # independent construction: enumerate each triangle x<y<z once via
+        # its three canonical edges (the Spark side uses degree-ordered
+        # orientation instead — algorithmic diversity strengthens the gate)
+        "graph_triangles": """
+            WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM s a JOIN s b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            ),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+            c AS (SELECT node, CAST(count(*) AS BIGINT) AS n FROM corners GROUP BY node)
+            SELECT nodes.node, coalesce(c.n, 0) AS n_triangles
+            FROM nodes LEFT JOIN c USING (node)
+        """,
         "graph_components": _components_sql(iters=4),
         "events_funnel": """
             WITH m AS (

@@ -501,6 +501,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Directional containment pairs: C(A->B) = |A ∩ B| / |A| >= num/den.
+
+    Jaccard misses the asymmetric dup family — a short page quoted inside
+    a long one, a partial scrape, boilerplate wrapping real content —
+    because the union in the denominator dilutes the overlap. Containment
+    normalizes by the SMALLER side's set only (Broder's original resemblance
+    vs containment distinction), so "A is inside B" fires even when B is
+    10x longer. Output rows are directional: (contained, container, inter,
+    n_contained) with den*inter >= num*n_contained, in exact integer
+    arithmetic (hash-identical to the SQL oracle).
+
+    Scale shape: identical to ngram_jaccard_pairs — df-capped inverted
+    shingle index (hot boilerplate shingles dropped from the intersection,
+    keeping the self-join bounded at max_df^2 per shingle), sizes joined
+    back from the per-doc aggregate. Each unordered pair's intersection is
+    computed ONCE; the two directional tests are projections of that row.
+    """
+    sets_ = doc_shingle_sets(documents, k)
+    sizes = sets_.select("doc_id", F.size("sh").cast("long").alias("n"))
+    sh = sets_.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    cold = sh.join(hot, "shingle", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.filter(
+        F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("na")
+    ).select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "inter",
+        F.col("na").alias("n_contained"),
+    )
+    rev = both.filter(
+        F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("nb")
+    ).select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        "inter",
+        F.col("nb").alias("n_contained"),
+    )
+    return fwd.unionByName(rev)
+
+
 def lsh_pair_quality(
     documents: DataFrame,
     num_hashes: int = 9,

@@ -132,3 +132,36 @@ def funnel(
             " WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END"
         ).cast("int"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_date, offset_days, n_users) — classic cohort retention.
+
+    Cohort = the calendar date of a user's first event; a user counts
+    toward (cohort, k) when they have any event k days after their first.
+    This is the engagement matrix every crawl-derived product table gets
+    asked for, and the canonical two-aggregate + join shape:
+
+    Scale shape: first-seen is one partial->final min() keyed on user_id;
+    active days is a (user_id, day) distinct — an aggregation with the
+    SAME leading key, so it reuses the exchange; the join is keyed on
+    user_id (bounded by a user's distinct active days, never event count);
+    the final rollup is keyed on (cohort, offset) with tiny cardinality
+    (days^2 / 2). No window over the raw event stream, no driver state.
+    """
+    day = F.to_date("ts").alias("d")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    active = events.select("user_id", day).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            # ISO string, not DateType: date objects round-trip differently
+            # through Arrow/pandas in different engines; the string form is
+            # the portable group key (and what an export shard wants anyway)
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("int").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "offset_days")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -229,3 +229,97 @@ def components(
         )
     e.unpersist()
     return lbl
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, n_triangles) — exact per-node triangle counts.
+
+    Triangle density separates organic link neighborhoods from link farms
+    and mirror rings, so it feeds the same crawl-priority decisions as
+    PageRank/HITS. Input is treated as UNDIRECTED: edges are canonicalized
+    to (lo, hi) and deduped; self-loops dropped.
+
+    Scale shape (the standard degree-ordered orientation, cf. Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one. Every node's OUT-degree in the oriented
+    graph is O(sqrt(m)), so the wedge self-join (out-neighbor pairs per
+    node) is bounded even when a hub has 10^7 raw neighbors — the naive
+    neighbor-pair join would square the hub. Wedges (v,w from u) are then
+    matched against the oriented edge set with one more keyed join; each
+    triangle is found exactly once, then credited to its 3 corners via one
+    explode + final aggregation. All exchanges keyed (degree join on node,
+    wedge join on u, closing join on (v,w)); nothing quadratic in a hub's
+    degree survives the orientation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    # orient: u -> v iff (deg(u), u) < (deg(v), v); total order, acyclic.
+    # The out-neighbor's degree rides along so wedges can be ordered by the
+    # SAME key — which makes the closing edge of every triangle oriented
+    # exactly tv -> tw, so the final join is a plain equi-join (an
+    # either-orientation OR-join would degrade to a nested loop).
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                lt,
+                F.struct(
+                    F.col("a").alias("u"), F.col("b").alias("v"), F.col("db").alias("dv")
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"), F.col("a").alias("v"), F.col("da").alias("dv")
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.dv")
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # wedges: out-neighbor pairs of u ordered by the orientation key
+    wedges = (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+        )
+        .select(
+            F.col("u").alias("tu"),
+            F.col("e1.v").alias("tv"),
+            F.col("e2.v").alias("tw"),
+        )
+    )
+    closing = oriented.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
+    tri = wedges.join(closing, ["tv", "tw"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("tu", "tv", "tw")).alias("node")
+    )
+    counted = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    nodes = deg.select("node")
+    return (
+        nodes.join(counted, "node", "left")
+        .select("node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )

@@ -127,3 +127,29 @@ def test_components_fuzz_vs_python_fold(spark):
             for r in components(_edges(spark, und), iters=iters).collect()
         }
         assert got == lbl, (trial, und, iters)
+
+
+def test_triangles_counts_exact(spark):
+    """K4 has 4 triangles (3 per node); a pendant node has 0; the count
+    must be per-corner exact and independent of edge direction/dup noise."""
+    from crawler_spark.pipeline.graph import triangles
+
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    edges = k4 + [("d", "e"), ("e", "d"), ("a", "a")]  # dup reversed + self-loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangles(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangles_hub_bounded_plan(spark):
+    """A star graph (one hub, many leaves) has zero triangles; the
+    degree-ordered orientation must emit zero wedges FROM the hub (all
+    star edges orient leaf->hub), so the result is exact without a
+    quadratic neighbor-pair blowup."""
+    from crawler_spark.pipeline.graph import triangles
+
+    edges = [("hub", f"leaf{i}") for i in range(50)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = triangles(df).collect()
+    assert all(r["n_triangles"] == 0 for r in rows)
+    assert len(rows) == 51

@@ -980,3 +980,45 @@ def test_dsir_weights_exact_integer_ratio(spark):
     assert got[2] == (3, 10000)
     # out-of-target tokens: s_b=1, t_b=0 -> 10000//2 = 5000 (downweighted).
     assert got[3] == (3, 5000)
+
+
+def test_retention_cohorts_matrix(spark):
+    """Two users, staggered first days; offsets count from each user's own
+    first event and users dedup within a day."""
+    from crawler_spark.pipeline.events import retention_cohorts
+
+    rows = [
+        (1, "2026-01-01 08:00:00"), (1, "2026-01-01 09:00:00"),  # same day dedups
+        (1, "2026-01-03 08:00:00"),
+        (2, "2026-01-02 10:00:00"), (2, "2026-01-03 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (r["cohort_date"], r["offset_days"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 1, ("2026-01-01", 2): 1,
+        ("2026-01-02", 0): 1, ("2026-01-02", 1): 1,
+    }
+
+
+def test_containment_asymmetric(spark):
+    """A 5-shingle doc fully inside a much longer one: containment fires
+    A->B only; Jaccard at the same 4/5 threshold would miss the pair."""
+    from crawler_spark.pipeline.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "one two three four five six seven"  # 5 3-shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [("A", short), ("B", long_), ("C", "unrelated words entirely different here")],
+        "doc_id string, text string",
+    )
+    got = [
+        (r["contained"], r["container"]) for r in containment_pairs(docs).collect()
+    ]
+    assert got == [("A", "B")]
+    assert ngram_jaccard_pairs(docs, threshold_num=4, threshold_den=5).count() == 0
