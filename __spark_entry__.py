@@ -1235,6 +1235,43 @@ def q_stream_rate_limit(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming URL-seen dedup through the driver gate: the
+    events table becomes a discovered-URL firehose (md5-keyed), reduced to
+    first-ever occurrences by the sharded sorted-run+tail state layout
+    (streaming/dedup.py). key = md5(url) makes the emitted row a pure
+    function of the key, so the result set equals SELECT DISTINCT
+    regardless of micro-batch arrival order — which is the oracle."""
+    import tempfile
+
+    from crawler_spark.streaming.dedup import streaming_seen_dedup
+
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/"),
+        F.col("event_type"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.md5(url).alias("key"), url.alias("url")
+    )
+    d = tempfile.mkdtemp(prefix="entry_streamdedup_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/urls")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/urls")
+    sink = "entry_stream_dedup"
+    q = (
+        streaming_seen_dedup(stream, n_shards=16)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def q_crawl_e2e_order(spark, sf_dir):
     """Full crawl-engine micro-round E2E on the deterministic fixture
     (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
@@ -1352,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
+        "stream_dedup": q_stream_dedup,
         "stream_funnel": q_stream_funnel,
         "stream_sessionize": q_stream_sessionize,
         "crawl_e2e_order": q_crawl_e2e_order,
@@ -3198,6 +3236,14 @@ def oracle_sql() -> dict[str, str]:
         # batch replay of the streaming limiter: verdicts are a pure
         # function of (host, window, data order), so row_number per
         # (host, window) reproduces the stateful stream exactly.
+        "stream_dedup": """
+            SELECT DISTINCT
+                md5('https://h' || CAST(user_id % 50 AS VARCHAR)
+                    || '.example/' || event_type) AS key,
+                'https://h' || CAST(user_id % 50 AS VARCHAR)
+                    || '.example/' || event_type AS url
+            FROM events
+        """,
         "stream_rate_limit": """
             WITH h AS (
                 SELECT 'h' || (user_id % 50) AS host,
