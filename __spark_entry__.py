@@ -336,6 +336,16 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """Top-10 docs for the query {spark, hash, window} by integer-exact
+    BM25 (k1=1.2, b=0.75 as exact rationals) — retrieval over the corpus."""
+    from crawler_spark.pipeline.textstats import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ("spark", "hash", "window"), k=10
+    )
+
+
 def q_text_tfidf_topterms(spark, sf_dir):
     """Per-doc top-5 keywords by integer-exact TF-IDF (idf = bit-length of
     N/df — engine-portable, no float ranks)."""
@@ -1325,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_bm25_topk": q_text_bm25_topk,
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "text_vocab_topk": q_text_vocab_topk,
         "text_segment_dedup": q_text_segment_dedup,
@@ -1812,6 +1823,37 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "text_bm25_topk": f"""
+            WITH inst AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM inst WHERE term IN ('spark', 'hash', 'window')
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            dl AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS t_corpus FROM inst),
+            scored AS (
+                SELECT tf.doc_id,
+                       (10000 * CAST(length(bin(n.n_corpus // d.df)) AS BIGINT)
+                        * 22000 * tf.tf)
+                       // (10000 * tf.tf + 3000
+                           + 9 * ((1000 * dl.dl * n.n_corpus) // t.t_corpus))
+                       AS partial
+                FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN t
+            )
+            SELECT doc_id, CAST(sum(partial) AS BIGINT) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "text_tfidf_topterms": f"""
             WITH inst AS (

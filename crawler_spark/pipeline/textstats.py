@@ -231,6 +231,76 @@ def tfidf_topterms(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Top-k documents for a term query by integer-exact BM25
+    (k1 = 1.2, b = 0.75 — the standard Robertson constants, kept as exact
+    rationals 6/5 and 3/4).
+
+    The retrieval scorer the inverted_index feeds. Float BM25 is not
+    reproducible across engines (ln, division order), so every factor is
+    an integer surrogate with a documented floor:
+
+    - ``idf_bits`` = bit-length of (N div df), as in ``tfidf_topterms``;
+    - per-doc length ratio ``dlr`` = floor(1000 * dl * N / T) where dl =
+      doc tokens, T = corpus tokens, N = docs — i.e. dl/avgdl in milli
+      units, floored once per document;
+    - per-(doc, term) partial = floor(scale * idf_bits * 22000 * tf /
+      (10000 * tf + 3000 + 9 * dlr)), which is exactly
+      scale * idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+      rationals cleared (multiply num/den by 10) and dlr substituted;
+    - doc score = sum of partials over the query terms (monotone in each).
+
+    Headroom: scale * 63 * 22000 * tf needs tf < 6.6e11 — any real page
+    is orders of magnitude under that; the floors cost < 0.1% of a
+    partial, uniformly, so ranking is preserved for all but exact ties,
+    which the (score desc, doc_id) order breaks deterministically.
+
+    Scale shape: tf aggregation keyed (doc, term) restricted to the query
+    terms BEFORE aggregating (an isin filter pushed to the scan — the
+    inverted-index lookup in relational clothes); df and the (N, T)
+    scalars are one tiny aggregate each, broadcast by AQE; the top-k is a
+    single global sort-limit (TakeOrderedAndProject — no full sort at any
+    scale Spark can hold the top k of).
+    """
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    inst = documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = (
+        inst.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = documents.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("dl")
+    )
+    corpus = documents.select(
+        F.count("*").cast("long").alias("n_corpus")
+    ).crossJoin(
+        inst.select(F.count("*").cast("long").alias("t_corpus"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(corpus)
+        .withColumn("idf_bits", F.length(F.bin(F.expr("n_corpus div df"))).cast("long"))
+        .withColumn("dlr", F.expr("(1000 * dl * n_corpus) div t_corpus"))
+        .withColumn(
+            "partial",
+            F.expr(
+                f"({scale} * idf_bits * 22000 * tf) div (10000 * tf + 3000 + 9 * dlr)"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("partial").cast("long").alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source (host/domain analog) corpus rollup for curation triage.
 

@@ -1022,3 +1022,28 @@ def test_containment_asymmetric(spark):
     ]
     assert got == [("A", "B")]
     assert ngram_jaccard_pairs(docs, threshold_num=4, threshold_den=5).count() == 0
+
+
+def test_bm25_ranking_properties(spark):
+    """Length normalization and tf saturation must act in the right
+    direction: same tf in a longer doc scores lower; higher tf scores
+    higher; docs without any query term don't appear."""
+    from crawler_spark.pipeline.textstats import bm25_topk
+
+    pad = " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            ("short_hit", "spark engine spark core"),
+            ("long_hit", "spark engine spark core " + pad),
+            ("one_hit", "spark only once here with words"),
+            ("miss", "nothing relevant in this document at all"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = bm25_topk(docs, ("spark",), k=10).collect()
+    order = [r["doc_id"] for r in rows]
+    score = {r["doc_id"]: r["score"] for r in rows}
+    assert "miss" not in score
+    assert score["short_hit"] > score["long_hit"]  # length normalization
+    assert score["short_hit"] > score["one_hit"]   # tf monotone
+    assert order == sorted(order, key=lambda d: (-score[d], d))
