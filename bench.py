@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "agg_pricing_rollup",
     "dedup_agreement",
     "sim_ann_recall",
+    "dedup_containment",
+    "dedup_lsh_quality",
+    "graph_triangles",
+    "text_bm25_topk",
+    "text_tfidf_topterms",
+    "events_retention",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.

@@ -153,3 +153,38 @@ def test_triangles_hub_bounded_plan(spark):
     rows = triangles(df).collect()
     assert all(r["n_triangles"] == 0 for r in rows)
     assert len(rows) == 51
+
+
+def test_triangles_fuzz_vs_bruteforce(spark):
+    """Random graphs vs an O(n^3) pure-Python brute force — the oriented
+    wedge join must count exactly, including nodes in many triangles."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 14
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.35
+        ]
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {
+            v: sum(
+                1
+                for a, b in itertools.combinations(sorted(adj[v]), 2)
+                if b in adj[a]
+            )
+            for v in nodes
+            if adj[v]
+        }
+        from crawler_spark.pipeline.graph import triangles
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangles(df).collect()}
+        assert got == want, f"trial {trial}"
