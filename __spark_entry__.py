@@ -532,6 +532,33 @@ def q_crawl_refetch_schedule(spark, sf_dir):
     return refetch_schedule(hist, base_s=3600, max_doublings=8)
 
 
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Added/deleted/changed keys between two frontier snapshots (the
+    reference's workNodeDiff, master/master.go:467-486, at table scale):
+    per-URL hit counts in the first vs second half of January."""
+    from crawler_spark.pipeline.frontier import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/"),
+        F.col("event_type"),
+    )
+    base = ev.select(url.alias("key"), F.to_date("ts").alias("d"))
+    old = (
+        base.filter(F.col("d") < F.lit("2024-01-16"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("payload"))
+    )
+    new = (
+        base.filter(F.col("d") >= F.lit("2024-01-16"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("payload"))
+    )
+    return snapshot_diff(old, new)
+
+
 def q_crawl_host_skew(spark, sf_dir):
     """Host-skew report sizing the engine's salting: synthetic skewed
     frontier (half of all URLs collapse onto host h0)."""
@@ -1354,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_templates": q_crawl_trap_templates,
         "crawl_refetch_schedule": q_crawl_refetch_schedule,
         "crawl_host_skew": q_crawl_host_skew,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
         "docs_span_dedup": q_docs_span_dedup,
@@ -2244,6 +2272,30 @@ def oracle_sql() -> dict[str, str]:
                           << CAST(least(n_fetches - last_change_rn, 8) AS INT))
                        AS next_fetch_epoch
             FROM p
+        """,
+        "crawl_snapshot_diff": """
+            WITH base AS (
+                SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR)
+                       || '.example/' || event_type AS key,
+                       CAST(ts AS DATE) AS d
+                FROM events
+            ),
+            old AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS old_payload
+                FROM base WHERE d < DATE '2024-01-16' GROUP BY key
+            ),
+            new AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS new_payload
+                FROM base WHERE d >= DATE '2024-01-16' GROUP BY key
+            )
+            SELECT key,
+                   CASE WHEN old_payload IS NULL THEN 'added'
+                        WHEN new_payload IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS change,
+                   old_payload, new_payload
+            FROM old FULL OUTER JOIN new USING (key)
+            WHERE old_payload IS NULL OR new_payload IS NULL
+               OR old_payload <> new_payload
         """,
         "crawl_host_skew": """
             WITH f AS (

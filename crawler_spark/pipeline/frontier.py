@@ -187,3 +187,40 @@ def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
             F.length(u) - F.length(F.regexp_replace(u, r"[0-9]", ""))
         ).cast("long").alias("n_digits"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "key",
+    payload: str = "payload",
+) -> DataFrame:
+    """(key, change, old_payload, new_payload) between two keyed snapshots,
+    change in {'added', 'deleted', 'changed'} — unchanged keys are omitted.
+
+    The reference computes exactly this diff between worker-registry
+    snapshots to re-assign tasks (workNodeDiff, master/master.go:467-486:
+    added / deleted / changed node sets); the same shape answers the crawl
+    operator's recurring questions — which hosts joined/left the frontier
+    between rounds, which sitemap URLs appeared/vanished between fetches,
+    which robots rules flipped.
+
+    Scale shape: ONE full-outer hash join keyed on ``key`` plus a codegen
+    projection; output cardinality is bounded by the churn, not the
+    snapshot size, because the unchanged majority is filtered before any
+    further shuffle. No driver-side set materialization (the reference's
+    in-memory maps cap at cluster size; snapshots here can be 10^10 rows).
+    """
+    o = old.select(F.col(key).alias("key"), F.col(payload).alias("old_payload"))
+    n = new.select(F.col(key).alias("key"), F.col(payload).alias("new_payload"))
+    joined = o.join(n, "key", "full_outer")
+    return joined.select(
+        "key",
+        F.when(F.col("old_payload").isNull(), F.lit("added"))
+        .when(F.col("new_payload").isNull(), F.lit("deleted"))
+        .when(F.col("old_payload") != F.col("new_payload"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        "old_payload",
+        "new_payload",
+    ).filter(F.col("change") != "unchanged")

@@ -95,3 +95,17 @@ def test_url_features(spark):
     assert got["http://a.example/"]["path_depth"] == 0
     assert got["http://a.example/about"]["path_depth"] == 1
     assert got["http://a.example/x?session=abc"]["n_params"] == 1
+
+
+def test_snapshot_diff_semantics(spark):
+    """added/deleted/changed per workNodeDiff semantics; unchanged omitted."""
+    from crawler_spark.pipeline.frontier import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, payload long"
+    )
+    new = spark.createDataFrame(
+        [("b", 2), ("c", 9), ("d", 4)], "key string, payload long"
+    )
+    got = {r["key"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "deleted", "c": "changed", "d": "added"}
