@@ -851,6 +851,14 @@ def q_text_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"), max_df=100)
 
 
+def q_sim_pair_histogram(spark, sf_dir):
+    """Cosine histogram of LSH same-bucket candidate pairs (20 bins) —
+    the near-dup cosine-threshold tuning diagnostic."""
+    from crawler_spark.pipeline.similarity import pair_cosine_histogram
+
+    return pair_cosine_histogram(_t(spark, sf_dir, "embeddings"))
+
+
 def q_sim_lsh_bucket_stats(spark, sf_dir):
     """Bucket-size skew diagnostic per LSH table — the ops-health query
     that tells you when a table needs more planes or multi-probe: bucket
@@ -1405,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+        "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
         "dedup_agreement": q_dedup_agreement,
@@ -2911,6 +2920,22 @@ def oracle_sql() -> dict[str, str]:
         # candidate = shares the query's bucket in ANY of the 4 independent
         # tables (OR of per-table equality), then exact-cosine rerank —
         # mirrors ann_topk_multitable's union-distinct exactly
+        "sim_pair_histogram": f"""
+            WITH bkt AS (
+                SELECT vec_id, embedding, {_ann_planes_sql()} AS bucket FROM embeddings
+            ),
+            pairs AS (
+                SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                       AS sim
+                FROM bkt a JOIN bkt b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT CAST(floor(round(sim, 6) * 20) AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        """,
         "sim_lsh_bucket_stats": f"""
             WITH bkt AS (
                 SELECT vec_id,

@@ -520,3 +520,38 @@ def ann_recall(
             F.expr("(100 * n_hit) DIV n_exact").alias("recall_pct"),
         )
     )
+
+
+def pair_cosine_histogram(
+    embeddings: DataFrame, dim: int = 64, n_planes: int = 8, bins: int = 20
+) -> DataFrame:
+    """(bin, n_pairs): cosine distribution of LSH same-bucket candidate
+    pairs, bin = floor(round(cos, 6) * bins) in [-bins, bins].
+
+    The embedding-side threshold-tuning diagnostic (the ANN analog of
+    dedup's lsh_pair_quality): before picking a near-dup cosine cutoff at
+    corpus scale you want the candidate-pair similarity mass, and
+    computing it over ALL pairs is quadratic — over LSH candidates it is
+    exactly the set the dedup pass would score anyway. Rounding to 6 dp
+    BEFORE binning reuses the engine-parity contract of cosine_topk
+    (sequential index-order fold both engines), so bin edges cannot flip
+    on fold noise.
+
+    Scale shape: one self-join on bucket (sizes ~N/2^p, never all-pairs),
+    the fold-based dot product per surviving pair, and a final aggregation
+    on a <= 2*bins+1-row key space.
+    """
+    b = lsh_buckets(embeddings, dim, n_planes)
+    e = embeddings.join(b, "vec_id").select("vec_id", "bucket", "embedding")
+    a_ = e.alias("a")
+    b_ = e.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a_.join(b_, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.floor(F.round(sim, 6) * bins).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
