@@ -851,6 +851,14 @@ def q_text_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"), max_df=100)
 
 
+def q_sim_kmeans(spark, sf_dir):
+    """Exact-integer Lloyd k-means (k=4, 2 iterations, deterministic
+    lowest-id seeds) — the reproducible corpus-bucketing step."""
+    from crawler_spark.pipeline.similarity import kmeans_quantized
+
+    return kmeans_quantized(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
 def q_sim_pair_histogram(spark, sf_dir):
     """Cosine histogram of LSH same-bucket candidate pairs (20 bins) —
     the near-dup cosine-threshold tuning diagnostic."""
@@ -1413,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+        "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
         "agg_pricing_rollup": q_agg_pricing_rollup,
@@ -1610,6 +1619,60 @@ def _components_sql(iters: int = 4) -> str:
             ) m USING (node)
         )""")
     parts.append(f" SELECT node, comp FROM l{iters}")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 10**6) -> str:
+    """Unrolled exact-integer Lloyd k-means (mirrors
+    pipeline/similarity.py kmeans_quantized): quantized coordinates,
+    d2 = qq - 2qc + cc from dot products (exact in double below 2^53),
+    truncating integer centroid means, (d2, cid) argmin tie-break."""
+
+    def d2(c_alias: str) -> str:
+        return (
+            "CAST(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[])"
+            f" - 2 * list_dot_product(q.qe::DOUBLE[], {c_alias}.cv::DOUBLE[])"
+            f" + list_dot_product({c_alias}.cv::DOUBLE[], {c_alias}.cv::DOUBLE[])"
+            " AS BIGINT)"
+        )
+
+    parts = [
+        f"""WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qe
+            FROM embeddings
+        ),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, qe AS cv FROM q WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f""",
+        a{t} AS (
+            SELECT vec_id, cluster, d2 FROM (
+                SELECT q.vec_id, c.cid AS cluster, {d2("c")} AS d2,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {d2("c")}, c.cid) AS rk
+                FROM q CROSS JOIN c{t - 1} c
+            ) WHERE rk = 1
+        )""")
+        if t <= iters:
+            parts.append(f""",
+        u{t} AS (
+            SELECT a.cluster,
+                   unnest(range(len(q.qe))) AS dim,
+                   unnest(q.qe) AS v
+            FROM a{t} a JOIN q USING (vec_id)
+        ),
+        m{t} AS (
+            SELECT cluster, dim, CAST(sum(v) // count(*) AS BIGINT) AS cval
+            FROM u{t} GROUP BY cluster, dim
+        ),
+        c{t} AS (
+            SELECT CAST(cluster AS INT) AS cid, list(cval ORDER BY dim) AS cv
+            FROM m{t} GROUP BY cluster
+        )""")
+    parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{iters + 1}")
     return "".join(parts)
 
 
@@ -2920,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate = shares the query's bucket in ANY of the 4 independent
         # tables (OR of per-table equality), then exact-cosine rerank —
         # mirrors ann_topk_multitable's union-distinct exactly
+        "sim_kmeans": _kmeans_sql(k=4, iters=2),
         "sim_pair_histogram": f"""
             WITH bkt AS (
                 SELECT vec_id, embedding, {_ann_planes_sql()} AS bucket FROM embeddings

@@ -555,3 +555,86 @@ def pair_cosine_histogram(
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def kmeans_quantized(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Lloyd's k-means in EXACT integer arithmetic: (vec_id, cluster, d2).
+
+    The corpus-bucketing step of embedding curation (topic balance, IVF
+    training, per-cluster sampling). Float k-means is not reproducible
+    across engines or partitionings (mean fold order); here every quantity
+    is integer-exact so the assignment is bit-stable and DuckDB-checkable:
+
+    - coordinates quantized once: q = floor(x * scale) as BIGINT;
+    - distance = qq - 2*qc + cc from integer dot products (values bounded
+      by dim * scale^2 ~ 6.4e13 for unit-ish vectors at scale 1e6 — within
+      both engines' exact ranges);
+    - centroid update = per-dimension integer mean (sum div count,
+      truncation toward zero in both engines);
+    - seeds = the k lowest vec_ids (deterministic, no RNG);
+    - argmin ties break on cluster id (min over (d2, cid) structs).
+
+    Scale shape: per iteration one broadcast of the k-row centroid
+    relation (crossJoin + argmin aggregation keyed on vec_id — never a
+    vector-vector shuffle), one posexplode + (cluster, dim) aggregation
+    for the update (key space k * dim, tiny); ``localCheckpoint`` truncates
+    centroid lineage so the plan stays constant across iterations. One
+    final assignment pass emits the labeling.
+    """
+    q = embeddings.select(
+        "vec_id",
+        # widen float32 -> double BEFORE scaling: both engines then compute
+        # floor on the identical double, so quantized coords are bit-equal
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qe"),
+    )
+    q = q.cache()
+
+    def _d2(a, b):
+        dot = lambda u, v: F.aggregate(  # noqa: E731 — index-order fold
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+    cent = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qe").alias("cv")
+    ).localCheckpoint()
+
+    def _assign(c):
+        scored = q.crossJoin(F.broadcast(c)).select(
+            "vec_id", _d2(F.col("qe"), F.col("cv")).alias("d2"), "cid"
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
+        )
+
+    for _ in range(iters):
+        asg = _assign(cent).join(q, "vec_id")
+        dims = asg.select("cluster", F.posexplode("qe").alias("dim", "v"))
+        newc = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.expr("sum(v) div count(*)").alias("cval"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+        cent = newc.localCheckpoint()
+
+    out = _assign(cent)
+    q.unpersist()
+    return out

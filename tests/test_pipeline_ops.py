@@ -1047,3 +1047,23 @@ def test_bm25_ranking_properties(spark):
     assert score["short_hit"] > score["long_hit"]  # length normalization
     assert score["short_hit"] > score["one_hit"]   # tf monotone
     assert order == sorted(order, key=lambda d: (-score[d], d))
+
+
+def test_kmeans_separated_clusters(spark):
+    """Two well-separated point clouds: every vector lands with its own
+    cloud regardless of which seeds start where, and d2 is exact integer."""
+    from crawler_spark.pipeline.similarity import kmeans_quantized
+
+    lo = [0.1, 0.1, 0.1, 0.1]
+    hi = [0.9, 0.9, 0.9, 0.9]
+    rows = []
+    for i in range(10):
+        eps = i * 0.001
+        rows.append((i * 2, [v + eps for v in lo]))      # even ids: low cloud
+        rows.append((i * 2 + 1, [v - eps for v in hi]))  # odd ids: high cloud
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_quantized(emb, k=2, iters=2).collect()}
+    low_clusters = {got[i] for i in got if i % 2 == 0}
+    high_clusters = {got[i] for i in got if i % 2 == 1}
+    assert len(low_clusters) == 1 and len(high_clusters) == 1
+    assert low_clusters != high_clusters
