@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_tfidf_topterms",
     "events_retention",
+    "sim_kmeans",
+    "sim_pair_histogram",
+    "crawl_snapshot_diff",
+    "stream_dedup",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.
