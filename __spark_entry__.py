@@ -244,6 +244,14 @@ def q_events_sessionize(spark, sf_dir):
     return x.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Daily volume spikes per event type vs the exact lower-median
+    baseline (2n > 3*med) — integer-exact ops monitoring."""
+    from crawler_spark.pipeline.events import daily_anomalies
+
+    return daily_anomalies(_t(spark, sf_dir, "events"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users active k days after their first
     event, grouped by first-event date."""
@@ -1434,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
+        "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
@@ -1840,6 +1849,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM y
             )
             SELECT user_id, sess_id, count(*) AS n_events FROM z GROUP BY user_id, sess_id
+        """,
+        "events_anomaly": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d0,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT event_type, d0, n_events,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n_events, d0) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n_days
+                FROM daily
+            ),
+            med AS (
+                SELECT event_type, n_events AS med
+                FROM ranked WHERE rk = (n_days + 1) // 2
+            )
+            SELECT daily.event_type, strftime(d0, '%Y-%m-%d') AS d,
+                   n_events, med, (2 * n_events > 3 * med) AS is_spike
+            FROM daily JOIN med USING (event_type)
         """,
         "events_retention": """
             WITH firsts AS (

@@ -165,3 +165,47 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_date", "offset_days")
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def daily_anomalies(events: DataFrame) -> DataFrame:
+    """(event_type, d, n_events, med, is_spike): days whose event volume
+    exceeds 1.5x that type's median daily volume — integer-exact.
+
+    The ops-monitoring question behind crawl scheduling (is a host/source
+    suddenly hot?) asked of the events table. The median is the LOWER
+    median — the element at rank (n+1) div 2 of the type's daily counts
+    ordered by (count, day) — so no float percentile interpolation is
+    involved and both engines agree bit-for-bit; the spike test
+    2*n > 3*med is the same exact-rational trick as the dedup thresholds.
+
+    Scale shape: the heavy relation (raw events) collapses via ONE
+    partial->final count keyed on (type, day); everything after — the
+    rank window, the median pick, the join back — runs over the
+    aggregated (type, day) relation (cardinality #types x #days, tiny at
+    any corpus scale). Window is PARTITIONED by event_type, never global.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select("event_type", F.to_date("ts").alias("d0"))
+        .groupBy("event_type", "d0")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("n_events", "d0")
+    ranked = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_days", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = (
+        ranked.filter(F.col("rk") == F.expr("(n_days + 1) div 2"))
+        .select("event_type", F.col("n_events").alias("med"))
+    )
+    return (
+        daily.join(med, "event_type")
+        .select(
+            "event_type",
+            F.date_format("d0", "yyyy-MM-dd").alias("d"),
+            "n_events",
+            "med",
+            (2 * F.col("n_events") > 3 * F.col("med")).alias("is_spike"),
+        )
+    )

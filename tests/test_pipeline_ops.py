@@ -1067,3 +1067,30 @@ def test_kmeans_separated_clusters(spark):
     high_clusters = {got[i] for i in got if i % 2 == 1}
     assert len(low_clusters) == 1 and len(high_clusters) == 1
     assert low_clusters != high_clusters
+
+
+def test_daily_anomalies_median_and_spike(spark):
+    """Lower median over an even day count; spike iff 2n > 3*med."""
+    from crawler_spark.pipeline.events import daily_anomalies
+
+    rows = []
+    eid = 0
+    # type 'a': daily counts 2,2,2,10 over 4 days -> lower median 2; only
+    # the 10-day spikes (20 > 6). A 3-count day would also spike (6 > 6 is
+    # false -> no): add type 'b' with counts 2,3 -> med 2, 3 not a spike.
+    for day, n in [("01", 2), ("02", 2), ("03", 2), ("04", 10)]:
+        for _ in range(n):
+            rows.append((eid, 7, "a", f"2026-02-{day} 01:00:00")); eid += 1
+    for day, n in [("01", 2), ("02", 3)]:
+        for _ in range(n):
+            rows.append((eid, 8, "b", f"2026-02-{day} 01:00:00")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (r["event_type"], r["d"]): (r["n_events"], r["med"], r["is_spike"])
+        for r in daily_anomalies(ev).collect()
+    }
+    assert got[("a", "2026-02-04")] == (10, 2, True)
+    assert got[("a", "2026-02-01")] == (2, 2, False)
+    assert got[("b", "2026-02-02")] == (3, 2, False)  # 6 > 6 is false
