@@ -265,3 +265,51 @@ def test_pack_interleaved_window_is_bucket_partitioned(spark):
     plan = _plan(pack_interleaved(docs, bound=10**6))
     for m in _re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
         assert "_bucket" in m.group(1), m.group(0)
+
+
+def test_triangles_no_cartesian(spark):
+    """The closing join must be an equi-join (hash/sort-merge), never a
+    nested-loop — the OR-of-orientations formulation would regress to one."""
+    from crawler_spark.pipeline.graph import triangles
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    e = li.selectExpr("CAST(l_orderkey AS STRING) AS src",
+                      "CAST(l_suppkey AS STRING) AS dst")
+    plan = _plan(triangles(e))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Vectors must never shuffle against each other: the only join with
+    the corpus side is the broadcast of the k-row centroid relation."""
+    from crawler_spark.pipeline.similarity import kmeans_quantized
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(kmeans_quantized(emb, k=2, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_prunes_and_filters_before_agg(spark):
+    """Query-term restriction must reach the scan side (pushed filter on
+    the exploded instances happens post-explode, but the parquet scan
+    must only read doc_id + text), and the final top-k must be a
+    TakeOrderedAndProject, not a global Sort."""
+    from crawler_spark.pipeline.textstats import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ("spark", "hash"), k=5))
+    schemas = _read_schema_cols(plan)
+    assert schemas and all(s <= {"doc_id", "text"} for s in schemas), schemas
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_retention_single_user_exchange_reuse(spark):
+    """Both aggregations key on user_id; the final rollup is the only
+    other exchange. No window over raw events may appear."""
+    from crawler_spark.pipeline.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(retention_cohorts(ev))
+    assert "Window" not in plan, plan
