@@ -934,6 +934,18 @@ def q_dedup_agreement(spark, sf_dir):
     return dedup_agreement(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-vs-index dedup: every 10th doc is 'today's batch', the rest
+    is the historical corpus — verdict + matched index doc per new doc."""
+    from crawler_spark.pipeline.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 def q_dedup_containment(spark, sf_dir):
     """Directional shingle containment (|A∩B|/|A| >= 4/5): the asymmetric
     dup family Jaccard dilutes away (quotes, partial scrapes)."""
@@ -1435,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_rollup": q_agg_pricing_rollup,
         "dedup_agreement": q_dedup_agreement,
         "dedup_containment": q_dedup_containment,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
@@ -2847,6 +2860,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_b AS contained, doc_a AS container, inter, nb AS n_contained
             FROM pairboth WHERE 5 * inter >= 4 * nb
+        """,
+        "dedup_incremental": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            newids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+            cfp AS (
+                SELECT md5(text) AS fp, min(doc_id) AS match_exact
+                FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+            ),
+            nfp AS (
+                SELECT doc_id, md5(text) AS fp
+                FROM documents WHERE doc_id % 10 = 0
+            ),
+            ex AS (SELECT doc_id, match_exact FROM nfp LEFT JOIN cfp USING (fp)),
+            nb AS (SELECT b.* FROM bands b WHERE b.doc_id % 10 = 0),
+            cbmin AS (
+                SELECT band, band_key, min(doc_id) AS cdoc
+                FROM bands WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT nb.doc_id, min(cdoc) AS match_near
+                FROM nb JOIN cbmin USING (band, band_key) GROUP BY nb.doc_id
+            )
+            SELECT n.doc_id,
+                   CASE WHEN e.match_exact IS NOT NULL THEN 'exact_dup'
+                        WHEN nr.match_near IS NOT NULL THEN 'near_dup'
+                        ELSE 'fresh' END AS verdict,
+                   coalesce(e.match_exact, nr.match_near) AS matched
+            FROM newids n
+            LEFT JOIN ex e USING (doc_id)
+            LEFT JOIN near nr ON nr.doc_id = n.doc_id
         """,
         "dedup_lsh_quality": f"""
             WITH {_SHINGLES_CTE},

@@ -125,17 +125,14 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 9, k: int = 3) ->
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_keys(
     documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Scale path: the self-join is on (band, band_key) — each bucket is tiny,
-    so the join never goes quadratic in the corpus.
-    """
+    """(doc_id, band, band_key) — the LSH bucket assignment, shared by the
+    pair self-join and the incremental index join."""
     sig = minhash_signatures(documents, num_hashes, k)
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -153,6 +150,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Scale path: the self-join is on (band, band_key) — each bucket is tiny,
+    so the join never goes quadratic in the corpus.
+    """
+    bands = minhash_band_keys(documents, num_hashes, band_size, k)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -498,6 +506,62 @@ def ngram_jaccard_pairs(
             F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("un")
         )
         .select("doc_a", "doc_b", "inter", "un")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 9,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, verdict, matched): dedup a NEW batch against an existing
+    corpus index, verdict in {'exact_dup', 'near_dup', 'fresh'}.
+
+    The production shape: daily crawl deltas are deduped against the
+    historical index, NOT by re-self-joining the whole corpus. Exact dups
+    via an md5 index join; near-dups via the minhash band buckets — a new
+    doc matches if it shares ANY band bucket with an indexed doc. Exact
+    wins over near; ``matched`` is the minimal matching corpus doc_id
+    (deterministic).
+
+    Scale shape: the corpus side collapses to two bounded indexes BEFORE
+    any join touches the batch — (fp -> min doc) and (band, band_key ->
+    min doc) — so a boilerplate bucket with 10^6 corpus members costs one
+    row, not 10^6 join partners (the same hot-key discipline as the df
+    cap). Both joins are keyed; at 10^10 corpus scale the indexes live
+    bucketed on their key and the delta join is shuffle-free on the batch
+    side. Nothing ever self-joins the corpus.
+    """
+    cfp = corpus.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("match_exact")
+    )
+    nfp = new_docs.select("doc_id", F.md5("text").alias("fp"))
+    ex = nfp.join(cfp, "fp", "left").select("doc_id", "match_exact")
+    nb = minhash_band_keys(new_docs, num_hashes, band_size, k)
+    cb_min = (
+        minhash_band_keys(corpus, num_hashes, band_size, k)
+        .groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("cdoc"))
+    )
+    near = (
+        nb.join(cb_min, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("match_near"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("match_exact").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("match_near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("fresh"))
+            .alias("verdict"),
+            F.coalesce("match_exact", "match_near").alias("matched"),
+        )
     )
 
 

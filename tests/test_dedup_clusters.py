@@ -175,3 +175,33 @@ def test_lsh_pair_quality_cells(spark):
     assert cells.get((True, True), 0) >= 1
     # no (False, False) cell can exist: every emitted row came from a pair
     assert (False, False) not in cells
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Exact beats near; fresh docs pass; matched is the minimal corpus
+    doc; corpus-internal dups never appear in the output."""
+    from crawler_spark.pipeline.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (5, base), (7, "totally different corpus page content here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                  # exact dup of 1 and 5
+            (20, base + " extra trailing tokens here"),  # near dup (shares bands)
+            (30, "entirely novel page nobody indexed before today okay"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert got[10] == ("exact_dup", 1)
+    assert got[30] == ("fresh", None)
+    assert set(got) == {10, 20, 30}
+    # 20 is near iff it shares a band; with 9/3 toy params the shared
+    # 8-shingle prefix usually wins at least one band — but never exact
+    assert got[20][0] in ("near_dup", "fresh")
