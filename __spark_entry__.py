@@ -244,6 +244,14 @@ def q_events_sessionize(spark, sf_dir):
     return x.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Interval join via day-bin bucketing + refine (no nested loop):
+    events inside each user's first-48h activity window."""
+    from crawler_spark.pipeline.events import interval_count_join
+
+    return interval_count_join(_t(spark, sf_dir, "events"), hours=48)
+
+
 def q_events_anomaly(spark, sf_dir):
     """Daily volume spikes per event type vs the exact lower-median
     baseline (2n > 3*med) — integer-exact ops monitoring."""
@@ -1456,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
         "events_anomaly": q_events_anomaly,
+        "events_interval_join": q_events_interval_join,
         "events_retention": q_events_retention,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_embedding_neardup": q_sim_embedding_neardup,
@@ -1862,6 +1871,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM y
             )
             SELECT user_id, sess_id, count(*) AS n_events FROM z GROUP BY user_id, sess_id
+        """,
+        # oracle is the NAIVE theta-join — algorithmic diversity vs the
+        # bin+refine Spark plan
+        "events_interval_join": """
+            WITH wins AS (
+                SELECT user_id,
+                       min(epoch_us(CAST(ts AS TIMESTAMP))) AS w_start_us
+                FROM events GROUP BY user_id
+            ),
+            w2 AS (
+                SELECT user_id, w_start_us,
+                       w_start_us + CAST(48 AS BIGINT) * 3600 * 1000000 AS w_end_us
+                FROM wins
+            ),
+            pts AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events)
+            SELECT w2.user_id, w2.w_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w2 JOIN pts
+              ON pts.p_us >= w2.w_start_us AND pts.p_us < w2.w_end_us
+            GROUP BY 1, 2
         """,
         "events_anomaly": """
             WITH daily AS (

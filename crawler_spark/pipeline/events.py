@@ -209,3 +209,54 @@ def daily_anomalies(events: DataFrame) -> DataFrame:
             (2 * F.col("n_events") > 3 * F.col("med")).alias("is_spike"),
         )
     )
+
+
+def interval_count_join(events: DataFrame, hours: int = 48) -> DataFrame:
+    """Interval join via day-bin bucketing: per user's activity window
+    [first_event, first_event + hours), how many events (all users) fall
+    inside — (user_id, w_start_us, n_events).
+
+    Spark has no native interval/range join; the naive formulation is a
+    theta-join (every point x every interval) that Catalyst can only plan
+    as a nested loop. The standard distributed shape is BIN + REFINE:
+    intervals explode into the day bins they cover (bounded: hours/24 + 1
+    bins each), points carry their own bin, the join is a plain EQUI-join
+    on the bin, and a residual timestamp-containment filter removes the
+    false positives at the bin edges. Join fan-out is |points| x
+    (intervals covering that day) — the true match cardinality up to bin
+    granularity — instead of |points| x |intervals|.
+
+    Everything stays integer/timestamp-exact: window bounds are epoch
+    micros (no float seconds), so the containment predicate and the
+    output key are engine-portable.
+
+    Scale shape: one aggregation keyed on user_id (window derivation),
+    one explode bounded by bins-per-interval, one equi-join keyed on the
+    day bin, partial->final count keyed on (user_id, w_start). Skewed
+    days (everyone's window covers launch day) are ordinary join skew —
+    AQE splits them; no nested loop anywhere.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = events.select(F.to_date("ts").alias("bin"), us.alias("p_us"))
+    wins = (
+        events.groupBy("user_id")
+        .agg(F.min(us).alias("w_start_us"))
+        .withColumn("w_end_us", F.col("w_start_us") + hours * 3600 * 1000000)
+    )
+    wbins = wins.select(
+        "user_id",
+        "w_start_us",
+        "w_end_us",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros("w_start_us")),
+                F.to_date(F.timestamp_micros(F.col("w_end_us") - 1)),
+            )
+        ).alias("bin"),
+    )
+    return (
+        pts.join(wbins, "bin")
+        .filter((F.col("p_us") >= F.col("w_start_us")) & (F.col("p_us") < F.col("w_end_us")))
+        .groupBy("user_id", "w_start_us")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )

@@ -1094,3 +1094,34 @@ def test_daily_anomalies_median_and_spike(spark):
     assert got[("a", "2026-02-04")] == (10, 2, True)
     assert got[("a", "2026-02-01")] == (2, 2, False)
     assert got[("b", "2026-02-02")] == (3, 2, False)  # 6 > 6 is false
+
+
+def test_interval_join_edges_and_cross_user(spark):
+    """Half-open [start, end): the event exactly at start counts, exactly
+    at end does not; events land in OTHER users' windows too."""
+    from crawler_spark.pipeline.events import interval_count_join
+
+    rows = [
+        (1, 1, "2026-03-01 00:00:00"),  # u1 window [03-01 00:00, 03-03 00:00)
+        (2, 2, "2026-03-02 12:00:00"),  # inside u1's window; u2's own start
+        (3, 1, "2026-03-03 00:00:00"),  # exactly u1's end -> excluded from u1
+        (4, 3, "2026-03-20 00:00:00"),  # isolated
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {r["user_id"]: r["n_events"] for r in interval_count_join(ev, hours=48).collect()}
+    assert got[1] == 2  # events 1 and 2; event 3 at the boundary excluded
+    assert got[2] == 2  # events 2 and 3 within [03-02 12:00, 03-04 12:00)
+    assert got[3] == 1
+
+
+def test_interval_join_no_nested_loop(spark):
+    from crawler_spark.pipeline.events import interval_count_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = interval_count_join(ev)._jdf.queryExecution().explainString(
+        ev.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
