@@ -729,6 +729,15 @@ def q_graph_triangles(spark, sf_dir):
     return triangles(_cosupplier_edges(spark, sf_dir))
 
 
+def q_graph_components_twophase(spark, sf_dir):
+    """Connected components by large-star/small-star contraction (Kiveris
+    et al.) — O(log n) rounds on any shape, run to the exact fixpoint (so
+    the oracle is the true recursive closure, not an iteration count)."""
+    from crawler_spark.pipeline.graph import components_twophase
+
+    return components_twophase(_cosupplier_edges(spark, sf_dir))
+
+
 def q_graph_degrees(spark, sf_dir):
     from crawler_spark.pipeline.graph import degrees
 
@@ -1440,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
+        "graph_components_twophase": q_graph_components_twophase,
         "graph_components": q_graph_components,
         "text_gopher_rules": q_text_gopher_rules,
         "docs_span_lang_mix": q_docs_span_lang_mix,
@@ -3347,6 +3357,27 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
+        # exact fixpoint oracle: recursive closure -> min reachable node
+        "graph_components_twophase": """
+            WITH RECURSIVE s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM s a JOIN s b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            ),
+            und AS (
+                SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+            nodes AS (SELECT u AS node FROM und GROUP BY u)
+            SELECT node, least(node, coalesce(mn, node)) AS comp
+            FROM nodes LEFT JOIN mins ON mins.u = node
+        """,
         # independent construction: enumerate each triangle x<y<z once via
         # its three canonical edges (the Spark side uses degree-ordered
         # orientation instead — algorithmic diversity strengthens the gate)

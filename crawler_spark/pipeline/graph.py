@@ -323,3 +323,88 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         nodes.join(counted, "node", "left")
         .select("node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
+
+
+def components_twophase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(node, comp) by alternating large-star / small-star rounds —
+    O(log n) rounds on ANY graph shape (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    ``connected_components`` / ``components`` propagate min labels one hop
+    per round: fine for shallow near-dup families, O(diameter) on chains —
+    a crawler's redirect/pagination chains can be 10^4 hops. The two-phase
+    algorithm contracts the graph itself:
+
+    - LARGE-STAR (per node u): link every strictly-larger neighbor to the
+      minimum m(u) of u's closed neighborhood;
+    - SMALL-STAR (per node u): link every neighbor <= u (and u itself) to
+      m(u), dropping the self-pair.
+
+    Each phase is one groupBy(node) min-aggregate + one re-expansion join
+    keyed on the node — the same exchange shape as one label-propagation
+    round — but the composition halves component height per alternation,
+    so convergence is logarithmic, not linear, in the worst case. The
+    fixpoint is a star forest: every node's unique neighbor is its
+    component minimum.
+
+    Convergence = edge multiset unchanged (checked with an exceptAll
+    probe, one extra job per round); ``max_rounds`` is the runaway bound
+    (2^40-deep graphs don't fit in any cluster). Deterministic: min() is
+    order-free and the fixpoint is unique.
+    """
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # closed-neighborhood minimum per pivot node
+        both = e.select(F.col("u"), F.col("v")).unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nb = both.join(m, "u")
+        keep = nb.filter(F.col("v") > F.col("u")) if large else nb.filter(
+            F.col("v") <= F.col("u")
+        )
+        out = keep.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        # also keep the pivot's own link to m (small-star re-roots u)
+        own = m.filter(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        return out.unionByName(own).distinct()
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    for _ in range(max_rounds):
+        e2 = _star(_star(e, large=True), large=False).localCheckpoint()
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        prev, e = e, e2
+        if changed == 0:
+            roots = e.groupBy("u").agg(F.min("v").alias("comp"))
+            return (
+                nodes.join(roots.withColumnRenamed("u", "node"), "node", "left")
+                .select(
+                    "node", F.coalesce("comp", F.col("node")).alias("comp")
+                )
+            )
+    raise RuntimeError(f"components_twophase did not converge in {max_rounds} rounds")

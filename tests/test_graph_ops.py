@@ -188,3 +188,60 @@ def test_triangles_fuzz_vs_bruteforce(spark):
         df = spark.createDataFrame(edges, "src string, dst string")
         got = {r["node"]: r["n_triangles"] for r in triangles(df).collect()}
         assert got == want, f"trial {trial}"
+
+
+def _uf_labels(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # one more pass so every root is the component MINIMUM
+    labels = {}
+    for n in nodes:
+        r = find(n)
+        labels.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in labels.items() for n in members}
+
+
+def test_twophase_long_chain_logarithmic(spark):
+    """A 64-node path: one-hop min propagation needs 64 rounds; the
+    large-star/small-star contraction must finish well inside max_rounds
+    and label everything with the chain minimum."""
+    from crawler_spark.pipeline.graph import components_twophase
+
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(63)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["comp"] for r in components_twophase(df, max_rounds=12).collect()}
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 64
+
+
+def test_twophase_fuzz_vs_union_find(spark):
+    import random
+
+    from crawler_spark.pipeline.graph import components_twophase
+
+    rng = random.Random(77)
+    for trial in range(3):
+        nodes = [f"v{i:02d}" for i in range(24)]
+        edges = [
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and rng.random() < 0.06
+        ]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["comp"] for r in components_twophase(df).collect()}
+        touched = {n for e in edges for n in e}
+        want = _uf_labels(sorted(touched), edges)
+        assert got == want, f"trial {trial}"
