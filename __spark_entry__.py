@@ -951,6 +951,14 @@ def q_dedup_agreement(spark, sf_dir):
     return dedup_agreement(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_survivorship(spark, sf_dir):
+    """Near-dup clusters with a QUALITY-picked survivor (stop_bp,
+    n_tokens, min-id tiebreak) instead of min-id — the curation policy."""
+    from crawler_spark.pipeline.dedup import survivorship
+
+    return survivorship(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Delta-vs-index dedup: every 10th doc is 'today's batch', the rest
     is the historical corpus — verdict + matched index doc per new doc."""
@@ -1466,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "dedup_containment": q_dedup_containment,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_survivorship": q_dedup_survivorship,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
@@ -2899,6 +2908,67 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_b AS contained, doc_a AS container, inter, nb AS n_contained
             FROM pairboth WHERE 5 * inter >= 4 * nb
+        """,
+        "dedup_survivorship": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            und AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+            clu AS (
+                SELECT d.doc_id,
+                       LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+                FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
+            ),
+            qual AS (
+                SELECT doc_id,
+                       CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}', 1)) AS BIGINT)) // len({_TOKS})
+                            ELSE 0 END AS stop_bp,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            lab AS (
+                SELECT c.doc_id, c.cluster_id, q.stop_bp, q.n_tokens
+                FROM clu c JOIN qual q USING (doc_id)
+            ),
+            fam AS (
+                SELECT cluster_id FROM lab GROUP BY cluster_id HAVING count(*) > 1
+            ),
+            best AS (
+                SELECT cluster_id, doc_id AS surv FROM (
+                    SELECT lab.cluster_id, lab.doc_id,
+                           row_number() OVER (PARTITION BY lab.cluster_id
+                               ORDER BY stop_bp DESC, n_tokens DESC, doc_id ASC) AS rk
+                    FROM lab JOIN fam USING (cluster_id)
+                ) WHERE rk = 1
+            )
+            SELECT lab.doc_id, lab.cluster_id,
+                   CASE WHEN b.surv IS NULL THEN TRUE
+                        ELSE lab.doc_id = b.surv END AS keep
+            FROM lab LEFT JOIN best b USING (cluster_id)
         """,
         "dedup_incremental": f"""
             WITH {_SHINGLES_CTE},

@@ -707,3 +707,61 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
         .groupBy("exact_dup", "simhash_dup")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def survivorship(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, keep) — near-dup clusters with a QUALITY-based
+    survivor instead of min-id.
+
+    ``neardup_clusters`` keeps the minimal doc_id per component — fine for
+    determinism, wrong for curation: among near-identical copies you want
+    the best one (mirror pages differ in boilerplate, truncation, ads).
+    Survivor = max over the component of the key
+    (stop_bp, n_tokens, -doc_id): the stopword-ratio basis point score
+    from quality_score (higher = more natural prose), token count as the
+    truncation tie-break, and doc_id DESCENDING last so the order is
+    total (the -doc_id trick keeps the whole key a single max() — exact
+    integers, no floats).
+
+    Scale shape: the component labeling is the existing LSH -> connected-
+    components path; the survivor pick is ONE max(struct) aggregation
+    keyed on cluster_id (group size = family size) joined back on
+    cluster_id. Singletons never enter the aggregation — they are their
+    own survivor by construction.
+    """
+    from crawler_spark.pipeline.textstats import quality_score
+
+    clusters = neardup_clusters(documents)  # (doc_id, cluster_id, keep-by-min-id)
+    qual = quality_score(documents).select("doc_id", "stop_bp", "n_tokens")
+    labeled = clusters.select("doc_id", "cluster_id").join(qual, "doc_id")
+    fam = (
+        labeled.groupBy("cluster_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("cluster_id")
+    )
+    best = (
+        labeled.join(fam, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("stop_bp"),
+                    F.col("n_tokens"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("m")
+        )
+        .select("cluster_id", (-F.col("m.neg_id")).alias("surv"))
+    )
+    return (
+        labeled.select("doc_id", "cluster_id")
+        .join(best, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("surv").isNull(), F.lit(True))
+            .otherwise(F.col("doc_id") == F.col("surv"))
+            .alias("keep"),
+        )
+    )

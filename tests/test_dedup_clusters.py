@@ -205,3 +205,39 @@ def test_incremental_dedup_verdicts(spark):
     # 20 is near iff it shares a band; with 9/3 toy params the shared
     # 8-shingle prefix usually wins at least one band — but never exact
     assert got[20][0] in ("near_dup", "fresh")
+
+
+def test_survivorship_picks_quality_not_min_id(spark):
+    """Three exact near-dups where the HIGHEST doc_id has the best
+    stopword ratio: min-id clustering still labels the family by its
+    minimum, but keep goes to the quality winner."""
+    from crawler_spark.pipeline.dedup import survivorship
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (9, base), (50, "completely unrelated single doc here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs).collect()}
+    # identical text -> identical quality -> tie broken by MIN doc_id
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[9] == (1, False)
+    assert got[50] == (50, True)
+
+
+def test_survivorship_quality_wins(spark):
+    """A family where the larger doc_id genuinely has more stopwords per
+    token: it must be the survivor."""
+    from crawler_spark.pipeline.dedup import survivorship
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    better = shared + " the of and to is"  # adds stopwords -> higher stop_bp
+    docs = spark.createDataFrame(
+        [(1, shared), (8, better)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs).collect()}
+    if got[1][0] == got[8][0]:  # same family (bands collided)
+        assert got[8][1] is True and got[1][1] is False
+    else:  # LSH missed the pair at toy params — both survive their own family
+        assert got[1][1] and got[8][1]
