@@ -548,6 +548,19 @@ def q_crawl_refetch_schedule(spark, sf_dir):
     return refetch_schedule(hist, base_s=3600, max_doublings=8)
 
 
+def q_crawl_redirects(spark, sf_dir):
+    """Redirect-alias resolution by pointer doubling (6 rounds resolve
+    chains to 64 hops): synthetic 8-hop alias chains over doc ids."""
+    from crawler_spark.pipeline.frontier import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    edges = d.filter(F.col("doc_id") % 8 != 7).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") + 1).cast("string")).alias("dst"),
+    )
+    return resolve_redirects(edges)
+
+
 def q_crawl_snapshot_diff(spark, sf_dir):
     """Added/deleted/changed keys between two frontier snapshots (the
     reference's workNodeDiff, master/master.go:467-486, at table scale):
@@ -1443,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_refetch_schedule": q_crawl_refetch_schedule,
         "crawl_host_skew": q_crawl_host_skew,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "crawl_redirects": q_crawl_redirects,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
         "docs_span_dedup": q_docs_span_dedup,
@@ -2435,6 +2449,22 @@ def oracle_sql() -> dict[str, str]:
                           << CAST(least(n_fetches - last_change_rn, 8) AS INT))
                        AS next_fetch_epoch
             FROM p
+        """,
+        # recursive one-hop walk — algorithmic diversity vs pointer doubling
+        "crawl_redirects": """
+            WITH RECURSIVE e AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                       'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+                FROM documents WHERE doc_id % 8 <> 7
+            ),
+            walk(src, cur, hops) AS (
+                SELECT src, dst, CAST(1 AS BIGINT) FROM e
+                UNION ALL
+                SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+            )
+            SELECT w.src, w.cur AS final, w.hops, FALSE AS looped
+            FROM walk w
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
         """,
         "crawl_snapshot_diff": """
             WITH base AS (

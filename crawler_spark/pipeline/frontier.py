@@ -224,3 +224,57 @@ def snapshot_diff(
         "old_payload",
         "new_payload",
     ).filter(F.col("change") != "unchanged")
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_doublings: int = 6,
+) -> DataFrame:
+    """(src, final, hops, looped): resolve every redirect alias to its
+    terminal URL by POINTER DOUBLING — log2(chain) rounds, not chain-length
+    rounds.
+
+    Crawlers accumulate functional alias graphs (http->https, shorteners,
+    canonical rel-links, moved pages); frontier dedup wants every alias
+    collapsed to its terminal before the seen-check. One hop per round is
+    O(longest chain); doubling composes the pointer with itself —
+    ptr' = ptr(ptr(n)), hops' = hops + hops(ptr(n)) — so a 64-hop chain
+    resolves in 6 rounds. Each round is ONE self-join of the pointer
+    relation keyed on the pointee + localCheckpoint (constant plan).
+
+    Chains longer than 2^max_doublings — in practice only CYCLES, which
+    redirect graphs do contain — come out with ``looped = true`` (their
+    pointer still lands on a source after the last round); real crawlers
+    drop those as redirect loops, so the flag IS the decision. Multiple
+    dsts per src are rejected upstream semantics (functional graph); the
+    relation is deduped defensively.
+    """
+    e = redirects.select(F.col(src).alias("n"), F.col(dst).alias("p")).dropDuplicates(["n"])
+    state = e.withColumn("hops", F.lit(1).cast("long")).localCheckpoint()
+    for _ in range(max_doublings):
+        nxt = state.select(
+            F.col("n").alias("p"),
+            F.col("p").alias("p2"),
+            F.col("hops").alias("hops2"),
+        )
+        state = (
+            state.join(nxt, "p", "left")
+            .select(
+                "n",
+                F.coalesce("p2", "p").alias("p"),
+                (F.col("hops") + F.coalesce("hops2", F.lit(0))).cast("long").alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    dom = e.select(F.col("n").alias("p"), F.lit(True).alias("_in_dom"))
+    return (
+        state.join(dom, "p", "left")
+        .select(
+            F.col("n").alias("src"),
+            F.col("p").alias("final"),
+            "hops",
+            F.coalesce("_in_dom", F.lit(False)).alias("looped"),
+        )
+    )

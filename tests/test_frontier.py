@@ -109,3 +109,23 @@ def test_snapshot_diff_semantics(spark):
     )
     got = {r["key"]: r["change"] for r in snapshot_diff(old, new).collect()}
     assert got == {"a": "deleted", "c": "changed", "d": "added"}
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    """A 5-hop chain resolves with exact hop counts; a 3-cycle is flagged
+    looped; a fan-in (two aliases -> one target) resolves both."""
+    from crawler_spark.pipeline.frontier import resolve_redirects
+
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(5)]  # chain c0..c5
+        + [("x", "y"), ("y", "z"), ("z", "x")]     # cycle
+        + [("a1", "t"), ("a2", "t")]               # fan-in to terminal t
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: (r["final"], r["hops"], r["looped"]) for r in resolve_redirects(df).collect()}
+    for i in range(5):
+        assert got[f"c{i}"] == ("c5", 5 - i, False)
+    assert got["a1"] == ("t", 1, False)
+    assert got["a2"] == ("t", 1, False)
+    for n in ("x", "y", "z"):
+        assert got[n][2] is True  # cycle flagged, never "resolved"
