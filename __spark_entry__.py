@@ -352,6 +352,14 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_text_novelty(spark, sf_dir):
+    """Per-doc share of corpus-unique shingles in basis points — the
+    inverse-boilerplate curation signal."""
+    from crawler_spark.pipeline.textstats import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_text_bm25_topk(spark, sf_dir):
     """Top-10 docs for the query {spark, hash, window} by integer-exact
     BM25 (k1=1.2, b=0.75 as exact rationals) — retrieval over the corpus."""
@@ -1437,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_bm25_topk": q_text_bm25_topk,
+        "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "text_vocab_topk": q_text_vocab_topk,
         "text_segment_dedup": q_text_segment_dedup,
@@ -2028,6 +2037,27 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "text_novelty": f"""
+            WITH {_SHINGLES_CTE},
+            uniq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) = 1),
+            per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                FROM sh GROUP BY doc_id
+            ),
+            per_uniq AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+                FROM sh JOIN uniq USING (shingle) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_shingles, 0) AS n_shingles,
+                   coalesce(n_unique, 0) AS n_unique,
+                   CASE WHEN coalesce(n_shingles, 0) > 0
+                        THEN (10000 * coalesce(n_unique, 0)) // n_shingles
+                        ELSE 0 END AS novelty_bp
+            FROM documents d
+            LEFT JOIN per_doc USING (doc_id)
+            LEFT JOIN per_uniq USING (doc_id)
         """,
         "text_bm25_topk": f"""
             WITH inst AS (

@@ -801,3 +801,53 @@ def inverted_index(documents: DataFrame, max_df: int = 100) -> DataFrame:
             "postings",
         )
     )
+
+
+def novelty_scores(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty_bp): per-document share of
+    shingles that appear NOWHERE else in the corpus, in basis points.
+
+    The inverse-boilerplate signal: mirror pages, templated listings, and
+    syndicated wire copy score near 0; original prose scores near 10000.
+    Curation uses it directly as a keep-weight and as the pre-filter that
+    keeps near-dup detection cheap (low-novelty docs are the dup
+    suspects). Integer bp (10000 * unique DIV total), no floats.
+
+    Scale shape: per-doc distinct shingles from the one posexplode+window
+    pass (doc_shingles); corpus df per shingle is one partial->final count
+    keyed on shingle; the uniqueness join back is keyed on shingle with
+    the df relation pre-filtered to df = 1 — the join's build side only
+    carries unique shingles, and the per-doc rollup reuses the doc_id
+    partitioning. A doc with no shingles (< k tokens) reports 0 bp over 0
+    shingles.
+    """
+    from crawler_spark.pipeline.dedup import doc_shingles
+
+    sh = doc_shingles(documents, k)
+    uniq = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") == 1)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    per_uniq = (
+        sh.join(uniq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(per_uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.expr(
+                "CASE WHEN coalesce(n_shingles, 0) > 0"
+                " THEN (10000 * coalesce(n_unique, CAST(0 AS BIGINT))) DIV n_shingles"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("novelty_bp"),
+        )
+    )
