@@ -750,6 +750,14 @@ def q_graph_triangles(spark, sf_dir):
     return triangles(_cosupplier_edges(spark, sf_dir))
 
 
+def q_graph_kcore(spark, sf_dir):
+    """2-core membership after 4 peel rounds — the dense-nucleus signal
+    (spam farms live in high cores, long-tail pages in the fringe)."""
+    from crawler_spark.pipeline.graph import kcore_peel
+
+    return kcore_peel(_cosupplier_edges(spark, sf_dir), core_k=2, iters=4)
+
+
 def q_graph_components_twophase(spark, sf_dir):
     """Connected components by large-star/small-star contraction (Kiveris
     et al.) — O(log n) rounds on any shape, run to the exact fixpoint (so
@@ -1481,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
         "graph_components_twophase": q_graph_components_twophase,
+        "graph_kcore": q_graph_kcore,
         "graph_components": q_graph_components,
         "text_gopher_rules": q_text_gopher_rules,
         "docs_span_lang_mix": q_docs_span_lang_mix,
@@ -1692,6 +1701,38 @@ def _components_sql(iters: int = 4) -> str:
             ) m USING (node)
         )""")
     parts.append(f" SELECT node, comp FROM l{iters}")
+    return "".join(parts)
+
+
+def _kcore_sql(core_k: int = 2, iters: int = 4) -> str:
+    """Unrolled fixed-round k-core peeling (mirrors pipeline/graph.py
+    kcore_peel) on the co-supplier graph."""
+    parts = [
+        """WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            FROM s a JOIN s b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        ),
+        nodes AS (SELECT u AS node FROM und UNION SELECT v AS node FROM und),
+        a0 AS (SELECT node FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        e{t} AS (
+            SELECT und.u, und.v FROM und
+            JOIN a{t - 1} x ON x.node = und.u
+            JOIN a{t - 1} y ON y.node = und.v
+        ),
+        d{t} AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e{t} UNION ALL SELECT v AS node FROM e{t}
+            ) GROUP BY node
+        ),
+        a{t} AS (SELECT node FROM d{t} WHERE d >= {core_k})""")
+    parts.append(f"""
+        SELECT nodes.node, (a.node IS NOT NULL) AS in_core
+        FROM nodes LEFT JOIN a{iters} a USING (node)""")
     return "".join(parts)
 
 
@@ -3487,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python oracle's order, inlined as VALUES.
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
+        "graph_kcore": _kcore_sql(core_k=2, iters=4),
         # exact fixpoint oracle: recursive closure -> min reachable node
         "graph_components_twophase": """
             WITH RECURSIVE s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

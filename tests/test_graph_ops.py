@@ -245,3 +245,17 @@ def test_twophase_fuzz_vs_union_find(spark):
         touched = {n for e in edges for n in e}
         want = _uf_labels(sorted(touched), edges)
         assert got == want, f"trial {trial}"
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """A triangle with a pendant chain: the chain strips one shell per
+    round (degree-1 endpoints), the triangle survives any number of
+    2-core peels."""
+    from crawler_spark.pipeline.graph import kcore_peel
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),  # triangle = 2-core
+             ("c", "p1"), ("p1", "p2"), ("p2", "p3")]  # pendant chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["in_core"] for r in kcore_peel(df, core_k=2, iters=4).collect()}
+    assert got == {"a": True, "b": True, "c": True,
+                   "p1": False, "p2": False, "p3": False}
