@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "sim_pair_histogram",
     "crawl_snapshot_diff",
     "stream_dedup",
+    "graph_kcore",
+    "graph_components_twophase",
+    "dedup_survivorship",
+    "dedup_incremental",
+    "text_novelty",
+    "events_anomaly",
+    "events_interval_join",
+    "crawl_redirects",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.
