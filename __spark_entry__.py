@@ -352,6 +352,14 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_text_countmin(spark, sf_dir):
+    """Count-min sketch (4x1024, md5 hashes) + accuracy probe on the 20
+    heaviest tokens: est >= true always, overcount quantified."""
+    from crawler_spark.pipeline.textstats import countmin_probe
+
+    return countmin_probe(_t(spark, sf_dir, "documents"))
+
+
 def q_text_novelty(spark, sf_dir):
     """Per-doc share of corpus-unique shingles in basis points — the
     inverse-boilerplate curation signal."""
@@ -1453,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_bm25_topk": q_text_bm25_topk,
+        "text_countmin": q_text_countmin,
         "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "text_vocab_topk": q_text_vocab_topk,
@@ -2078,6 +2087,38 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "text_countmin": f"""
+            WITH inst AS (
+                SELECT unnest({_TOKS}) AS tok FROM documents
+            ),
+            cells AS (
+                {" UNION ALL ".join(
+                    f"SELECT {j} AS j, ('0x' || substr(md5('{j}:' || tok), 1, 8))::BIGINT % 1024 AS c FROM inst"
+                    for j in range(4)
+                )}
+            ),
+            sketch AS (
+                SELECT j, c, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY j, c
+            ),
+            truec AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS true_n
+                FROM inst GROUP BY tok
+            ),
+            probe AS (
+                SELECT tok, true_n FROM truec
+                ORDER BY true_n DESC, tok ASC LIMIT 20
+            ),
+            pcells AS (
+                {" UNION ALL ".join(
+                    f"SELECT tok, true_n, {j} AS j, ('0x' || substr(md5('{j}:' || tok), 1, 8))::BIGINT % 1024 AS c FROM probe"
+                    for j in range(4)
+                )}
+            )
+            SELECT p.tok, p.true_n, min(s.n) AS est_n,
+                   min(s.n) - p.true_n AS overcount
+            FROM pcells p JOIN sketch s ON s.j = p.j AND s.c = p.c
+            GROUP BY p.tok, p.true_n
         """,
         "text_novelty": f"""
             WITH {_SHINGLES_CTE},

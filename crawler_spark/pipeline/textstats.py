@@ -851,3 +851,71 @@ def novelty_scores(documents: DataFrame, k: int = 3) -> DataFrame:
             ).alias("novelty_bp"),
         )
     )
+
+
+def countmin_probe(
+    documents: DataFrame, depth: int = 4, width: int = 1024, probe_k: int = 20
+) -> DataFrame:
+    """Count-min sketch of token frequencies + an accuracy probe:
+    (tok, true_n, est_n, overcount) for the probe_k most frequent tokens.
+
+    The sketch is THE bounded-memory structure for heavy-hitter counting
+    at 100 TB: depth x width integer counters (4 KiB-scale) regardless of
+    vocabulary size, mergeable across partitions by plain addition —
+    exactly what a partial->final Spark aggregation does. Hashes are
+    md5-derived (row j, column = md5(j:tok) mod width), so the sketch and
+    its estimates are deterministic and engine-portable; est_n >= true_n
+    always (one-sided error), and the probe quantifies the overcount on
+    the tokens that matter (the heavy hitters the sketch exists to find).
+
+    Scale shape: one explode -> partial->final count keyed on (row, col)
+    — output cardinality depth*width, CONSTANT in corpus size; the true
+    counts for the probe come from the (tok) aggregation the heavy-hitter
+    window needs anyway (top-k over the aggregated relation); estimates
+    join the tiny probe set against the tiny sketch (both broadcast-class).
+    """
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    inst = documents.select(F.explode(tokens_col()).alias("tok"))
+
+    def col_of(j, tok_col):
+        return F.expr(
+            f"CAST(conv(substring(md5(concat('{j}:', {tok_col})), 1, 8), 16, 10) AS BIGINT) % {width}"
+        )
+
+    rows = inst.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), col_of(j, "tok").alias("c"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.j", "rc.c")
+    sketch = rows.groupBy("j", "c").agg(F.count("*").cast("long").alias("n"))
+
+    true_counts = inst.groupBy("tok").agg(F.count("*").cast("long").alias("true_n"))
+    # top-k as a sort-limit (TakeOrderedAndProject): a global rank window
+    # here would funnel the whole vocabulary through one partition
+    probe = true_counts.orderBy(F.desc("true_n"), F.asc("tok")).limit(probe_k)
+    cells = probe.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), col_of(j, "tok").alias("c"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "true_n", "rc.j", "rc.c")
+    return (
+        cells.join(sketch, ["j", "c"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("n").cast("long").alias("est_n"))
+        .select(
+            "tok", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
+        )
+    )

@@ -1125,3 +1125,22 @@ def test_interval_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_countmin_one_sided_error(spark):
+    """est_n >= true_n for every probed token (count-min never
+    undercounts), and a token colliding with nothing is exact."""
+    from crawler_spark.pipeline.textstats import countmin_probe
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple banana banana cherry"),
+         (2, "apple banana date elderberry fig grape")],
+        "doc_id long, text string",
+    )
+    rows = countmin_probe(docs, depth=4, width=1024, probe_k=10).collect()
+    assert rows
+    for r in rows:
+        assert r["est_n"] >= r["true_n"]
+        assert r["overcount"] == r["est_n"] - r["true_n"]
+    got = {r["tok"]: r for r in rows}
+    assert got["apple"]["true_n"] == 4
