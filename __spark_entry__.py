@@ -352,6 +352,26 @@ def q_text_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_docs_profile(spark, sf_dir):
+    """One-pass data-quality profile of the documents table (null counts,
+    distinct counts, string-rendered ranges per column)."""
+    from crawler_spark.pipeline.textstats import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE grouping sets over (event_type, day): all four granularities
+    in one pass with grouping_id disambiguation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
+    )
+    return ev.cube("event_type", "d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 def q_text_countmin(spark, sf_dir):
     """Count-min sketch (4x1024, md5 hashes) + accuracy probe on the 20
     heaviest tokens: est >= true always, overcount quantified."""
@@ -1461,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_bm25_topk": q_text_bm25_topk,
+        "docs_profile": q_docs_profile,
+        "events_cube": q_events_cube,
         "text_countmin": q_text_countmin,
         "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -2087,6 +2109,31 @@ def oracle_sql() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(no_email, '[0-9]{7,}')) AS n_longnums
             FROM a
+        """,
+        "docs_profile": f"""
+            WITH one AS (
+                SELECT CAST(count(*) AS BIGINT) AS _n,
+                       {", ".join(
+                           f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nn,"
+                           f" CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__nd,"
+                           f" min(CAST({c} AS VARCHAR)) AS {c}__mn,"
+                           f" max(CAST({c} AS VARCHAR)) AS {c}__mx"
+                           for c in ("doc_id", "text", "lang", "source", "n_chars")
+                       )}
+                FROM documents
+            )
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS column, _n AS n_rows, {c}__nn AS n_null,"
+                f" {c}__nd AS n_distinct, {c}__mn AS min_s, {c}__mx AS max_s FROM one"
+                for c in ("doc_id", "text", "lang", "source", "n_chars")
+            )}
+        """,
+        "events_cube": """
+            SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(grouping(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS INT) AS gid
+            FROM events
+            GROUP BY CUBE (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
         """,
         "text_countmin": f"""
             WITH inst AS (

@@ -919,3 +919,35 @@ def countmin_probe(
             "tok", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
         )
     )
+
+
+def profile_table(documents: DataFrame) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_s, max_s) — the data-quality
+    profile (Deequ-style) of the documents table, values rendered as
+    strings so one schema covers every column type.
+
+    The audit every ingestion step runs before trusting a table: null
+    pressure, key uniqueness (n_distinct == n_rows on doc_id), value
+    ranges. One pass: a single aggregation computes every column's
+    metrics side by side (Spark evaluates them in the same partial->final
+    aggregate — no per-column scans), then the fixed-width result is
+    unpivoted driver-free with a stack() projection. Output cardinality =
+    #columns; nothing here grows with the table.
+    """
+    cols = documents.columns
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    one = documents.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (column, n_null, n_distinct, min_s, max_s)",
+        "_n AS n_rows",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
