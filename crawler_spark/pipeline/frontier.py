@@ -247,11 +247,16 @@ def resolve_redirects(
     Chains longer than 2^max_doublings — in practice only CYCLES, which
     redirect graphs do contain — come out with ``looped = true`` (their
     pointer still lands on a source after the last round); real crawlers
-    drop those as redirect loops, so the flag IS the decision. Multiple
-    dsts per src are rejected upstream semantics (functional graph); the
-    relation is deduped defensively.
+    drop those as redirect loops, so the flag IS the decision. A src with
+    several recorded dsts (conflicting fetches) resolves to min(dst) —
+    a deterministic aggregate, NOT dropDuplicates, whose survivor would
+    depend on partition order.
     """
-    e = redirects.select(F.col(src).alias("n"), F.col(dst).alias("p")).dropDuplicates(["n"])
+    e = (
+        redirects.select(F.col(src).alias("n"), F.col(dst).alias("p"))
+        .groupBy("n")
+        .agg(F.min("p").alias("p"))
+    )
     state = e.withColumn("hops", F.lit(1).cast("long")).localCheckpoint()
     for _ in range(max_doublings):
         nxt = state.select(
