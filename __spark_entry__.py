@@ -720,6 +720,15 @@ def q_text_decontam(spark, sf_dir):
     )
 
 
+def q_docs_priority_sample(spark, sf_dir):
+    """Exact-count weighted sampling without replacement (50 per lang,
+    heavier docs preferred) — deterministic A-Res surrogate, two-level
+    top-k so no stratum ever funnels through one partition."""
+    from crawler_spark.pipeline.assemble import priority_sample
+
+    return priority_sample(_t(spark, sf_dir, "documents"), n_per_stratum=50)
+
+
 def q_docs_stratified_sample(spark, sf_dir):
     """Deterministic per-language keep rates (hash-of-doc_id arithmetic) —
     the reproducible mixture-sampling primitive."""
@@ -1512,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_stats": q_docs_source_stats,
         "docs_length_deciles": q_docs_length_deciles,
         "text_decontam": q_text_decontam,
+        "docs_priority_sample": q_docs_priority_sample,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "pipeline_assemble": q_pipeline_assemble,
@@ -2832,6 +2842,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_toks,
                    CAST(sum(tok_bp) // count(*) AS BIGINT) AS imp_bp
             FROM scored GROUP BY doc_id
+        """,
+        "docs_priority_sample": """
+            WITH base AS (
+                SELECT doc_id, lang AS stratum,
+                       CAST(n_chars AS BIGINT) + 1 AS weight,
+                       ('0x' || substr(md5('psamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM documents
+            ),
+            pri AS (
+                SELECT doc_id, stratum, weight, (h * 1000000) // weight AS pri
+                FROM base
+            )
+            SELECT doc_id, stratum, weight, pri, rk FROM (
+                SELECT doc_id, stratum, weight, pri,
+                       CAST(row_number() OVER (PARTITION BY stratum
+                                               ORDER BY pri, doc_id) AS INT) AS rk
+                FROM pri
+            ) WHERE rk <= 50
         """,
         "docs_stratified_sample": """
             WITH r(lang, rate_bp) AS (

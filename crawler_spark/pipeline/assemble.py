@@ -450,3 +450,56 @@ def dsir_weights(
         )
         .select("doc_id", "n_toks", "imp_bp")
     )
+
+
+def priority_sample(
+    documents: DataFrame,
+    n_per_stratum: int = 50,
+    stratum: str = "lang",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n per stratum, fully
+    deterministic: (doc_id, stratum, weight, pri, rk).
+
+    ``stratified_sample`` draws at a per-stratum RATE (hash threshold —
+    no ranking, embarrassingly parallel); this draws an exact COUNT with
+    probability increasing in document weight (chars +1) — the shape
+    curation needs when the budget is "n documents per language, prefer
+    substantial ones". The priority is the exact-integer surrogate of the
+    A-Res exponential race (Efraimidis-Spirakis): pri = h * SCALE div w
+    with h a 32-bit md5 draw — smaller priority wins, heavier docs get
+    proportionally smaller priorities; ties broken by doc_id.
+
+    Scale shape — the two-level top-k-per-group pattern: a rank window
+    partitioned by the stratum alone would funnel each language's entire
+    corpus slice through ONE partition (10^9 rows for 'en'). Instead:
+    (1) rank within (stratum, input partition) — bounded by partition
+    size; (2) keep n per (stratum, partition); (3) rank the surviving
+    n * #partitions candidates per stratum — a relation bounded by the
+    candidate cap, not the corpus. Any true global top-n row is top-n in
+    its own partition, so the final result is exact and INDEPENDENT of
+    the physical partitioning even though the intermediate isn't.
+    """
+    from pyspark.sql import Window
+
+    base = documents.select(
+        "doc_id",
+        F.col(stratum).alias("stratum"),
+        (F.col("n_chars").cast("long") + 1).alias("weight"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('psamp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).withColumn("pri", F.expr("(h * 1000000) div weight"))
+    local = Window.partitionBy("stratum", F.spark_partition_id()).orderBy(
+        "pri", "doc_id"
+    )
+    cand = (
+        base.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= n_per_stratum)
+        .drop("_lrk", "h")
+    )
+    glob = Window.partitionBy("stratum").orderBy("pri", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(glob).cast("int"))
+        .filter(F.col("rk") <= n_per_stratum)
+        .select("doc_id", "stratum", "weight", "pri", "rk")
+    )

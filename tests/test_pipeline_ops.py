@@ -1144,3 +1144,23 @@ def test_countmin_one_sided_error(spark):
         assert r["overcount"] == r["est_n"] - r["true_n"]
     got = {r["tok"]: r for r in rows}
     assert got["apple"]["true_n"] == 4
+
+
+def test_priority_sample_partitioning_invariant(spark):
+    """The two-level top-k must give the same sample under different
+    physical partitionings, exactly n per stratum (or all if fewer)."""
+    from crawler_spark.pipeline.assemble import priority_sample
+
+    rows = [(i, "x" * (10 + i % 40), "en" if i % 3 else "fr", "s", 10 + i % 40)
+            for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = {(r["doc_id"], r["rk"]) for r in priority_sample(docs.repartition(1), 10).collect()}
+    b = {(r["doc_id"], r["rk"]) for r in priority_sample(docs.repartition(13), 10).collect()}
+    assert a == b
+    langs = {}
+    for did, _ in a:
+        langs.setdefault("en" if did % 3 else "fr", 0)
+        langs["en" if did % 3 else "fr"] += 1
+    assert langs == {"en": 10, "fr": 10}
