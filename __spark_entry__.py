@@ -360,6 +360,26 @@ def q_docs_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents"))
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event streams
+    ('^' marks stream start) — the funnel/bot-detection behavior model."""
+    from crawler_spark.pipeline.events import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+def q_text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (actual x predicted with counts) —
+    the model-eval rollup of the lang_id heuristic."""
+    from crawler_spark.pipeline.textstats import lang_id
+
+    return (
+        lang_id(_t(spark, sf_dir, "documents"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE grouping sets over (event_type, day): all four granularities
     in one pass with grouping_id disambiguation."""
@@ -1492,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "docs_profile": q_docs_profile,
         "events_cube": q_events_cube,
+        "events_transitions": q_events_transitions,
+        "text_langid_confusion": q_text_langid_confusion,
         "text_countmin": q_text_countmin,
         "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -3293,6 +3315,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS actual, {pred} AS predicted,
                    ({pred}) = lang AS correct
             FROM c
+        """,
+        "text_langid_confusion": f"""
+            WITH c AS (
+                SELECT doc_id, lang, text,
+                       {en} AS c_en, {fr} AS c_fr, {de} AS c_de, {es} AS c_es
+                FROM documents
+            )
+            SELECT lang AS actual, {pred} AS predicted,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY 1, 2
+        """,
+        "events_transitions": """
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT coalesce(lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id), '^') AS prev_type,
+                       event_type
+                FROM events
+            ) GROUP BY 1, 2
         """,
         "text_quality": f"""
             WITH b AS (

@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "events_anomaly",
     "events_interval_join",
     "crawl_redirects",
+    "text_countmin",
+    "docs_profile",
+    "events_cube",
+    "docs_priority_sample",
+    "events_transitions",
+    "text_langid_confusion",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.

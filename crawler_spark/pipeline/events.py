@@ -260,3 +260,29 @@ def interval_count_join(events: DataFrame, hours: int = 48) -> DataFrame:
         .groupBy("user_id", "w_start_us")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """(prev_type, event_type, n) — first-order Markov transition counts
+    over each user's time-ordered event stream.
+
+    The behavior model behind funnel design and bot detection (bots have
+    degenerate transition rows). One window pass: lag(event_type) over
+    the per-user (ts, event_id) total order — the same single sort every
+    sequential events op here shares — then a partial->final count keyed
+    on the (prev, next) pair (cardinality #types^2). Session starts
+    (lag = NULL) are counted under prev_type = '^' so row sums equal each
+    user's event count and the start distribution rides along.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.lag("event_type").over(w), F.lit("^")).alias("prev_type"),
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
