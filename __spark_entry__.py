@@ -604,6 +604,17 @@ def q_crawl_refetch_schedule(spark, sf_dir):
     return refetch_schedule(hist, base_s=3600, max_doublings=8)
 
 
+def q_crawl_bloom_audit(spark, sf_dir):
+    """Bloom sizing audit: measured FPR of the double-hashing scheme
+    (relational simulation — bit set as a DISTINCT position relation)."""
+    from crawler_spark.pipeline.frontier import bloom_fpr_audit
+
+    o = _t(spark, sf_dir, "orders")
+    build = o.select(F.concat(F.lit("b"), F.col("o_orderkey").cast("string")).alias("key"))
+    probe = o.select(F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("key"))
+    return bloom_fpr_audit(build, probe, m_bits=1 << 18, k_hashes=5)
+
+
 def q_crawl_redirects(spark, sf_dir):
     """Redirect-alias resolution by pointer doubling (6 rounds resolve
     chains to 64 hops): synthetic 8-hop alias chains over doc ids."""
@@ -1536,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_skew": q_crawl_host_skew,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_redirects": q_crawl_redirects,
+        "crawl_bloom_audit": q_crawl_bloom_audit,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
         "docs_span_dedup": q_docs_span_dedup,
@@ -2640,6 +2652,40 @@ def oracle_sql() -> dict[str, str]:
                           << CAST(least(n_fetches - last_change_rn, 8) AS INT))
                        AS next_fetch_epoch
             FROM p
+        """,
+        "crawl_bloom_audit": """
+            WITH bkeys AS (
+                SELECT 'b' || CAST(o_orderkey AS VARCHAR) AS k FROM orders
+            ),
+            pkeys AS (
+                SELECT 'p' || CAST(o_orderkey AS VARCHAR) AS k FROM orders
+            ),
+            bpos AS (
+                SELECT DISTINCT
+                    (('0x' || substr(md5(k), 1, 8))::BIGINT
+                     + t.i * ((('0x' || substr(md5(k), 9, 8))::BIGINT) | 1))
+                    % 262144 AS pos
+                FROM bkeys, unnest([0, 1, 2, 3, 4]) AS t(i)
+            ),
+            ppos AS (
+                SELECT k,
+                    (('0x' || substr(md5(k), 1, 8))::BIGINT
+                     + t.i * ((('0x' || substr(md5(k), 9, 8))::BIGINT) | 1))
+                    % 262144 AS pos
+                FROM pkeys, unnest([0, 1, 2, 3, 4]) AS t(i)
+            ),
+            fps AS (
+                SELECT k FROM ppos
+                WHERE pos IN (SELECT pos FROM bpos)
+                GROUP BY k HAVING count(*) = 5
+            )
+            SELECT CAST(262144 AS BIGINT) AS m_bits, 5 AS k_hashes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bkeys) AS n_build,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pkeys) AS n_probe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bpos) AS n_bits_set,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fps) AS n_false_pos,
+                   (10000 * (SELECT count(*) FROM fps))
+                   // (SELECT count(*) FROM pkeys) AS fpr_bp
         """,
         # recursive one-hop walk — algorithmic diversity vs pointer doubling
         "crawl_redirects": """

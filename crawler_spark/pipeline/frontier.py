@@ -283,3 +283,80 @@ def resolve_redirects(
             F.coalesce("_in_dom", F.lit(False)).alias("looped"),
         )
     )
+
+
+def bloom_fpr_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    key: str = "key",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """One-row audit of Bloom sizing: (m_bits, k_hashes, n_build, n_probe,
+    n_bits_set, n_false_pos, fpr_bp) — measured false-positive rate of a
+    Bloom filter over ``build`` keys probed with (disjoint) ``probe`` keys.
+
+    The engine's URL-seen pre-filter (operators/dedup.py) is a numpy
+    bitmap over xxhash64; SIZING it (m bits per key, K) is a capacity
+    decision you want measured, not guessed, before a 10^10-key deploy.
+    This audit runs the same double-hashing scheme (Kirsch-Mitzenmacher:
+    pos_i = (h1 + i*h2) mod m, h2 forced odd) as a RELATIONAL simulation —
+    md5-derived hashes so the result is engine-portable:
+
+    - the bit array is the DISTINCT position set of the build keys (a
+      relation, never a driver-side bitmap);
+    - a probe key is a false positive iff ALL K of its positions hit the
+      set — a semi-join + count == K, exactly the membership rule.
+
+    Scale shape: positions explode K rows per key; the distinct and the
+    hit-join are keyed on the position (cardinality <= m_bits, bounded by
+    the filter size regardless of corpus); the verdict aggregation is
+    keyed on the probe key. Nothing quadratic, no broadcast of anything
+    bigger than the final one-row rollup.
+    """
+
+    def pos_rows(df, name):
+        h1 = F.expr(
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        h2 = F.expr(
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)), 9, 8), 16, 10) AS BIGINT) | 1"
+        )
+        return df.select(
+            F.col(key).alias("k"), h1.alias("h1"), h2.alias("h2")
+        ).select(
+            "k",
+            F.explode(
+                F.array(*[
+                    ((F.col("h1") + F.lit(i) * F.col("h2")) % m_bits).alias("p")
+                    for i in range(k_hashes)
+                ])
+            ).alias("pos"),
+        )
+
+    bits = pos_rows(build, "b").select("pos").distinct()
+    probe_pos = pos_rows(probe, "p")
+    hits = (
+        probe_pos.join(bits, "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == k_hashes)
+    )
+    n_build = build.select(F.count("*").cast("long").alias("n_build"))
+    n_probe = probe.select(F.count("*").cast("long").alias("n_probe"))
+    n_bits = bits.select(F.count("*").cast("long").alias("n_bits_set"))
+    n_fp = hits.select(F.count("*").cast("long").alias("n_false_pos"))
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_bits)
+        .crossJoin(n_fp)
+        .select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k_hashes).cast("int").alias("k_hashes"),
+            "n_build",
+            "n_probe",
+            "n_bits_set",
+            "n_false_pos",
+            F.expr("(10000 * n_false_pos) div n_probe").alias("fpr_bp"),
+        )
+    )

@@ -129,3 +129,21 @@ def test_resolve_redirects_chain_and_cycle(spark):
     assert got["a2"] == ("t", 1, False)
     for n in ("x", "y", "z"):
         assert got[n][2] is True  # cycle flagged, never "resolved"
+
+
+def test_bloom_audit_no_false_negatives_and_sane_fpr(spark):
+    """Probing the BUILD set itself must report 100% hits (the no-false-
+    negative contract); a disjoint probe set reports a small FPR at this
+    load factor."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import bloom_fpr_audit
+
+    keys = spark.range(2000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    self_probe = bloom_fpr_audit(keys, keys, m_bits=1 << 16, k_hashes=5).collect()[0]
+    assert self_probe["n_false_pos"] == self_probe["n_probe"]  # all "hits"
+    other = spark.range(2000).select(F.concat(F.lit("q"), F.col("id")).alias("key"))
+    audit = bloom_fpr_audit(keys, other, m_bits=1 << 16, k_hashes=5).collect()[0]
+    # 10k positions in 65536 bits -> ~14% fill -> FPR ~ 0.14^5 ~ 5e-5
+    assert audit["fpr_bp"] <= 50
+    assert audit["n_bits_set"] <= 10000
