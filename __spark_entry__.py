@@ -360,6 +360,14 @@ def q_docs_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents"))
 
 
+def q_events_rfm(spark, sf_dir):
+    """RFM user segmentation (recency vs corpus max, frequency, cents)
+    with log2 buckets — one keyed aggregation, no global sort."""
+    from crawler_spark.pipeline.events import rfm_scores
+
+    return rfm_scores(_t(spark, sf_dir, "events"))
+
+
 def q_events_transitions(spark, sf_dir):
     """First-order Markov transition counts over per-user event streams
     ('^' marks stream start) — the funnel/bot-detection behavior model."""
@@ -389,6 +397,21 @@ def q_events_cube(spark, sf_dir):
     return ev.cube("event_type", "d").agg(
         F.count("*").cast("long").alias("n"),
         F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def q_text_quality_agreement(spark, sf_dir):
+    """2x2 agreement matrix between the model-based and Gopher-rule
+    quality detectors — threshold calibration before a corpus-wide cut."""
+    from crawler_spark.pipeline.textstats import gopher_rules, quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    qm = quality_model(docs).select("doc_id", F.col("keep").alias("model_keep"))
+    gr = gopher_rules(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    return (
+        qm.join(gr, "doc_id")
+        .groupBy("model_keep", "gopher_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
     )
 
 
@@ -1523,9 +1546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "docs_profile": q_docs_profile,
         "events_cube": q_events_cube,
+        "events_rfm": q_events_rfm,
         "events_transitions": q_events_transitions,
         "text_langid_confusion": q_text_langid_confusion,
         "text_countmin": q_text_countmin,
+        "text_quality_agreement": q_text_quality_agreement,
         "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "text_vocab_topk": q_text_vocab_topk,
@@ -3372,6 +3397,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM c GROUP BY 1, 2
         """,
+        "events_rfm": """
+            WITH ref AS (
+                SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us FROM events
+            ),
+            per AS (
+                SELECT user_id,
+                       max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   (ref_us - last_us) // 86400000000 AS r_days,
+                   n_events, cents,
+                   CAST(length(bin(((ref_us - last_us) // 86400000000) + 1)) AS INT) AS r_bucket,
+                   CAST(length(bin(n_events)) AS INT) AS f_bucket,
+                   CAST(length(bin(greatest(cents, 0) + 1)) AS INT) AS m_bucket
+            FROM per CROSS JOIN ref
+        """,
         "events_transitions": """
             SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n FROM (
                 SELECT coalesce(lag(event_type) OVER (
@@ -3979,4 +4023,14 @@ def oracle_sql() -> dict[str, str]:
     """
     d["stream_funnel"] = d["events_funnel"]
     d["stream_sessionize"] = d["events_sessionize"]
+    # 2x2 agreement between the two quality detectors (same composition
+    # pattern as sim_ann_recall): model-based vs Gopher-rule keep verdicts.
+    d["text_quality_agreement"] = f"""
+        WITH qm AS (SELECT doc_id, keep FROM ({d["text_quality_model"]}) t1),
+             gr AS (SELECT doc_id, keep FROM ({d["text_gopher_rules"]}) t2)
+        SELECT qm.keep AS model_keep, gr.keep AS gopher_keep,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM qm JOIN gr USING (doc_id)
+        GROUP BY 1, 2
+    """
     return d

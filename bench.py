@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "docs_priority_sample",
     "events_transitions",
     "text_langid_confusion",
+    "crawl_bloom_audit",
+    "text_quality_agreement",
+    "events_rfm",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.

@@ -286,3 +286,41 @@ def transition_counts(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def rfm_scores(events: DataFrame) -> DataFrame:
+    """(user_id, r_days, n_events, cents, r_bucket, f_bucket, m_bucket) —
+    RFM user segmentation with logarithmic buckets, fully integer-exact.
+
+    Classic recency / frequency / monetary segmentation over the events
+    table. Recency is measured against the corpus max timestamp (a
+    deterministic in-data reference — no wall clock); monetary sums
+    floor(value*100) cents (the pricing-summary convention). Buckets are
+    bit-length (floor(log2)+1) of each measure rather than data-driven
+    quantiles: quantile cuts need a rank over ALL users — an unpartitioned
+    window that funnels 10^9 users through one task — while log buckets
+    are a map-side expression with the same monotone segmentation intent.
+
+    Scale shape: ONE partial->final aggregation keyed on user_id plus a
+    broadcast of the 1-row corpus max. Nothing else.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = events.select(F.max(us).alias("ref_us"))
+    per = events.groupBy("user_id").agg(
+        F.max(us).alias("last_us"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+    )
+    return (
+        per.crossJoin(F.broadcast(ref))
+        .withColumn("r_days", F.expr("(ref_us - last_us) div 86400000000"))
+        .select(
+            "user_id",
+            "r_days",
+            "n_events",
+            "cents",
+            F.length(F.bin(F.col("r_days") + 1)).cast("int").alias("r_bucket"),
+            F.length(F.bin("n_events")).cast("int").alias("f_bucket"),
+            F.length(F.bin(F.greatest(F.col("cents"), F.lit(0)) + 1)).cast("int").alias("m_bucket"),
+        )
+    )
