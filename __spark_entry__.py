@@ -1071,6 +1071,14 @@ def q_dedup_agreement(spark, sf_dir):
     return dedup_agreement(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Manku-style simhash near-dup pairs (Hamming <= 3 via 4-band
+    pigeonhole + exact popcount verify) — WWW'07 web-crawl dedup."""
+    from crawler_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_survivorship(spark, sf_dir):
     """Near-dup clusters with a QUALITY-picked survivor (stop_bp,
     n_tokens, min-id tiebreak) instead of min-id — the curation policy."""
@@ -1606,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "dedup_containment": q_dedup_containment,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_survivorship": q_dedup_survivorship,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "docs_dsir_weights": q_docs_dsir_weights,
@@ -3141,6 +3150,44 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
                    d.doc_id = LEAST(d.doc_id, coalesce(m.mn, d.doc_id)) AS keep
             FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH inst AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            sums AS (
+                SELECT doc_id,
+                       {", ".join(f"sum(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32))},
+                       {", ".join(f"sum(CASE WHEN (h_hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32, 64))}
+                FROM inst GROUP BY doc_id
+            ),
+            sims AS (
+                SELECT doc_id,
+                       CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64))} AS BIGINT) AS simhash_hi,
+                       CAST({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))} AS BIGINT) AS simhash_lo
+                FROM sums
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, simhash_hi, simhash_lo, {b} AS band,"
+                    f" (simhash_{'lo' if b < 2 else 'hi'} >> {(b % 2) * 16}) & 65535 AS bv FROM sims"
+                    for b in range(4)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash_hi AS ah, a.simhash_lo AS al,
+                       b.simhash_hi AS bh, b.simhash_lo AS bl
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS dist
+            FROM cand
+            WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 3
         """,
         "dedup_simhash": f"""
             WITH inst AS (

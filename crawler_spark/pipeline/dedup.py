@@ -765,3 +765,73 @@ def survivorship(documents: DataFrame) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame, max_dist: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b, dist): document pairs whose 64-bit simhash Hamming
+    distance is <= max_dist — Manku/Jain/Sarma's web-crawl near-dup
+    detection (WWW'07), the algorithm Google's crawler used for exactly
+    this table shape.
+
+    Pigeonhole principle: split the fingerprint into ``n_bands`` bit
+    bands; any pair within distance d < n_bands must agree EXACTLY on at
+    least one band. So candidates = pairs sharing any band value (an
+    equi-join per band — never all-pairs), then one exact popcount verify
+    (bit_count(xor) over the two 32-bit halves) keeps true near-dups.
+    With the default 4 bands of 16 bits the guarantee covers d <= 3.
+
+    Scale shape: the band join is keyed on (band, 16-bit value); band
+    buckets are ~N/2^16 for random fingerprints — hot buckets mean real
+    near-dup families (the thing being found), same story as minhash LSH
+    buckets; dedup of candidate pairs found via several bands happens
+    BEFORE the verify so popcount runs once per pair. Everything
+    whole-stage codegen (shiftright/AND/xor/bit_count) — no Python.
+    """
+    if not 1 <= max_dist < n_bands:
+        raise ValueError("need 1 <= max_dist < n_bands (pigeonhole guarantee)")
+    fp = simhash(documents, bits=64)
+    width = 64 // n_bands
+
+    def band_val(b: int):
+        # bands 0..(n_bands//2 - 1) come from the lo half, the rest from hi
+        half, off = ("simhash_lo", b * width) if b * width < 32 else (
+            "simhash_hi", b * width - 32
+        )
+        return F.shiftright(F.col(half), off).bitwiseAND(F.lit((1 << width) - 1))
+
+    bands = fp.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_val(b).alias("bv"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash_hi", "simhash_lo", "bk.band", "bk.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash_hi").alias("ah"),
+            F.col("a.simhash_lo").alias("al"),
+            F.col("b.simhash_hi").alias("bh"),
+            F.col("b.simhash_lo").alias("bl"),
+        )
+        .distinct()
+    )
+    dist = F.expr("bit_count(ah ^ bh) + bit_count(al ^ bl)")
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -241,3 +241,32 @@ def test_survivorship_quality_wins(spark):
         assert got[8][1] is True and got[1][1] is False
     else:  # LSH missed the pair at toy params — both survive their own family
         assert got[1][1] and got[8][1]
+
+
+def test_simhash_pairs_pigeonhole_guarantee(spark):
+    """Identical docs have distance 0 (found); a doc differing in a couple
+    of tokens lands within distance 3 of its original (found via at least
+    one agreeing band); unrelated docs don't pair."""
+    from crawler_spark.pipeline.dedup import simhash, simhash_hamming_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    tweaked = base.replace("delta", "JOLT", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, tweaked),
+         (9, "utterly different material nothing shared with those pages")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["dist"]
+             for r in simhash_hamming_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(9 not in p for p in pairs)
+    # the tweaked doc pairs iff its fingerprint is within 3 bits — verify
+    # the reported distance against the raw fingerprints either way
+    fp = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+          for r in simhash(docs, bits=64).collect()}
+    true_d = bin(fp[1][0] ^ fp[3][0]).count("1") + bin(fp[1][1] ^ fp[3][1]).count("1")
+    if true_d <= 3:
+        assert pairs[(1, 3)] == true_d
+    else:
+        assert (1, 3) not in pairs
