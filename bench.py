@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "crawl_bloom_audit",
     "text_quality_agreement",
     "events_rfm",
+    "dedup_simhash_pairs",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.
