@@ -1043,6 +1043,16 @@ def q_sim_ann_recall(spark, sf_dir):
     )
 
 
+def q_sim_ivf_recall(spark, sf_dir):
+    """Measured recall@10 of the IVF index (nprobe=2) vs exact cosine —
+    the nprobe-tuning number."""
+    from crawler_spark.pipeline.similarity import ivf_recall
+
+    return ivf_recall(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10, nprobe=2
+    )
+
+
 def q_pipeline_assemble(spark, sf_dir):
     """Composed assembly decision: stratified sample -> eval-set
     decontamination -> GPT-style sequence packing, one declarative plan."""
@@ -1620,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "multimodal_frames": q_multimodal_frames,
         "sim_ann_recall": q_sim_ann_recall,
+        "sim_ivf_recall": q_sim_ivf_recall,
         "docs_shard_assign": q_docs_shard_assign,
         "docs_dataset_card": q_docs_dataset_card,
         "events_asof_join": q_events_asof_join,
@@ -4065,6 +4076,19 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_pct
         FROM exact e
         LEFT JOIN ann a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+    d["sim_ivf_recall"] = f"""
+        WITH exact AS ({d["sim_cosine_topk"]}),
+             ivf AS ({d["sim_ann_ivf"]})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST((100 * count(a.neighbor_id)) // count(*) AS BIGINT)
+                   AS recall_pct
+        FROM exact e
+        LEFT JOIN ivf a
                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
     """

@@ -638,3 +638,35 @@ def kmeans_quantized(
     out = _assign(cent)
     q.unpersist()
     return out
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Measured recall@k of the IVF index vs exact cosine top-k — the IVF
+    analog of ``ann_recall`` (and the number that tunes ``nprobe``: recall
+    rises with probed cells, scan cost rises linearly; this measures the
+    trade instead of guessing it). Same tiny-relation shape: both sides
+    are per-query top-k, the join+agg runs over query_ids x k rows.
+    """
+    exact = cosine_topk(embeddings, query_ids, k).select("query_id", "neighbor_id")
+    approx = ivf_topk(embeddings, query_ids, k, nprobe).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("(100 * n_hit) DIV n_exact").alias("recall_pct"),
+        )
+    )
