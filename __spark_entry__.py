@@ -400,6 +400,14 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+def q_text_cooccurrence(spark, sf_dir):
+    """Top-100 co-occurring token pairs (2-token forward window) with an
+    integer PMI surrogate — the embedding-training count matrix."""
+    from crawler_spark.pipeline.textstats import cooccurrence_topk
+
+    return cooccurrence_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_text_quality_agreement(spark, sf_dir):
     """2x2 agreement matrix between the model-based and Gopher-rule
     quality detectors — threshold calibration before a corpus-wide cut."""
@@ -1568,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "text_langid_confusion": q_text_langid_confusion,
         "text_countmin": q_text_countmin,
+        "text_cooccurrence": q_text_cooccurrence,
         "text_quality_agreement": q_text_quality_agreement,
         "text_novelty": q_text_novelty,
         "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -2223,6 +2232,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS INT) AS gid
             FROM events
             GROUP BY CUBE (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+        """,
+        "text_cooccurrence": f"""
+            WITH tokpos AS (
+                SELECT doc_id, unnest({_TOKS}) AS t,
+                       unnest(range(len({_TOKS}))) AS pos
+                FROM documents
+            ),
+            pairs AS (
+                SELECT t AS tok_a,
+                       lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS tok_b
+                FROM tokpos
+                UNION ALL
+                SELECT t,
+                       lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                FROM tokpos
+            ),
+            pc AS (
+                SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pair
+                FROM pairs WHERE tok_b IS NOT NULL
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            uni AS (
+                SELECT t AS tok, CAST(count(*) AS BIGINT) AS n
+                FROM tokpos GROUP BY t
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t_corpus FROM tokpos)
+            SELECT tok_a, tok_b, n_pair, ua.n AS n_a, ub.n AS n_b,
+                   CAST(length(bin(((t_corpus // ua.n) * n_pair) // ub.n + 1)) AS INT) AS pmi_bits
+            FROM pc
+            JOIN uni ua ON ua.tok = tok_a
+            JOIN uni ub ON ub.tok = tok_b
+            CROSS JOIN tot
+            ORDER BY n_pair DESC, tok_a, tok_b LIMIT 100
         """,
         "text_countmin": f"""
             WITH inst AS (

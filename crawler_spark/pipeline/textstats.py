@@ -951,3 +951,64 @@ def profile_table(documents: DataFrame) -> DataFrame:
         f"stack({len(cols)}, {stack_expr}) AS (column, n_null, n_distinct, min_s, max_s)",
         "_n AS n_rows",
     ).select("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+def cooccurrence_topk(
+    documents: DataFrame, w: int = 2, min_count: int = 5, top: int = 100
+) -> DataFrame:
+    """(tok_a, tok_b, n_pair, n_a, n_b, pmi_bits): top co-occurring token
+    pairs within a ``w``-token forward window, with an integer PMI
+    surrogate — the count matrix word-embedding training starts from.
+
+    Pairs come from the SAME posexplode + lead() window construction as
+    shingling (one keyed sort per doc, w leads per position — bounded
+    fan-out, NO self-join of token instances, which would square on
+    repeated tokens). PMI = log p(a,b)/(p(a)p(b)) is floats; the surrogate
+    is the bit-length of the integer ratio ((T div n_a) * n_pair) div n_b
+    (T = corpus token instances) — the division order is fixed so both
+    engines agree exactly, and the value is monotone in true PMI up to
+    floor granularity (headroom: avoids the T*n_pair product, which
+    overflows int64 at corpus scale).
+
+    Scale shape: pair counts are one partial->final aggregation keyed on
+    (tok_a, tok_b); unigram counts on tok; the min_count filter prunes the
+    long tail BEFORE the unigram joins; final output is a sort-limit
+    (TakeOrderedAndProject) of the surviving pairs.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    tok = documents.select("doc_id", F.posexplode(tokens_col()).alias("pos", "t"))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for j in range(1, w + 1):
+        p = tok.select(
+            F.col("t").alias("tok_a"), F.lead("t", j).over(wnd).alias("tok_b")
+        ).filter(F.col("tok_b").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = tok.groupBy(F.col("t").alias("tok")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = tok.select(F.count("*").cast("long").alias("t_corpus"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(total)
+        .withColumn(
+            "pmi_bits",
+            F.length(
+                F.bin(F.expr("((t_corpus div n_a) * n_pair) div n_b + 1"))
+            ).cast("int"),
+        )
+        .select("tok_a", "tok_b", "n_pair", "n_a", "n_b", "pmi_bits")
+        .orderBy(F.desc("n_pair"), "tok_a", "tok_b")
+        .limit(top)
+    )
