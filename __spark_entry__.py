@@ -849,6 +849,19 @@ def q_graph_triangles(spark, sf_dir):
     return triangles(_cosupplier_edges(spark, sf_dir))
 
 
+def q_graph_neighbor_jaccard(spark, sf_dir):
+    """Co-citation similarity: supplier pairs whose part sets overlap with
+    Jaccard >= 17/100 (df-capped inverted index on the shared part —
+    the threshold sits in the overlap distribution's discriminating tail)."""
+    from crawler_spark.pipeline.graph import neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return neighbor_jaccard(e, max_deg=100, threshold_num=17, threshold_den=100)
+
+
 def q_graph_kcore(spark, sf_dir):
     """2-core membership after 4 peel rounds — the dense-nucleus signal
     (spam farms live in high cores, long-tail pages in the fringe)."""
@@ -1617,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_components_twophase": q_graph_components_twophase,
         "graph_kcore": q_graph_kcore,
+        "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
         "graph_components": q_graph_components,
         "text_gopher_rules": q_text_gopher_rules,
         "docs_span_lang_mix": q_docs_span_lang_mix,
@@ -3875,6 +3889,25 @@ def oracle_sql() -> dict[str, str]:
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
         "graph_kcore": _kcore_sql(core_k=2, iters=4),
+        "graph_neighbor_jaccard": """
+            WITH e AS (
+                SELECT DISTINCT l_suppkey AS u, l_partkey AS v FROM lineitem
+            ),
+            sizes AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY u),
+            hot AS (SELECT v FROM e GROUP BY v HAVING count(*) > 100),
+            cold AS (SELECT e.u, e.v FROM e WHERE e.v NOT IN (SELECT v FROM hot)),
+            inter AS (
+                SELECT a.u AS node_a, b.u AS node_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM cold a JOIN cold b ON a.v = b.v AND a.u < b.u
+                GROUP BY 1, 2
+            )
+            SELECT node_a, node_b, inter, sa.n + sb.n - inter AS un
+            FROM inter
+            JOIN sizes sa ON sa.u = node_a
+            JOIN sizes sb ON sb.u = node_b
+            WHERE 100 * inter >= 17 * (sa.n + sb.n - inter)
+        """,
         # exact fixpoint oracle: recursive closure -> min reachable node
         "graph_components_twophase": """
             WITH RECURSIVE s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

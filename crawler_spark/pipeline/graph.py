@@ -464,3 +464,54 @@ def kcore_peel(
     return nodes.join(
         alive.withColumn("_in", F.lit(True)), "node", "left"
     ).select("node", F.coalesce("_in", F.lit(False)).alias("in_core"))
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_deg: int = 100,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """(node_a, node_b, inter, un): node pairs whose OUT-neighbor sets
+    overlap with Jaccard >= num/den — co-citation similarity, the
+    link-structure analog of content near-dup (mirror sites and scraped
+    copies link to the same targets even when their text is rewritten).
+
+    Same bounded inverted-index discipline as ngram_jaccard_pairs, with
+    the roles flipped: the "posting list" key is the shared NEIGHBOR, and
+    neighbors with in-degree > ``max_deg`` are dropped from the
+    intersection (a target linked by millions of pages — a jquery CDN —
+    creates deg^2 join rows and carries no similarity signal; identical
+    hot-key cap, identical recall trade). Set sizes keep the FULL
+    out-neighbor sets; the >= test is exact integer arithmetic.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    sizes = e.groupBy("u").agg(F.count("*").cast("long").alias("n"))
+    hot = (
+        e.groupBy("v")
+        .agg(F.count("*").alias("_d"))
+        .filter(F.col("_d") > max_deg)
+        .select("v")
+    )
+    cold = e.join(hot, "v", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    inter = (
+        a.join(b, "v")
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("node_a"), F.col("b.u").alias("node_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("u").alias("node_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("u").alias("node_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "node_a")
+        .join(sb, "node_b")
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(
+            F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("un")
+        )
+        .select("node_a", "node_b", "inter", "un")
+    )
