@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "text_quality_agreement",
     "events_rfm",
     "dedup_simhash_pairs",
+    "text_cooccurrence",
+    "graph_neighbor_jaccard",
+    "sim_ivf_recall",
 ]
 
 # bench corpus: distributed generation (fixtures_big.py), a few fat waves.
