@@ -1554,6 +1554,87 @@ def q_crawl_e2e_order(spark, sf_dir):
     )
 
 
+def q_docs_quantile_sketch(spark, sf_dir):
+    """Constant-memory log2-histogram quantile sketch over document length
+    — the mergeable profiler primitive that replaces an exact global sort
+    at 100 TB (answer within one power of two, <=64 rows of state)."""
+    from crawler_spark.pipeline.textstats import quantile_sketch
+
+    return quantile_sketch(_t(spark, sf_dir, "documents"))
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (bpe_pairs is training): ordered merge
+    table applied to every word as chained literal replaces over a
+    parenthesized symbol rendering — pure codegen, no UDF."""
+    from crawler_spark.pipeline.textstats import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"))
+
+
+def q_text_dup_ngram_coverage(spark, sf_dir):
+    """Cross-document duplicated 8-gram character coverage (RefinedWeb
+    metric; the scalable proxy for suffix-array exact-substring dedup) —
+    interval-union island sweep per doc, df-filtered gram semi-join."""
+    from crawler_spark.pipeline.textstats import dup_ngram_coverage
+
+    return dup_ngram_coverage(_t(spark, sf_dir, "documents"), n=8)
+
+
+def q_crawl_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target (plurality anchor with
+    deterministic tie-break, no window) — the ranking signal a frontier
+    prioritizer joins onto candidate URLs. Links synthesized from
+    lineitem: order->part edges labeled by returnflag-linestatus."""
+    from crawler_spark.pipeline.frontier import anchor_text
+
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.lower(
+            F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus"))
+        ).alias("anchor"),
+    )
+    return anchor_text(links)
+
+
+_PSL_SUFFIXES = ("example", "co.example", "org.example", "shop.example")
+
+
+def q_crawl_domain_budget(spark, sf_dir):
+    """Registered-domain rollup via public-suffix LONGEST-match (broadcast
+    theta-join; publicsuffix.org semantics) + per-registrant politeness
+    budget. Synthetic frontier from orders: two-level suffixes, deep
+    subdomains sharing a registrant, and a no-match fallback family."""
+    from crawler_spark.pipeline.frontier import domain_budget
+
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.expr(
+            "CASE WHEN o_orderkey % 4 = 0"
+            "  THEN concat('h', o_custkey % 50, '.co.example')"
+            " WHEN o_orderkey % 4 = 1"
+            "  THEN concat('w', o_orderkey % 7, '.h', o_custkey % 50, '.co.example')"
+            " WHEN o_orderkey % 4 = 2"
+            "  THEN concat('h', o_custkey % 30, '.example')"
+            " ELSE concat('x', o_custkey % 10, '.other.test') END"
+        ).alias("host")
+    )
+    sfx = spark.createDataFrame([(s,) for s in _PSL_SUFFIXES], "suffix string")
+    return domain_budget(fr, sfx, per_host_cap=100)
+
+
+def q_events_hll_registers(spark, sf_dir):
+    """HLL-style register table over event user_ids — the mergeable
+    constant-memory distinct-count sketch (per-register max rank as plain
+    partial->final max), exact-integer and engine-portable; n_distinct is
+    the per-register accuracy probe."""
+    from crawler_spark.pipeline.textstats import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id", m=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonical_keys": q_crawl_canonical_keys,
@@ -1674,6 +1755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_funnel": q_stream_funnel,
         "stream_sessionize": q_stream_sessionize,
+        "docs_quantile_sketch": q_docs_quantile_sketch,
+        "events_hll_registers": q_events_hll_registers,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
+        "crawl_anchor_text": q_crawl_anchor_text,
+        "crawl_domain_budget": q_crawl_domain_budget,
         "crawl_e2e_order": q_crawl_e2e_order,
     }
 
@@ -1985,6 +2072,19 @@ def _ann_planes_sql(table: int = 0) -> str:
             f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 THEN {1 << i} ELSE 0 END"
         )
     return " + ".join(bits)
+
+
+def _bpe_sym_expr() -> str:
+    """Chained-replace rendering of textstats.BPE_MERGES over the
+    parenthesized symbol string — byte-identical to the Spark side's
+    F.replace chain (both engines replace all non-overlapping occurrences
+    left-to-right)."""
+    from crawler_spark.pipeline.textstats import BPE_MERGES
+
+    s = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '({a})({b})', '({a}{b})')"
+    return s
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3886,6 +3986,180 @@ def oracle_sql() -> dict[str, str]:
         # crawl_e2e_order: the stateful round loop is not SQL-expressible,
         # but its expected output on the deterministic fixture is — the
         # pure-Python oracle's order, inlined as VALUES.
+        "events_hll_registers": """
+            WITH v AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events
+            ),
+            r AS (
+                SELECT CAST(h % 256 AS INT) AS register, h // 256 AS w, h FROM v
+            )
+            SELECT register,
+                   CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS INT) AS max_rank,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+            FROM r GROUP BY register
+        """,
+        "docs_quantile_sketch": """
+            WITH hist AS (
+                SELECT CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 0))) AS INT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1
+            ),
+            cum AS (
+                SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cum_count
+                FROM hist a JOIN hist b ON b.bucket <= a.bucket
+                GROUP BY a.bucket
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist),
+            spec AS (SELECT unnest([50, 90, 99]) AS q)
+            SELECT CAST(q AS INT) AS q,
+                   CAST(min(bucket) AS INT) AS bucket,
+                   CAST((1::BIGINT << min(bucket)) - 1 AS BIGINT) AS upper_bound,
+                   CAST(min(cum_count) AS BIGINT) AS cum_count,
+                   total
+            FROM cum CROSS JOIN tot CROSS JOIN spec
+            WHERE cum_count * 100 >= q * total
+            GROUP BY q, total
+        """,
+        "text_bpe_encode": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            enc AS (
+                SELECT doc_id, CAST(length(w) AS BIGINT) AS chars,
+                       CAST(length({_bpe_sym_expr()})
+                            - length(replace({_bpe_sym_expr()}, '(', '')) AS BIGINT) AS syms
+                FROM words
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(chars) AS BIGINT) AS n_chars_az,
+                   CAST(sum(syms) AS BIGINT) AS n_symbols,
+                   CAST(10000 * sum(syms) // greatest(sum(chars), 1) AS BIGINT) AS compression_bp
+            FROM enc GROUP BY doc_id
+        """,
+        "text_dup_ngram_coverage": f"""
+            WITH tokpos AS (
+                SELECT doc_id, unnest({_TOKS}) AS t,
+                       unnest(range(len({_TOKS}))) AS pos
+                FROM documents
+            ),
+            offs AS (
+                SELECT doc_id, pos, t,
+                       CAST(coalesce(sum(length(t) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+                FROM tokpos
+            ),
+            g AS (
+                SELECT doc_id, s,
+                       concat_ws(' ', t,
+                           {", ".join(f"lead(t, {j}) OVER (PARTITION BY doc_id ORDER BY pos)" for j in range(1, 8))}
+                       ) AS gram,
+                       lead(t, 7) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS fullg
+                FROM offs
+            ),
+            spans AS (
+                SELECT doc_id, s, s + length(gram) AS e, gram FROM g WHERE fullg
+            ),
+            dup AS (
+                SELECT gram FROM spans GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (SELECT sp.doc_id, sp.s, sp.e FROM spans sp JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS newi
+                FROM hits
+            ),
+            isl2 AS (
+                SELECT doc_id, s, e,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+                FROM isl
+            ),
+            cov AS (
+                SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS dup_chars
+                FROM (SELECT doc_id, iid, max(e) AS mx, min(s) AS mn
+                      FROM isl2 GROUP BY doc_id, iid)
+                GROUP BY doc_id
+            ),
+            canon AS (
+                SELECT doc_id,
+                       CAST(sum(length(t)) + count(*) - 1 AS BIGINT) AS canon_chars
+                FROM tokpos GROUP BY doc_id
+            )
+            SELECT c.doc_id, canon_chars,
+                   CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+                   CAST(10000 * coalesce(dup_chars, 0) // greatest(canon_chars, 1) AS BIGINT) AS coverage_bp
+            FROM canon c LEFT JOIN cov USING (doc_id)
+        """,
+        "crawl_anchor_text": """
+            WITH links AS (
+                SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+                       lower(l_returnflag || '-' || l_linestatus) AS anchor
+                FROM lineitem
+            ),
+            pa AS (
+                SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+                FROM links GROUP BY dst, anchor
+            ),
+            r AS (
+                SELECT dst, anchor, n,
+                       row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor) AS rn,
+                       CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS n_links,
+                       CAST(count(*) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors
+                FROM pa
+            )
+            SELECT dst, n_links, n_anchors, anchor AS top_anchor, n AS top_count
+            FROM r WHERE rn = 1
+        """,
+        "crawl_domain_budget": f"""
+            WITH fr AS (
+                SELECT CASE WHEN o_orderkey % 4 = 0
+                         THEN concat('h', o_custkey % 50, '.co.example')
+                       WHEN o_orderkey % 4 = 1
+                         THEN concat('w', o_orderkey % 7, '.h', o_custkey % 50, '.co.example')
+                       WHEN o_orderkey % 4 = 2
+                         THEN concat('h', o_custkey % 30, '.example')
+                       ELSE concat('x', o_custkey % 10, '.other.test') END AS host
+                FROM orders
+            ),
+            per_host AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM fr GROUP BY host
+            ),
+            sfx AS (SELECT unnest({list(_PSL_SUFFIXES)!r}) AS suffix),
+            m AS (
+                SELECT host, suffix FROM per_host
+                LEFT JOIN sfx ON ends_with(host, '.' || suffix)
+            ),
+            ch AS (
+                SELECT host, suffix FROM (
+                    SELECT host, suffix,
+                           row_number() OVER (PARTITION BY host
+                               ORDER BY length(suffix) DESC, suffix) AS rn
+                    FROM m) WHERE rn = 1
+            ),
+            reg AS (
+                SELECT p.host, p.n_urls,
+                       CASE WHEN suffix IS NOT NULL THEN
+                           regexp_extract(left(p.host, length(p.host) - length(suffix) - 1),
+                                          '([^.]*)$', 1) || '.' || suffix
+                       ELSE regexp_extract(p.host, '([^.]+\\.[^.]+)$', 1) END AS reg_domain
+                FROM per_host p JOIN ch ON ch.host = p.host
+            )
+            SELECT reg_domain,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(n_urls) AS BIGINT) AS n_urls,
+                   CAST(least(sum(n_urls), 100 * count(*)) AS BIGINT) AS budget
+            FROM reg GROUP BY reg_domain
+        """,
         "crawl_e2e_order": _e2e_order_sql(),
         "graph_hits": _hits_sql(iters=2),
         "graph_kcore": _kcore_sql(core_k=2, iters=4),

@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "crawl_redirects",
     "text_countmin",
     "docs_profile",
+    "text_dup_ngram_coverage",
+    "text_bpe_encode",
+    "docs_quantile_sketch",
+    "crawl_anchor_text",
+    "crawl_domain_budget",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

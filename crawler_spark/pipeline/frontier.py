@@ -360,3 +360,119 @@ def bloom_fpr_audit(
             F.expr("(10000 * n_false_pos) div n_probe").alias("fpr_bp"),
         )
     )
+
+
+def anchor_text(links: DataFrame) -> DataFrame:
+    """(dst, n_links, n_anchors, top_anchor, top_count): aggregate the
+    anchor texts pointing at each target — the classic web-search signal
+    (anchor text describes the TARGET better than the target's own page)
+    and the ranking input a frontier scheduler feeds its priority column.
+
+    Input: one row per extracted link ``(src, dst, anchor)`` — exactly the
+    engine's raw_links with its carried tmp text (the reference carries
+    anchor/title text the same way, parse/doubanbook/book.go:97-101).
+
+    Two partial->final aggregations: (dst, anchor) counts, then per-dst
+    rollup picking the plurality anchor with ``min(struct(-count, anchor))``
+    — an exact deterministic tie-break (highest count, then lexicographic)
+    with no window and no per-dst sort. Hot targets (every page links to
+    /home) cost one group row per distinct anchor, never a fan-in of raw
+    link rows past the map-side combine.
+    """
+    pa = links.groupBy("dst", "anchor").agg(F.count("*").cast("long").alias("_n"))
+    best = F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("anchor").alias("_a")))
+    return (
+        pa.groupBy("dst")
+        .agg(
+            F.sum("_n").cast("long").alias("n_links"),
+            F.count("*").cast("long").alias("n_anchors"),
+            best.alias("_best"),
+        )
+        .select(
+            "dst",
+            "n_links",
+            "n_anchors",
+            F.col("_best._a").alias("top_anchor"),
+            (-F.col("_best._neg")).cast("long").alias("top_count"),
+        )
+    )
+
+
+def registered_domains(
+    hosts: DataFrame, suffixes: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Attach ``reg_domain`` to each row: the registrable domain under the
+    LONGEST matching public suffix (publicsuffix.org semantics: ``a.b.co.uk``
+    -> ``b.co.uk`` because ``co.uk`` beats ``uk``). Per-registrant grouping
+    is what politeness budgets, spam heuristics, and site-level quality
+    priors actually key on — per-hostname grouping lets one registrant dodge
+    budgets with wildcard subdomains.
+
+    ``suffixes``: a one-column ``suffix`` config table (the public suffix
+    list is ~10k rows — broadcast). The longest-match join is a broadcast
+    theta-join on ``endswith('.' || suffix)`` followed by a
+    ``min(struct(-len(suffix), suffix))`` per host — deterministic longest
+    suffix, no window. Hosts matching no suffix keep their last TWO labels
+    (the pre-PSL fallback). The registrable domain is the suffix plus the
+    one label left of it.
+    """
+    h = F.col(host_col)
+    cand = hosts.join(
+        F.broadcast(suffixes),
+        h.endswith(F.concat(F.lit("."), F.col("suffix"))),
+        "left",
+    )
+    best = F.min(
+        F.struct((-F.length("suffix")).alias("_neg"), F.col("suffix").alias("_s"))
+    )
+    chosen = cand.groupBy(host_col).agg(best.alias("_b")).select(
+        host_col, F.col("_b._s").alias("_sfx")
+    )
+    # label left of the suffix: strip ".suffix", keep the last remaining label
+    stem = F.expr(
+        f"left({host_col}, length({host_col}) - length(_sfx) - 1)"
+    )
+    reg = F.when(
+        F.col("_sfx").isNotNull(),
+        F.concat(F.element_at(F.split(stem, r"\."), -1), F.lit("."), F.col("_sfx")),
+    ).otherwise(
+        F.array_join(F.slice(F.split(h, r"\."), -2, 2), ".")
+    )
+    return hosts.join(chosen, host_col).withColumn("reg_domain", reg).drop("_sfx")
+
+
+def domain_budget(
+    frontier: DataFrame,
+    suffixes: DataFrame,
+    per_host_cap: int = 100,
+    host_col: str = "host",
+) -> DataFrame:
+    """(reg_domain, n_hosts, n_urls, budget): frontier pressure rolled up
+    to the registrable domain, with the politeness budget the wave pop
+    would grant the whole registrant: ``min(n_urls, per_host_cap *
+    n_hosts)`` — subdomain count scales the allowance (a real CDN with 50
+    hosts legitimately absorbs more than a spam registrant's single host
+    pretending to be 50 via URL paths).
+
+    Shape: hosts are first DISTINCT-ed (one suffix match per hostname, not
+    per URL — the frontier has 10^10 URLs but ~10^7 hosts), the suffix
+    theta-join is broadcast, and the rollup is one partial->final
+    aggregation keyed on reg_domain.
+    """
+    per_host = frontier.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("_n_urls")
+    )
+    tagged = registered_domains(per_host, suffixes, host_col=host_col)
+    return (
+        tagged.groupBy("reg_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("_n_urls").cast("long").alias("n_urls"),
+        )
+        .withColumn(
+            "budget",
+            F.least(
+                F.col("n_urls"), F.lit(int(per_host_cap)) * F.col("n_hosts")
+            ).cast("long"),
+        )
+    )

@@ -1012,3 +1012,246 @@ def cooccurrence_topk(
         .orderBy(F.desc("n_pair"), "tok_a", "tok_b")
         .limit(top)
     )
+
+
+def quantile_sketch(documents: DataFrame, qs: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """(q, bucket, upper_bound, cum_count, total): approximate quantiles of
+    document length from a mergeable log2-bucketed histogram — the
+    constant-memory quantile sketch a 100 TB profiler uses instead of an
+    exact global sort.
+
+    bucket = bit_length(n_chars) (= length of the binary rendering, an
+    exact integer both engines compute identically — no float log2, whose
+    representation error flips buckets at exact powers of two). The
+    histogram is ONE partial->final aggregation into <= 64 rows; it is
+    mergeable across shards/days by simple addition, and any quantile is
+    answered from the tiny result: the q-th percentile's bucket is the
+    smallest bucket whose cumulative count reaches q% of total, reported
+    with its inclusive value upper bound 2^bucket - 1 (the sketch's error
+    contract: true quantile is within one power of two).
+
+    Shape: histogram aggregation (shuffle of <= 64 rows), then cumulative
+    counts via a <=64 x <=64 bucket self-join — NO unpartitioned window,
+    NO driver collect; the quantile probe is a 3-row broadcast cross join.
+    """
+    hist = (
+        documents.select(
+            F.length(F.bin(F.greatest(F.col("n_chars").cast("long"), F.lit(0))))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    lo = hist.select(F.col("bucket").alias("_b"), F.col("n").alias("_n"))
+    cum = (
+        hist.join(lo, F.col("_b") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("_n").cast("long").alias("cum_count"))
+    )
+    total = hist.agg(F.sum("n").cast("long").alias("total"))
+    spec = documents.sparkSession.createDataFrame(
+        [(int(q),) for q in qs], "q int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(spec))
+        .filter(F.col("cum_count") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("q", "total")
+        .agg(
+            F.min("bucket").cast("int").alias("bucket"),
+            F.min_by("cum_count", "bucket").cast("long").alias("cum_count"),
+        )
+        .withColumn(
+            "upper_bound",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) - 1 AS BIGINT)"),
+        )
+        .select("q", "bucket", "upper_bound", "cum_count", "total")
+    )
+
+
+# Default BPE merge table for bpe_encode: ordered (left, right) symbol
+# pairs, applied exhaustively in sequence exactly like a learned
+# tokenizer's merges.txt (the first merges any English BPE run learns).
+# Rules are DATA: a real tokenizer's merge list drops in unchanged.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("s", "t"),
+)
+
+
+def bpe_encode(
+    documents: DataFrame, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_chars_az, n_symbols, compression_bp): apply an
+    ordered BPE merge table to every word and count the resulting symbols
+    — the tokenizer-APPLICATION step (bpe_pair_counts is the training
+    step; this is what a 100 TB pipeline runs on every document to cost
+    sequences for packing).
+
+    Wholly inside whole-stage codegen — no UDF, no per-row Python. Each
+    word is rendered with every symbol parenthesized (``the`` ->
+    ``(t)(h)(e)``; the alphabet is [a-z] so the parens cannot collide),
+    and each merge (a,b) is ONE literal ``replace('(a)(b)' -> '(ab)')``:
+    left-to-right non-overlapping replacement over the delimited rendering
+    is exactly BPE's exhaustive leftmost merge application (a replacement
+    never fabricates a new occurrence of its own pattern: '(ab)' neither
+    ends in '(a)' nor starts with '(b)'). Symbol count = count of '('.
+
+    Shape: words explode per doc (bounded by doc length), M chained
+    literal replaces (plan size O(M), M = len(merges) — a constant), one
+    partial->final re-aggregation keyed on doc_id. compression_bp =
+    10000*n_symbols/n_chars_az, exact integer division.
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("w"),
+    )
+    sym = F.regexp_replace(F.col("w"), r"(.)", r"($1)")
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    enc = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("_chars"),
+        (F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit("")))).cast(
+            "long"
+        ).alias("_syms"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_chars").cast("long").alias("n_chars_az"),
+            F.sum("_syms").cast("long").alias("n_symbols"),
+        )
+        .withColumn(
+            "compression_bp",
+            F.expr("CAST(10000 * n_symbols div greatest(n_chars_az, 1) AS BIGINT)"),
+        )
+    )
+
+
+def dup_ngram_coverage(documents: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, canon_chars, dup_chars, coverage_bp): fraction of each
+    document's characters covered by word ``n``-grams that also appear in
+    ANOTHER document — the RefinedWeb/MassiveWeb duplicated-n-gram metric,
+    and the scalable proxy for suffix-array exact-substring dedup (Lee et
+    al. 2022): a high-coverage doc is boilerplate or a near-copy even when
+    minhash misses it.
+
+    Offsets are over the canonical space-joined token string (both engines
+    reconstruct it identically, so the measure is whitespace-insensitive).
+    Covered length is the INTERVAL UNION of all duplicated-gram spans
+    (overlapping grams are not double counted): the classic island sweep —
+    running max(end) over start-ordered intervals per doc, new island when
+    a span starts past it, island length = max(end) - min(start).
+
+    Shape: gram instances are the usual posexplode + lead chain (one keyed
+    sort per doc, no token self-join); the cross-doc signal is one
+    partial->final df aggregation keyed on gram; instances semi-join the
+    df>=2 grams (broadcast-able: duplicated grams are the rare tail by
+    construction after dedup); the sweep is two windows partitioned by
+    doc_id. Nothing is keyed on anything hotter than a single document.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    off = F.coalesce(
+        F.sum(F.length("t") + 1).over(
+            wnd.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    parts = [F.col("t")] + [F.lead("t", j).over(wnd) for j in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        off.alias("start"),
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.lead("t", n - 1).over(wnd).isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    spans = grams.select(
+        "doc_id", "start", (F.col("start") + F.length("gram")).alias("end"), "gram"
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gram")
+    )
+    hits = spans.join(dup, "gram", "left_semi")
+    sweep = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(sweep.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn(
+            "_new", F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
+        )
+        .withColumn("_isl", F.sum("_new").over(sweep))
+        .groupBy("doc_id", "_isl")
+        .agg((F.max("end") - F.min("start")).alias("_cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("_cov").cast("long").alias("dup_chars"))
+    )
+    canon = toks.groupBy("doc_id").agg(
+        (F.sum(F.length("t")) + F.count("*") - 1).cast("long").alias("canon_chars")
+    )
+    return (
+        canon.join(islands, "doc_id", "left")
+        .withColumn("dup_chars", F.coalesce(F.col("dup_chars"), F.lit(0)))
+        .withColumn(
+            "coverage_bp",
+            F.expr("CAST(10000 * dup_chars div greatest(canon_chars, 1) AS BIGINT)"),
+        )
+    )
+
+
+def hll_registers(df: DataFrame, value_col: str, m: int = 256) -> DataFrame:
+    """(register, max_rank, n_distinct): the register table of an
+    HLL-style cardinality sketch over ``value_col`` — the constant-memory,
+    mergeable distinct-count structure (Flajolet et al.) a 100 TB pipeline
+    uses where ``count(DISTINCT url)`` per segment would shuffle the
+    world. ``m`` registers (power of two); merge across shards/days =
+    per-register ``max`` — exactly a Spark partial->final aggregate.
+
+    Everything is exact integer math so the table is engine-portable: the
+    60-bit md5-derived hash splits into register = h mod m and the
+    (60 - log2 m)-bit remainder w; rank = leading zeros of w + 1
+    (computed as bits_w + 1 - bit_length(w), no floats). The float
+    harmonic-mean ESTIMATE is deliberately not emitted — it is a trivial
+    post-processing of these m rows wherever the consumer runs, and the
+    registers (not the estimate) are what gets stored and merged.
+    ``n_distinct`` (exact per-register distinct) is the accuracy probe,
+    analogous to countmin_probe's true_n.
+
+    Shape: one projection + one partial->final agg into m rows. Output
+    cardinality is m — constant in table size.
+    """
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    bits_w = 60 - m.bit_length() + 1  # 60-bit hash minus log2(m) register bits
+    h = F.expr(
+        f"CAST(conv(substring(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    rank = F.when(F.col("_w") == 0, F.lit(bits_w + 1)).otherwise(
+        F.lit(bits_w + 1) - F.length(F.bin("_w"))
+    )
+    return (
+        df.select(h.alias("_h"))
+        .withColumn("_w", F.expr(f"_h div {m}"))
+        .select(
+            (F.col("_h") % m).cast("int").alias("register"),
+            rank.cast("int").alias("rank"),
+            F.col("_h").alias("_hh"),
+        )
+        .groupBy("register")
+        .agg(
+            F.max("rank").cast("int").alias("max_rank"),
+            F.count_distinct("_hh").cast("long").alias("n_distinct"),
+        )
+    )

@@ -1164,3 +1164,148 @@ def test_priority_sample_partitioning_invariant(spark):
         langs.setdefault("en" if did % 3 else "fr", 0)
         langs["en" if did % 3 else "fr"] += 1
     assert langs == {"en": 10, "fr": 10}
+
+
+def test_quantile_sketch(spark):
+    from crawler_spark.pipeline.textstats import quantile_sketch
+
+    # n_chars 1..8: buckets (bit lengths) 1,2,2,3,3,3,3,4
+    d = _docs(spark, [(i, "x", "en", "s", i) for i in range(1, 9)])
+    got = {r["q"]: r.asDict() for r in quantile_sketch(d).collect()}
+    # p50: cum must reach 4 -> bucket 2 (cum 3) no, bucket 3 (cum 7) yes
+    assert got[50]["bucket"] == 3 and got[50]["upper_bound"] == 7
+    assert got[50]["cum_count"] == 7 and got[50]["total"] == 8
+    # p90: need cum >= 7.2 -> bucket 4 (cum 8)
+    assert got[90]["bucket"] == 4 and got[90]["upper_bound"] == 15
+    assert got[99]["bucket"] == 4
+
+
+def test_bpe_encode(spark):
+    from crawler_spark.pipeline.textstats import bpe_encode
+
+    # "the" -> (t)(h)(e) -> th merge -> (th)(e) -> the merge -> (the): 1 sym
+    # "other" -> o t h e r -> th -> o (th) e r -> the -> o (the) r ->
+    #   er? pattern (e)(r) no longer present ((the) holds the e) -> 3 syms
+    # "zz" -> no merges -> 2 syms
+    d = _docs(spark, [(1, "The other ZZ", "en", "s", 12)])
+    r = bpe_encode(d).collect()[0]
+    assert r["n_words"] == 3
+    assert r["n_chars_az"] == 3 + 5 + 2
+    assert r["n_symbols"] == 1 + 3 + 2
+    assert r["compression_bp"] == 10000 * 6 // 10
+
+
+def test_bpe_encode_exhaustive_merge(spark):
+    from crawler_spark.pipeline.textstats import bpe_encode
+
+    # "ththth": merge (t,h) applies to EVERY pair in one step -> (th)(th)(th)
+    # then (th)(e) absent -> 3 symbols
+    d = _docs(spark, [(1, "ththth", "en", "s", 6)])
+    assert bpe_encode(d).collect()[0]["n_symbols"] == 3
+
+
+def test_dup_ngram_coverage(spark):
+    from crawler_spark.pipeline.textstats import dup_ngram_coverage
+
+    shared = "one two three four"  # 4-gram shared by docs 1 and 2
+    d = _docs(
+        spark,
+        [
+            (1, shared + " tailA extra1 extra2", "en", "s", 0),
+            (2, "head0 " + shared + " tailB", "en", "s", 0),
+            (3, "totally different words here now", "en", "s", 0),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in dup_ngram_coverage(d, n=4).collect()}
+    L = len(shared)
+    # doc1: canon = len("one two three four tailA extra1 extra2")
+    assert got[1]["dup_chars"] == L
+    assert got[1]["canon_chars"] == L + len(" tailA extra1 extra2")
+    assert got[1]["coverage_bp"] == 10000 * L // got[1]["canon_chars"]
+    assert got[2]["dup_chars"] == L
+    assert got[3]["dup_chars"] == 0 and got[3]["coverage_bp"] == 0
+
+
+def test_dup_ngram_coverage_overlap_union(spark):
+    from crawler_spark.pipeline.textstats import dup_ngram_coverage
+
+    # docs share FIVE tokens -> two overlapping shared 4-grams in each;
+    # union must count the merged span once, not twice
+    shared = "a b c d e"
+    d = _docs(
+        spark,
+        [(1, shared + " x1 y1 z1", "en", "s", 0), (2, shared + " x2 y2 z2", "en", "s", 0)],
+    )
+    got = {r["doc_id"]: r.asDict() for r in dup_ngram_coverage(d, n=4).collect()}
+    assert got[1]["dup_chars"] == len(shared)
+
+
+def test_anchor_text(spark):
+    from crawler_spark.pipeline.frontier import anchor_text
+
+    links = spark.createDataFrame(
+        [
+            ("s1", "t1", "home"), ("s2", "t1", "home"), ("s3", "t1", "start"),
+            # t2: tie between 'a' and 'b' -> lexicographic winner 'a'
+            ("s1", "t2", "b"), ("s2", "t2", "a"), ("s3", "t2", "a"), ("s4", "t2", "b"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    got = {r["dst"]: r.asDict() for r in anchor_text(links).collect()}
+    assert got["t1"] == {
+        "dst": "t1", "n_links": 3, "n_anchors": 2,
+        "top_anchor": "home", "top_count": 2,
+    }
+    assert got["t2"]["top_anchor"] == "a" and got["t2"]["top_count"] == 2
+
+
+def test_registered_domains_longest_match(spark):
+    from crawler_spark.pipeline.frontier import registered_domains
+
+    hosts = spark.createDataFrame(
+        [("a.b.co.uk",), ("www.x.uk",), ("deep.sub.site.com",), ("nomatch.test",)],
+        "host string",
+    )
+    sfx = spark.createDataFrame([("uk",), ("co.uk",), ("com",)], "suffix string")
+    got = {r["host"]: r["reg_domain"] for r in registered_domains(hosts, sfx).collect()}
+    assert got["a.b.co.uk"] == "b.co.uk"  # co.uk beats uk
+    assert got["www.x.uk"] == "x.uk"
+    assert got["deep.sub.site.com"] == "site.com"
+    assert got["nomatch.test"] == "nomatch.test"  # fallback: last two labels
+
+
+def test_domain_budget(spark):
+    from crawler_spark.pipeline.frontier import domain_budget
+
+    fr = spark.createDataFrame(
+        [("h1.co.uk",)] * 250 + [("w.h1.co.uk",)] * 10 + [("solo.com",)] * 3,
+        "host string",
+    )
+    sfx = spark.createDataFrame([("uk",), ("co.uk",), ("com",)], "suffix string")
+    got = {r["reg_domain"]: r.asDict() for r in domain_budget(fr, sfx, per_host_cap=100).collect()}
+    assert got["h1.co.uk"]["n_hosts"] == 2 and got["h1.co.uk"]["n_urls"] == 260
+    assert got["h1.co.uk"]["budget"] == 200  # capped: 100 x 2 hosts < 260
+    assert got["solo.com"]["budget"] == 3  # under cap: all 3 granted
+
+
+def test_hll_registers(spark):
+    from crawler_spark.pipeline.textstats import hll_registers
+
+    df = spark.createDataFrame([(i % 40,) for i in range(1000)], "user_id long")
+    rows = hll_registers(df, "user_id", m=256).collect()
+    # 40 distinct values -> at most 40 occupied registers, probe sums to 40
+    assert sum(r["n_distinct"] for r in rows) == 40
+    assert all(1 <= r["max_rank"] <= 53 for r in rows)
+    assert all(0 <= r["register"] < 256 for r in rows)
+    # merge = per-register max: splitting the data and max-merging the two
+    # register tables must equal the one-shot table
+    a = hll_registers(df.limit(500), "user_id", m=256)
+    merged = (
+        a.unionByName(hll_registers(df, "user_id", m=256))
+        .groupBy("register")
+        .agg({"max_rank": "max"})
+        .withColumnRenamed("max(max_rank)", "max_rank")
+    )
+    got = {r["register"]: r["max_rank"] for r in merged.collect()}
+    want = {r["register"]: r["max_rank"] for r in rows}
+    assert got == want
