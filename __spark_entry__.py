@@ -1635,6 +1635,47 @@ def q_events_hll_registers(spark, sf_dir):
     return hll_registers(_t(spark, sf_dir, "events"), "user_id", m=256)
 
 
+def q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup: cosine >= 0.3 within k-means clusters drops the
+    semantically redundant copy (lower-rank survivor kept) — pairwise
+    work bounded to N^2/k by the clustering, decisions exact-integer."""
+    from crawler_spark.pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2,
+        threshold_num=3, threshold_den=10,
+    )
+
+
+def q_events_lateness(spark, sf_dir):
+    """Event-time disorder profile vs a simulated multi-source arrival
+    order (deterministic md5 permutation) — the measurement that sizes a
+    streaming watermark delay. One sessionize-shaped window per user."""
+    from crawler_spark.pipeline.events import lateness_profile
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_arr", F.md5(F.col("event_id").cast("string"))
+    )
+    return lateness_profile(ev, "_arr", late_threshold_s=86400)
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from a seed supplier set (suppkey % 11 = 0)
+    — the focused-crawl / TrustRank priority signal; unreached nodes stay
+    at exactly 0."""
+    from crawler_spark.pipeline.graph import ppr
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter("l_suppkey % 11 = 0")
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonical_keys": q_crawl_canonical_keys,
@@ -1757,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "docs_quantile_sketch": q_docs_quantile_sketch,
         "events_hll_registers": q_events_hll_registers,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "events_lateness": q_events_lateness,
+        "graph_ppr": q_graph_ppr,
         "text_bpe_encode": q_text_bpe_encode,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
         "crawl_anchor_text": q_crawl_anchor_text,
@@ -1871,6 +1915,39 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 10
                        JOIN od ON od.src = e.src
                 GROUP BY e.dst
             ) s ON s.node = n.node
+        )""")
+    parts.append(f' SELECT node, "rank" FROM r{iters}')
+    return "".join(parts)
+
+
+def _ppr_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 100) -> str:
+    """Unrolled exact-integer PERSONALIZED PageRank (mirrors
+    pipeline/graph.py ppr): r0 = scale on seeds / 0 elsewhere, teleport
+    paid only to seeds, every division floor division."""
+    teleport = (dd - dn) * scale // dd
+    parts = [
+        f"WITH {_EDGE_CTE}, "
+        "sd AS (SELECT DISTINCT 's:' || l_suppkey AS node FROM lineitem"
+        " WHERE l_suppkey % 11 = 0), "
+        "b AS (SELECT n.node,"
+        f" CASE WHEN sd.node IS NOT NULL THEN CAST({teleport} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS t,"
+        f" CASE WHEN sd.node IS NOT NULL THEN CAST({scale} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS rr"
+        " FROM n LEFT JOIN sd ON sd.node = n.node), "
+        'r0 AS (SELECT node, rr AS "rank" FROM b)'
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        r{t} AS (
+            SELECT b.node,
+                   CAST(b.t + {dn} * coalesce(s.s, 0) // {dd} AS BIGINT) AS "rank"
+            FROM b LEFT JOIN (
+                SELECT e.dst AS node, sum(r{t - 1}."rank" // od.od) AS s
+                FROM e JOIN r{t - 1} ON r{t - 1}.node = e.src
+                       JOIN od ON od.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = b.node
         )""")
     parts.append(f' SELECT node, "rank" FROM r{iters}')
     return "".join(parts)
@@ -3986,6 +4063,53 @@ def oracle_sql() -> dict[str, str]:
         # crawl_e2e_order: the stateful round loop is not SQL-expressible,
         # but its expected output on the deterministic fixture is — the
         # pure-Python oracle's order, inlined as VALUES.
+        "graph_ppr": _ppr_sql(iters=3),
+        "sim_semantic_dedup": f"""
+            WITH km AS ({_kmeans_sql(k=4, iters=2)}),
+            q2 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+                FROM embeddings
+            ),
+            base AS (
+                SELECT km.vec_id, km.cluster, km.d2, q2.qe,
+                       CAST(list_dot_product(q2.qe::DOUBLE[], q2.qe::DOUBLE[]) AS BIGINT) AS qq
+                FROM km JOIN q2 USING (vec_id)
+            ),
+            drops AS (
+                SELECT DISTINCT b.vec_id
+                FROM base a JOIN base b
+                  ON a.cluster = b.cluster
+                 AND (a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+                WHERE CAST(list_dot_product(a.qe::DOUBLE[], b.qe::DOUBLE[]) AS BIGINT) > 0
+                  AND 100 * CAST(list_dot_product(a.qe::DOUBLE[], b.qe::DOUBLE[]) AS BIGINT)
+                          * CAST(list_dot_product(a.qe::DOUBLE[], b.qe::DOUBLE[]) AS BIGINT)
+                      >= 9 * a.qq * b.qq
+            )
+            SELECT km.vec_id, km.cluster, (d.vec_id IS NULL) AS keep
+            FROM km LEFT JOIN drops d ON d.vec_id = km.vec_id
+        """,
+        "events_lateness": """
+            WITH x AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                       md5(CAST(event_id AS VARCHAR)) AS arr
+                FROM events
+            ),
+            y AS (
+                SELECT user_id,
+                       greatest(0, coalesce(max(us) OVER (
+                           PARTITION BY user_id ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0)) AS late_us
+                FROM x
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over,
+                   CAST(max(late_us) AS BIGINT) AS max_late_us
+            FROM y GROUP BY user_id
+        """,
         "events_hll_registers": """
             WITH v AS (
                 SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "docs_quantile_sketch",
     "crawl_anchor_text",
     "crawl_domain_budget",
+    "sim_semantic_dedup",
+    "graph_ppr",
+    "events_lateness",
+    "events_hll_registers",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

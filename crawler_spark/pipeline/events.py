@@ -324,3 +324,48 @@ def rfm_scores(events: DataFrame) -> DataFrame:
             F.length(F.bin(F.greatest(F.col("cents"), F.lit(0)) + 1)).cast("int").alias("m_bucket"),
         )
     )
+
+
+def lateness_profile(
+    events: DataFrame, arrival_col: str, late_threshold_s: int = 60
+) -> DataFrame:
+    """(user_id, n_events, n_late, n_late_over, max_late_us): per-key
+    event-time disorder relative to an ARRIVAL order — the measurement
+    that sizes a Structured Streaming watermark (``withWatermark`` delay =
+    the lateness quantile you are willing to wait for; everything beyond
+    it is dropped). Run it on a replayed day of traffic before picking
+    the delay, instead of guessing.
+
+    ``arrival_col`` is whatever models arrival: an ingest offset, a file
+    sequence number, or a deterministic permutation when simulating a
+    multi-source merge. An event is late by (running max of earlier
+    events' event-times) - (its own event-time), clamped at zero —
+    exactly the quantity a watermark compares against.
+
+    Shape: ONE window partitioned by the key ordered by arrival (O(1)
+    running state per row — the same sessionize shape), then a
+    partial->final rollup per key. Integer micros throughout.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(F.lit(0).cast("long"), F.max(us).over(w) - us)
+    x = events.select(
+        "user_id", F.coalesce(late, F.lit(0)).cast("long").alias("late_us")
+    )
+    return x.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(
+            F.when(
+                F.col("late_us") > F.lit(int(late_threshold_s) * 1_000_000).cast("long"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_late_over"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )

@@ -515,3 +515,76 @@ def neighbor_jaccard(
         )
         .select("node_a", "node_b", "inter", "un")
     )
+
+
+def ppr(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """(node, rank): exact-integer PERSONALIZED PageRank — random walks
+    restart at the ``seeds`` relation instead of uniformly, so mass
+    concentrates around the seed neighborhood. This is the focused-crawl
+    priority signal: seed the walk at trusted/topic hosts and the ranks
+    say which frontier hosts are worth budget (TrustRank-style), where
+    global PageRank would happily fund an off-topic hub.
+
+    Same exact integer recurrence as :func:`pagerank` (every division a
+    floor division, bit-identical to the SQL oracle) with two changes:
+    r_0 = scale on seeds / 0 elsewhere, and the teleport term pays
+    (damp_den-damp_num)*scale DIV damp_den only to seeds. Nodes unreached
+    from the seed set stay at exactly 0 — their rank is not padded.
+
+    Scale shape: identical to pagerank (two keyed exchanges per
+    iteration, constant plan via localCheckpoint); the seed relation
+    joins broadcast (seed lists are small by definition).
+    """
+    if damp_num * scale <= 0 or damp_num >= damp_den:
+        raise ValueError("need 0 < damp_num < damp_den and positive scale")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("od"))
+    teleport = (damp_den - damp_num) * scale // damp_den
+    s = F.broadcast(seeds.select("node").distinct().withColumn("_is_seed", F.lit(1)))
+    base = nodes.join(s, "node", "left").select(
+        "node",
+        F.when(F.col("_is_seed").isNotNull(), F.lit(int(teleport)))
+        .otherwise(F.lit(0)).cast("long").alias("_t"),
+        F.when(F.col("_is_seed").isNotNull(), F.lit(int(scale)))
+        .otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    base = base.cache()
+    ranks = base.select("node", "rank").localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outd, "src")
+            .select("dst", F.expr("rank DIV od").alias("c"))
+        )
+        inflow = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            base.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_t")
+                    + F.expr(f"{damp_num} * coalesce(s, 0) DIV {damp_den}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    base.unpersist()
+    return ranks

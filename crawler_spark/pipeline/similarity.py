@@ -670,3 +670,76 @@ def ivf_recall(
             F.expr("(100 * n_hit) DIV n_exact").alias("recall_pct"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    sim_scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cluster, keep): SemDeDup (Abbas et al. 2023) — semantic
+    deduplication by cosine similarity WITHIN k-means clusters. A point is
+    dropped when some same-cluster point of LOWER rank (closer to the
+    centroid; (d2, vec_id) lexicographic, fully deterministic) has cosine
+    >= threshold with it — removing semantically redundant documents that
+    minhash-style lexical dedup cannot see.
+
+    The clustering is the entire scale story: pairwise cosine is only ever
+    computed inside a cluster, so cost is sum(|cluster|^2) ~= N^2/k instead
+    of N^2, and k grows with the corpus (the paper runs k ~= sqrt(N)).
+    At 100 TB the within-cluster join is further bounded by capping cluster
+    size (re-splitting fat clusters with a second k-means round).
+
+    All decisions are exact integers: vectors re-quantized at ``sim_scale``
+    (coarser than the k-means scale so dot^2 stays far inside int64:
+    dot <= dim*scale^2 = 6.4e7 at dim 64 -> dot^2 ~ 4e15), and
+    cos(a,b) >= num/den evaluated as
+    dot > 0 AND den^2*dot^2 >= num^2*qq_a*qq_b — no square roots, no
+    floats, bit-identical in any engine.
+    """
+    asg = kmeans_quantized(embeddings, k=k, iters=iters)
+    dot = lambda u, v: F.aggregate(  # noqa: E731 — index-order fold
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    q = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {sim_scale}) AS BIGINT))"
+        ).alias("qe"),
+    )
+    base = (
+        asg.join(q, "vec_id")
+        .withColumn("qq", dot(F.col("qe"), F.col("qe")))
+        .select("vec_id", "cluster", "d2", "qe", "qq")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    rank_lt = (F.col("a.d2") < F.col("b.d2")) | (
+        (F.col("a.d2") == F.col("b.d2")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    pdot = dot(F.col("a.qe"), F.col("b.qe"))
+    num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
+    dropped = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & rank_lt)
+        .withColumn("_dot", pdot)
+        .filter(
+            (F.col("_dot") > 0)
+            & (F.lit(den2) * F.col("_dot") * F.col("_dot")
+               >= F.lit(num2) * F.col("a.qq") * F.col("b.qq"))
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        asg.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

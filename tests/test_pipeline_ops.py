@@ -1309,3 +1309,60 @@ def test_hll_registers(spark):
     got = {r["register"]: r["max_rank"] for r in merged.collect()}
     want = {r["register"]: r["max_rank"] for r in rows}
     assert got == want
+
+
+def test_semantic_dedup(spark):
+    from crawler_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # seeds / cluster reps
+            (2, [0.99, 0.01]), (3, [0.01, 0.99]),      # near-dups of 0 / 1
+            (4, [-0.2, -0.9]),                          # negative cos: kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(emb, k=2, iters=2, threshold_num=3, threshold_den=10).collect()}
+    # exactly one survivor per near-dup pair (rank decides which), and the
+    # negative-cosine vector is never dropped
+    assert got[0] != got[2] and got[1] != got[3]
+    assert got[4] is True
+    assert sum(got.values()) == 3
+
+
+def test_lateness_profile(spark):
+    import datetime as dt
+
+    from crawler_spark.pipeline.events import lateness_profile
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [  # arrival order a,b,c with event times 30s, 10s, 20s
+        ("u1", "a", base + dt.timedelta(seconds=30)),
+        ("u1", "b", base + dt.timedelta(seconds=10)),
+        ("u1", "c", base + dt.timedelta(seconds=20)),
+        ("u2", "a", base), ("u2", "b", base + dt.timedelta(seconds=5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, arr string, ts timestamp")
+    got = {r["user_id"]: r.asDict()
+           for r in lateness_profile(ev, "arr", late_threshold_s=15).collect()}
+    assert got["u1"]["n_events"] == 3 and got["u1"]["n_late"] == 2
+    assert got["u1"]["max_late_us"] == 20_000_000
+    assert got["u1"]["n_late_over"] == 1  # only the 20s event exceeds 15s
+    assert got["u2"]["n_late"] == 0 and got["u2"]["max_late_us"] == 0
+
+
+def test_ppr(spark):
+    from crawler_spark.pipeline.graph import ppr
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"] for r in ppr(edges, seeds, iters=2).collect()}
+    # teleport = 15e9//100 = 150000000 paid only to 'a'
+    assert got["a"] == 150_000_000
+    assert got["b"] == 85 * 150_000_000 // 100
+    assert got["c"] == 85 * 850_000_000 // 100
+    assert got["d"] == 0 and got["e"] == 0  # unreached: exactly zero
