@@ -1366,3 +1366,112 @@ def test_ppr(spark):
     assert got["b"] == 85 * 150_000_000 // 100
     assert got["c"] == 85 * 850_000_000 // 100
     assert got["d"] == 0 and got["e"] == 0  # unreached: exactly zero
+
+
+# ---- property layer for the round-2 sketch/tokenizer/coverage ops ----
+# (pure-Python brute force as the oracle; one Spark session, small frames)
+
+def _ref_bpe(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_fuzz(spark):
+    """bpe_encode's chained-replace rendering == classic leftmost
+    exhaustive merge application, over an adversarial word list (runs,
+    overlaps, merge-cascades)."""
+    from crawler_spark.pipeline.textstats import BPE_MERGES, bpe_encode
+
+    words = [
+        "ththth", "thethe", "aaaa", "ananan", "andand", "rere", "erer",
+        "st", "sthe", "thin", "and", "standard", "restarter", "ononon",
+        "outshine", "theretherethere", "in", "ine", "nin", "a",
+    ]
+    d = _docs(spark, [(1, " ".join(words), "en", "s", 0)])
+    r = bpe_encode(d).collect()[0]
+    want = sum(len(_ref_bpe(w, BPE_MERGES)) for w in words)
+    assert r["n_symbols"] == want
+    assert r["n_words"] == len(words)
+
+
+def _ref_dup_coverage(docs, n):
+    # brute-force interval union of cross-doc duplicated n-grams
+    from collections import defaultdict
+
+    toks = {i: t.split() for i, t in docs.items()}
+    gram_docs = defaultdict(set)
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            gram_docs[tuple(ts[p:p + n])].add(i)
+    out = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        offs, o = [], 0
+        for t in ts:
+            offs.append(o)
+            o += len(t) + 1
+        canon = sum(map(len, ts)) + len(ts) - 1
+        ivals = []
+        for p in range(len(ts) - n + 1):
+            if len(gram_docs[tuple(ts[p:p + n])]) >= 2:
+                g = " ".join(ts[p:p + n])
+                ivals.append((offs[p], offs[p] + len(g)))
+        cov, cur_end = 0, -1
+        for s, e in sorted(ivals):
+            if s > cur_end:
+                cov += e - s
+                cur_end = e
+            elif e > cur_end:
+                cov += e - cur_end
+                cur_end = e
+        out[i] = (canon, cov)
+    return out
+
+
+def test_dup_ngram_coverage_fuzz(spark):
+    from crawler_spark.pipeline.textstats import dup_ngram_coverage
+
+    import random
+
+    rnd = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = {
+        i: " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 25)))
+        for i in range(12)
+    }
+    d = _docs(spark, [(i, t, "en", "s", 0) for i, t in docs.items()])
+    got = {r["doc_id"]: (r["canon_chars"], r["dup_chars"])
+           for r in dup_ngram_coverage(d, n=3).collect()}
+    want = _ref_dup_coverage(docs, 3)
+    assert got == want
+
+
+def test_quantile_sketch_bound_fuzz(spark):
+    """The sketch's contract: for each q, the true q-th percentile lies
+    within the reported bucket's value range (2^(bucket-1) .. 2^bucket-1,
+    plus 0..1 for bucket 1)."""
+    import random
+
+    from crawler_spark.pipeline.textstats import quantile_sketch
+
+    rnd = random.Random(11)
+    vals = [rnd.randint(0, 100000) for _ in range(300)]
+    d = _docs(spark, [(i, "x", "en", "s", v) for i, v in enumerate(vals)])
+    got = {r["q"]: r.asDict() for r in quantile_sketch(d).collect()}
+    sv = sorted(vals)
+    for q, row in got.items():
+        true_q = sv[min(len(sv) - 1, (q * len(sv) + 99) // 100 - 1)]
+        lo = 0 if row["bucket"] <= 1 else 1 << (row["bucket"] - 1)
+        assert lo <= true_q <= row["upper_bound"], (q, true_q, row)
