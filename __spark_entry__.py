@@ -1676,6 +1676,57 @@ def q_graph_ppr(spark, sf_dir):
     return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
 
 
+def q_text_idf_drift(spark, sf_dir):
+    """Vocabulary drift between two deterministic corpus halves — the
+    distribution-shift monitor run before a new crawl batch joins a
+    training mix. One conditional-sum aggregation, no half-vs-half join."""
+    from crawler_spark.pipeline.textstats import idf_drift
+
+    return idf_drift(_t(spark, sf_dir, "documents"), min_df=3, top=100)
+
+
+def q_crawl_canonical_collisions(spark, sf_dir):
+    """Canonicalization-as-dedup report: raw URL variants (case, default
+    port, query order, fragments) that collapse onto one canonical URL,
+    through the engine's own canonicalizer — the dup-family audit a crawl
+    runs to quantify how much fetch budget canonicalization saves."""
+    from crawler_spark.operators.canon import with_canonical
+
+    o = _t(spark, sf_dir, "orders")
+    variants = o.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://Shop.Example.COM:80/i/"),
+                    F.col("o_orderkey"), F.lit("?b=2&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("http://shop.example.com/i/"),
+                    F.col("o_orderkey"), F.lit("?a=1&b=2"),
+                ),
+                # every third order also gets a distinct-query variant that
+                # must NOT collapse into the family
+                F.when(
+                    F.col("o_orderkey") % 3 == 0,
+                    F.concat(
+                        F.lit("http://shop.example.com/i/"),
+                        F.col("o_orderkey"), F.lit("?a=2&b=2"),
+                    ),
+                ),
+            )
+        ).alias("url")
+    ).filter(F.col("url").isNotNull()).withColumn("method", F.lit("GET"))
+    canon = with_canonical(variants, "url")
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.count_distinct("url").cast("long").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonical_keys": q_crawl_canonical_keys,
@@ -1799,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quantile_sketch": q_docs_quantile_sketch,
         "events_hll_registers": q_events_hll_registers,
         "sim_semantic_dedup": q_sim_semantic_dedup,
+        "text_idf_drift": q_text_idf_drift,
+        "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
         "graph_ppr": q_graph_ppr,
         "text_bpe_encode": q_text_bpe_encode,
@@ -4064,6 +4117,51 @@ def oracle_sql() -> dict[str, str]:
         # but its expected output on the deterministic fixture is — the
         # pure-Python oracle's order, inlined as VALUES.
         "graph_ppr": _ppr_sql(iters=3),
+        "text_idf_drift": f"""
+            WITH inst AS (
+                SELECT DISTINCT doc_id, doc_id % 2 = 0 AS a,
+                       unnest({_TOKS}) AS term
+                FROM documents
+            ),
+            tot AS (
+                SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                FROM documents
+            ),
+            per AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+                       CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS df_b
+                FROM inst GROUP BY term
+                HAVING count(*) >= 3
+            )
+            SELECT term, df_a, df_b,
+                   CAST(length(bin(n_a // greatest(df_a, 1))) AS INT) AS idf_bits_a,
+                   CAST(length(bin(n_b // greatest(df_b, 1))) AS INT) AS idf_bits_b,
+                   CAST(abs(length(bin(n_a // greatest(df_a, 1)))
+                            - length(bin(n_b // greatest(df_b, 1)))) AS INT) AS drift_bits
+            FROM per CROSS JOIN tot
+            ORDER BY drift_bits DESC, df_a + df_b DESC, term
+            LIMIT 100
+        """,
+        "crawl_canonical_collisions": """
+            WITH raw AS (
+                SELECT 'HTTP://Shop.Example.COM:80/i/' || o_orderkey || '?b=2&a=1#frag' AS url,
+                       'http://shop.example.com/i/' || o_orderkey || '?a=1&b=2' AS curl
+                FROM orders
+                UNION ALL
+                SELECT 'http://shop.example.com/i/' || o_orderkey || '?a=1&b=2',
+                       'http://shop.example.com/i/' || o_orderkey || '?a=1&b=2'
+                FROM orders
+                UNION ALL
+                SELECT 'http://shop.example.com/i/' || o_orderkey || '?a=2&b=2',
+                       'http://shop.example.com/i/' || o_orderkey || '?a=2&b=2'
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT curl, CAST(count(*) AS BIGINT) AS n_raw,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+            FROM raw GROUP BY curl HAVING count(DISTINCT url) >= 2
+        """,
         "sim_semantic_dedup": f"""
             WITH km AS ({_kmeans_sql(k=4, iters=2)}),
             q2 AS (

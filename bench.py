@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "graph_ppr",
     "events_lateness",
     "events_hll_registers",
+    "text_idf_drift",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

@@ -1255,3 +1255,50 @@ def hll_registers(df: DataFrame, value_col: str, m: int = 256) -> DataFrame:
             F.count_distinct("_hh").cast("long").alias("n_distinct"),
         )
     )
+
+
+def idf_drift(
+    documents: DataFrame, min_df: int = 3, top: int = 100
+) -> DataFrame:
+    """(term, df_a, df_b, idf_bits_a, idf_bits_b, drift_bits): vocabulary
+    drift between two deterministic halves of the corpus (doc_id parity)
+    — the distribution-shift monitor a continuously-ingesting pipeline
+    runs before a new crawl batch contaminates training mixes (a term
+    whose idf moves is a topic surging or a new boilerplate family).
+
+    idf_bits = bit_length(N_half div df_half) — the same integer idf
+    surrogate as tfidf_topterms, so drift_bits = |idf_bits_a - idf_bits_b|
+    is exact and engine-portable. Split-by-parity generalizes to
+    split-by-day/source by swapping the partition expression.
+
+    Shape: ONE distinct (doc, term) explode, then a single partial->final
+    aggregation with conditional sums (no join between the halves —
+    both df columns come out of the same group row); the report is a
+    sort-limit over the min_df-filtered vocabulary.
+    """
+    inst = documents.select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("_a"),
+        F.explode(tokens_col()).alias("term"),
+    ).distinct()
+    totals = documents.select(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    per = inst.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("df_a"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).cast("long").alias("df_b"),
+    )
+    bits = lambda n, df: F.length(F.bin(F.expr(f"{n} div greatest({df}, 1)"))).cast("int")  # noqa: E731
+    return (
+        per.filter((F.col("df_a") + F.col("df_b")) >= min_df)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf_bits_a", bits("n_a", "df_a"))
+        .withColumn("idf_bits_b", bits("n_b", "df_b"))
+        .withColumn(
+            "drift_bits",
+            F.abs(F.col("idf_bits_a") - F.col("idf_bits_b")).cast("int"),
+        )
+        .select("term", "df_a", "df_b", "idf_bits_a", "idf_bits_b", "drift_bits")
+        .orderBy(F.desc("drift_bits"), F.desc(F.col("df_a") + F.col("df_b")), "term")
+        .limit(top)
+    )
