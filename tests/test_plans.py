@@ -313,3 +313,86 @@ def test_retention_single_user_exchange_reuse(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(retention_cohorts(ev))
     assert "Window" not in plan, plan
+
+
+def test_anchor_text_no_window_partial_agg(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import anchor_text
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    links = li.select(
+        F.col("l_orderkey").cast("string").alias("src"),
+        F.col("l_partkey").cast("string").alias("dst"),
+        F.col("l_returnflag").alias("anchor"),
+    )
+    plan = _plan(anchor_text(links))
+    # plurality pick is a min(struct) aggregation — never a per-dst window
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_domain_budget_broadcasts_suffixes(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import domain_budget
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    fr = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 5).cast("string"),
+                 F.lit(".co.example")).alias("host")
+    )
+    sfx = spark.createDataFrame(
+        [("example",), ("co.example",)], "suffix string"
+    )
+    plan = _plan(domain_budget(fr, sfx))
+    # the public-suffix theta-join must broadcast the suffix list, and the
+    # longest-match pick is an aggregation, not a window
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dup_ngram_coverage_windows_are_doc_partitioned(spark):
+    from crawler_spark.pipeline.textstats import dup_ngram_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_ngram_coverage(docs, n=4))
+    # every Window in the plan is partitioned by doc_id — an unpartitioned
+    # island sweep would serialize the corpus through one task
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), m.group(0)
+    assert "windowspecdefinition" in plan, plan
+
+
+def test_quantile_sketch_no_window_no_sort(spark):
+    from crawler_spark.pipeline.textstats import quantile_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quantile_sketch(docs))
+    # cumulation is the <=64x64 bucket self-join — no global sort, no window
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+
+
+def test_semantic_dedup_joins_on_cluster_not_cartesian(spark):
+    from crawler_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=2, iters=1))
+    # the pairwise stage must key on cluster equality (N^2/k), never a
+    # cartesian product of the corpus with itself
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_idf_drift_single_agg_no_join_between_halves(spark):
+    from crawler_spark.pipeline.textstats import idf_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(idf_drift(docs))
+    # both halves' dfs come from ONE conditional-sum aggregation; the only
+    # join is the 1-row totals broadcast
+    joins = len(re.findall(
+        r"\(\d+\) (?:BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan,
+    ))
+    assert joins <= 1, plan
