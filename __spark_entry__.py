@@ -1529,6 +1529,40 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HLL-register fold (applyInPandasWithState, one int of
+    state per register) driven end-to-end with an availableNow file
+    stream; the sink fold groupBy(register).max IS the sketch's own merge
+    operator, and max over ranks is order/batching-independent — so the
+    result provably equals the batch register table, which is the oracle."""
+    import tempfile
+
+    from crawler_spark.streaming.hll import streaming_hll
+
+    h = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    ev = _t(spark, sf_dir, "events").selectExpr(f"{h} AS h")
+    d = tempfile.mkdtemp(prefix="entry_streamhll_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/hashes")
+    stream = spark.readStream.schema("h long").parquet(f"{d}/hashes")
+    sink = "entry_stream_hll"
+    q = (
+        streaming_hll(stream, m=256)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT register, CAST(max(max_rank) AS INT) AS max_rank "
+        f"FROM {sink} GROUP BY register"
+    )
+
+
 def q_crawl_e2e_order(spark, sf_dir):
     """Full crawl-engine micro-round E2E on the deterministic fixture
     (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
@@ -1847,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_funnel": q_stream_funnel,
         "stream_sessionize": q_stream_sessionize,
+        "stream_hll": q_stream_hll,
         "docs_quantile_sketch": q_docs_quantile_sketch,
         "events_hll_registers": q_events_hll_registers,
         "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -4207,6 +4242,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over,
                    CAST(max(late_us) AS BIGINT) AS max_late_us
             FROM y GROUP BY user_id
+        """,
+        "stream_hll": """
+            WITH v AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events
+            ),
+            r AS (SELECT CAST(h % 256 AS INT) AS register, h // 256 AS w FROM v)
+            SELECT register,
+                   CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS INT) AS max_rank
+            FROM r GROUP BY register
         """,
         "events_hll_registers": """
             WITH v AS (

@@ -225,3 +225,51 @@ def test_streaming_sessionize_state_carries_across_batches(spark, tmpdir_):
     assert sorted(per_user[7]) == [(1, 2), (1, 3), (2, 1)]
     # user 8: session 1 @ 1, then the 3600s gap opens session 2
     assert sorted(per_user[8]) == [(1, 1), (2, 1)]
+
+
+def test_streaming_hll_matches_batch_across_batches(spark, tmpdir_):
+    from crawler_spark.pipeline.textstats import hll_registers
+    from crawler_spark.streaming.hll import streaming_hll
+
+    src = f"{tmpdir_}/hll"
+    os.makedirs(src)
+    vals = list(range(200))
+    batch_df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    h_expr = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    hashes = batch_df.selectExpr(f"{h_expr} AS h")
+    # split the same values into two files -> two micro-batches
+    half = len(vals) // 2
+    for name, lo, hi in (("f1", 0, half), ("f2", half, len(vals))):
+        spark.createDataFrame([(v,) for v in vals[lo:hi]], "user_id long").selectExpr(
+            f"{h_expr} AS h"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_hll(stream, m=64)
+        .writeStream.format("memory")
+        .queryName("hllout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_h")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    folded = {
+        r["register"]: r["mx"]
+        for r in spark.sql(
+            "SELECT register, max(max_rank) AS mx FROM hllout GROUP BY register"
+        ).collect()
+    }
+    want = {
+        r["register"]: r["max_rank"]
+        for r in hll_registers(batch_df, "user_id", m=64).collect()
+    }
+    # stream fold == batch sketch, across micro-batch boundaries
+    assert folded == want
