@@ -1529,6 +1529,53 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_graph_hostgraph(spark, sf_dir):
+    """URL link graph collapsed to the weighted host graph (one keyed
+    aggregation; map-side host regexp) — the granularity budgets and
+    host-level PageRank live at. Synthetic URL edges from lineitem."""
+    from crawler_spark.pipeline.graph import host_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.expr(
+            "concat('http://h', l_orderkey % 40, '.example/p/', l_orderkey)"
+        ).alias("src_url"),
+        F.expr(
+            "concat('http://h', l_partkey % 25, '.example/i/', l_partkey)"
+        ).alias("dst_url"),
+    )
+    return host_graph(edges)
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Per-node reciprocated-edge fraction (link-farm signal) over a
+    directed supplier->supplier graph derived from shared orders with an
+    asymmetric direction rule, so reciprocity is non-trivial."""
+    from crawler_spark.pipeline.graph import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    # direction: edge u->v when u+v even for u<v pairs, both directions
+    # when the order key is divisible by 3 (the reciprocated subset)
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & ((F.col("src") + F.col("dst")) % 2 == 0)
+            | (F.col("ok") % 3 == 0)
+        )
+        .select("src", "dst")
+    )
+    return reciprocity(pairs)
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming HLL-register fold (applyInPandasWithState, one int of
     state per register) driven end-to-end with an availableNow file
@@ -1882,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "stream_sessionize": q_stream_sessionize,
         "stream_hll": q_stream_hll,
+        "graph_hostgraph": q_graph_hostgraph,
+        "graph_reciprocity": q_graph_reciprocity,
         "docs_quantile_sketch": q_docs_quantile_sketch,
         "events_hll_registers": q_events_hll_registers,
         "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -4242,6 +4291,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over,
                    CAST(max(late_us) AS BIGINT) AS max_late_us
             FROM y GROUP BY user_id
+        """,
+        "graph_hostgraph": """
+            WITH e AS (
+                SELECT 'http://h' || (l_orderkey % 40) || '.example/p/' || l_orderkey AS src_url,
+                       'http://h' || (l_partkey % 25) || '.example/i/' || l_partkey AS dst_url
+                FROM lineitem
+            )
+            SELECT lower(regexp_extract(src_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+                   lower(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+            FROM e GROUP BY 1, 2
+        """,
+        "graph_reciprocity": """
+            WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            p AS (
+                SELECT a.l_suppkey AS src, b.l_suppkey AS dst, a.l_orderkey AS ok
+                FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey <> b.l_suppkey
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM p
+                WHERE (src < dst AND (src + dst) % 2 = 0) OR ok % 3 = 0
+            )
+            SELECT e.src AS node,
+                   CAST(count(*) AS BIGINT) AS out_deg,
+                   CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+                   CAST(10000 * sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS reciprocity_bp
+            FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+            GROUP BY e.src
         """,
         "stream_hll": """
             WITH v AS (

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "events_lateness",
     "events_hll_registers",
     "text_idf_drift",
+    "graph_hostgraph",
+    "graph_reciprocity",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

@@ -588,3 +588,64 @@ def ppr(
     e.unpersist()
     base.unpersist()
     return ranks
+
+
+def host_graph(
+    url_edges: DataFrame, src: str = "src_url", dst: str = "dst_url"
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages): collapse a URL-level
+    link graph to the host graph — the standard preprocessing step before
+    host-level PageRank/components (10^10 URL edges -> 10^7-node host
+    graph), and the granularity politeness budgets actually live at.
+    Self-loops (intra-host navigation, usually >90% of links) are kept as
+    rows so the consumer chooses; n_src_pages makes the edge weight
+    normalizable (links per linking page, the spam-resistant variant).
+
+    Shape: host extraction is map-side regexp; then ONE partial->final
+    aggregation keyed on (src_host, dst_host) — hot host pairs collapse
+    map-side; the distinct page count aggregates in the same group row.
+    """
+    hp = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    return (
+        url_edges.select(
+            F.lower(F.regexp_extract(F.col(src), hp, 1)).alias("src_host"),
+            F.lower(F.regexp_extract(F.col(dst), hp, 1)).alias("dst_host"),
+            F.col(src).alias("_sp"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.count_distinct("_sp").cast("long").alias("n_src_pages"),
+        )
+    )
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg, n_reciprocal, reciprocity_bp): fraction of a node's
+    out-edges that are reciprocated — the classic link-farm signal
+    (organic web linking is strongly asymmetric; mutual-admiration spam
+    rings reciprocate at many times the background rate).
+
+    Shape: dedupe the edge relation, one self-join keyed on the REVERSED
+    edge (equi-join on both endpoints — never a per-node fan-out), then a
+    per-src aggregation. A hub with 10^6 out-edges costs its edge count,
+    not its degree squared.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v")).withColumn(
+        "_r", F.lit(1)
+    )
+    return (
+        e.join(rev, ["u", "v"], "left")
+        .groupBy(F.col("u").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("out_deg"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity_bp",
+            F.expr("CAST(10000 * n_reciprocal div out_deg AS BIGINT)"),
+        )
+    )

@@ -259,3 +259,38 @@ def test_kcore_peels_pendant_chain(spark):
     got = {r["node"]: r["in_core"] for r in kcore_peel(df, core_k=2, iters=4).collect()}
     assert got == {"a": True, "b": True, "c": True,
                    "p1": False, "p2": False, "p3": False}
+
+
+def test_host_graph(spark):
+    from crawler_spark.pipeline.graph import host_graph
+
+    e = spark.createDataFrame(
+        [
+            ("http://A.com/p1", "http://b.com/x"),
+            ("http://a.com/p1", "http://B.com/y"),  # same pair after lower()
+            ("http://a.com/p2", "http://b.com/z"),
+            ("http://a.com/p1", "http://a.com/nav"),  # self-loop kept
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src_host"], r["dst_host"]): r.asDict() for r in host_graph(e).collect()}
+    ab = got[("a.com", "b.com")]
+    assert ab["n_links"] == 3
+    # case-variant URLs are distinct pages (host lowered, URL not)
+    assert ab["n_src_pages"] == 3
+    assert got[("a.com", "a.com")]["n_links"] == 1
+
+
+def test_reciprocity(spark):
+    from crawler_spark.pipeline.graph import reciprocity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("a", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r.asDict() for r in reciprocity(e).collect()}
+    # a: out {b, c} (self-loop and dup dropped); only a->b reciprocated
+    assert got["a"]["out_deg"] == 2 and got["a"]["n_reciprocal"] == 1
+    assert got["a"]["reciprocity_bp"] == 5000
+    assert got["b"]["out_deg"] == 1 and got["b"]["n_reciprocal"] == 1
+    assert got["c"]["n_reciprocal"] == 0
