@@ -1757,6 +1757,25 @@ def q_graph_ppr(spark, sf_dir):
     return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
 
 
+def q_dedup_band_sweep(spark, sf_dir):
+    """Banding-parameter tuning table: the LSH confusion matrix swept
+    over (hashes, band_size) configs against one exact-Jaccard truth set
+    — precision/recall per config from one result."""
+    from crawler_spark.pipeline.dedup import lsh_band_sweep
+
+    return lsh_band_sweep(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_cascade(spark, sf_dir):
+    """Per-stage dedup cascade accounting: exact content-hash first, then
+    minhash-LSH components over the exact survivors — the removal report
+    published next to a dataset card. Stage populations are 1-row
+    aggregates composed lazily (no collect)."""
+    from crawler_spark.pipeline.dedup import dedup_cascade
+
+    return dedup_cascade(_t(spark, sf_dir, "documents"))
+
+
 def q_text_idf_drift(spark, sf_dir):
     """Vocabulary drift between two deterministic corpus halves — the
     distribution-shift monitor run before a new crawl batch joins a
@@ -1935,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_registers": q_events_hll_registers,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "text_idf_drift": q_text_idf_drift,
+        "dedup_cascade": q_dedup_cascade,
+        "dedup_band_sweep": q_dedup_band_sweep,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
         "graph_ppr": q_graph_ppr,
@@ -2055,6 +2076,66 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 10
         )""")
     parts.append(f' SELECT node, "rank" FROM r{iters}')
     return "".join(parts)
+
+
+def _lsh_sweep_sql(configs=((6, 3), (9, 3), (12, 4))) -> str:
+    """Banding-parameter sweep oracle: per-config candidate sets (same
+    sig/bands construction as dedup_lsh_quality, generalized over
+    (num_hashes, band_size)) against the one exact-Jaccard truth set."""
+    ctes = [_SHINGLES_CTE]
+    selects = []
+    for H, b in configs:
+        label = f"h{H}_b{b}"
+        n_bands = H // b
+        sig = (
+            f"sig_{label} AS (SELECT doc_id, "
+            + ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(H))
+            + " FROM sh GROUP BY doc_id)"
+        )
+        bands = (
+            f"bands_{label} AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {bb} AS band, "
+                f"md5({' || '.join(f'mh{bb * b + j}' for j in range(b))}) AS band_key "
+                f"FROM sig_{label}"
+                for bb in range(n_bands)
+            )
+            + ")"
+        )
+        cand = (
+            f"cand_{label} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM bands_{label} a JOIN bands_{label} b "
+            f"ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+        )
+        ctes += [sig, bands, cand]
+        selects.append(
+            f"SELECT '{label}' AS config,"
+            " coalesce(c.doc_a IS NOT NULL, FALSE) AS in_lsh,"
+            " coalesce(t.doc_a IS NOT NULL, FALSE) AS is_true,"
+            " CAST(count(*) AS BIGINT) AS n_pairs"
+            f" FROM cand_{label} c"
+            " FULL OUTER JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"
+            " GROUP BY 1, 2, 3"
+        )
+    truth = """
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 5 * inter >= 1 * (sa.n + sb.n - inter)
+        )"""
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n" + truth + "\n"
+        + " UNION ALL ".join(selects)
+    )
 
 
 def _ppr_sql(iters: int = 3, scale: int = 10**9, dn: int = 85, dd: int = 100) -> str:
@@ -4291,6 +4372,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over,
                    CAST(max(late_us) AS BIGINT) AS max_late_us
             FROM y GROUP BY user_id
+        """,
+        "dedup_band_sweep": _lsh_sweep_sql(),
+        "dedup_cascade": f"""
+            WITH RECURSIVE ex AS (
+                SELECT md5(text) AS fp, min(doc_id) AS keep_id
+                FROM documents GROUP BY md5(text)
+            ),
+            docs2 AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN ex ON ex.keep_id = d.doc_id
+            ),
+            toks2 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                FROM docs2
+            ),
+            sh2 AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks2, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            sig AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(9))}
+                FROM sh2 GROUP BY doc_id
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || mh{3*b+1} || mh{3*b+2}) AS band_key FROM sig"
+                    for b in range(3)
+                )}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            und AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u
+            ),
+            mins AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+            n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+            n2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM docs2 d
+                LEFT JOIN mins m ON m.u = d.doc_id
+                WHERE d.doc_id = LEAST(d.doc_id, coalesce(m.mn, d.doc_id))
+            )
+            SELECT '1_exact' AS stage, n0.n AS n_in, n0.n - n1.n AS n_removed,
+                   n1.n AS n_out
+            FROM n0, n1
+            UNION ALL
+            SELECT '2_near_dup', n1.n, n1.n - n2.n, n2.n FROM n1, n2
         """,
         "graph_hostgraph": """
             WITH e AS (

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "text_idf_drift",
     "graph_hostgraph",
     "graph_reciprocity",
+    "dedup_cascade",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

@@ -835,3 +835,83 @@ def simhash_hamming_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def dedup_cascade(
+    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+) -> DataFrame:
+    """(stage, n_in, n_removed, n_out): per-stage accounting of the
+    production dedup cascade — exact (content-hash) first, then
+    minhash-LSH near-dup components over the exact survivors. The cheap
+    stage runs first so the expensive one sees a smaller corpus; the
+    report is what a curation run publishes next to its dataset card
+    (how much was removed, by which detector — and the removal totals
+    compose: n_out of one stage is n_in of the next).
+
+    Shape: the stage populations are 1-row aggregates composed by
+    crossJoin (no collect); the near-dup stage reuses neardup_clusters
+    unchanged on the semi-joined survivor corpus, so its scale story
+    (banded bucket join, component closure) is inherited, not rebuilt.
+    """
+    ex = exact_dedup(documents)
+    n0 = documents.agg(F.count("*").cast("long").alias("n0"))
+    n1 = ex.agg(F.count("*").cast("long").alias("n1"))
+    survivors = documents.join(
+        ex.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n2 = (
+        neardup_clusters(survivors, num_hashes, band_size, k)
+        .filter(F.col("keep"))
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    base = n0.crossJoin(n1).crossJoin(n2)
+    exact_row = base.select(
+        F.lit("1_exact").alias("stage"),
+        F.col("n0").alias("n_in"),
+        (F.col("n0") - F.col("n1")).alias("n_removed"),
+        F.col("n1").alias("n_out"),
+    )
+    near_row = base.select(
+        F.lit("2_near_dup").alias("stage"),
+        F.col("n1").alias("n_in"),
+        (F.col("n1") - F.col("n2")).alias("n_removed"),
+        F.col("n2").alias("n_out"),
+    )
+    return exact_row.unionByName(near_row)
+
+
+def lsh_band_sweep(
+    documents: DataFrame,
+    configs: tuple[tuple[int, int], ...] = ((6, 3), (9, 3), (12, 4)),
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """(config, in_lsh, is_true, n_pairs): the banding-parameter TUNING
+    TABLE — lsh_pair_quality's confusion matrix swept over several
+    (num_hashes, band_size) configurations against the one exact-Jaccard
+    truth set, so precision/recall per config read off one result and the
+    (bands, rows) S-curve trade is measured instead of guessed.
+
+    Shape: each config re-derives signatures from the shared shingle
+    relation (one posexplode shuffle per config, bucket-bounded joins
+    inherited from the underlying ops); the sweep is a unionByName of
+    per-config matrices — configs are few and independent, so on a
+    cluster they run as parallel jobs off the same cached shingles.
+    """
+    frames = []
+    for num_hashes, band_size in configs:
+        m = lsh_pair_quality(
+            documents, num_hashes, band_size, k, threshold_num, threshold_den, max_df
+        )
+        frames.append(
+            m.select(
+                F.lit(f"h{num_hashes}_b{band_size}").alias("config"),
+                "in_lsh", "is_true", "n_pairs",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
