@@ -1757,6 +1757,23 @@ def q_graph_ppr(spark, sf_dir):
     return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
 
 
+def q_docs_chunking(spark, sf_dir):
+    """RAG/embedding chunk prep: overlapping 64-token windows every 48
+    tokens, closed-form starts (no window function), chunk ids as md5 —
+    text re-sliced downstream instead of duplicated through shuffles."""
+    from crawler_spark.pipeline.assemble import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fertility(spark, sf_dir):
+    """Per-language BPE symbols-per-word (tokenizer fertility) — the
+    token-cost table multilingual mixture budgeting reweights by."""
+    from crawler_spark.pipeline.assemble import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_band_sweep(spark, sf_dir):
     """Banding-parameter tuning table: the LSH confusion matrix swept
     over (hashes, band_size) configs against one exact-Jaccard truth set
@@ -1956,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_idf_drift": q_text_idf_drift,
         "dedup_cascade": q_dedup_cascade,
         "dedup_band_sweep": q_dedup_band_sweep,
+        "docs_chunking": q_docs_chunking,
+        "text_fertility": q_text_fertility,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
         "graph_ppr": q_graph_ppr,
@@ -4374,6 +4393,41 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "docs_chunking": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            st AS (
+                SELECT doc_id, t, n,
+                       unnest(range(((greatest(n - 64, 0) + 47) // 48) + 1)) AS ci
+                FROM tt
+            )
+            SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                   CAST(ci * 48 AS BIGINT) AS start_tok,
+                   CAST(least(64, n - ci * 48) AS BIGINT) AS n_tok,
+                   md5(array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ')) AS chunk_hash
+            FROM st
+        """,
+        "text_fertility": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            enc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(length({_bpe_sym_expr()})
+                            - length(replace({_bpe_sym_expr()}, '(', ''))) AS BIGINT) AS n_symbols
+                FROM words GROUP BY doc_id
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+                   CAST(10000 * sum(n_symbols) // greatest(sum(n_words), 1) AS BIGINT) AS fertility_bp
+            FROM enc JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """,
         "dedup_cascade": f"""
             WITH RECURSIVE ex AS (
                 SELECT md5(text) AS fp, min(doc_id) AS keep_id

@@ -503,3 +503,80 @@ def priority_sample(
         .filter(F.col("rk") <= n_per_stratum)
         .select("doc_id", "stratum", "weight", "pri", "rk")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tok, chunk_hash): overlapping
+    token-window chunks per document — the retrieval/embedding prep step
+    (RAG chunking): windows of ``chunk_tokens`` tokens every ``stride``
+    tokens, the final partial window kept iff it adds new tokens. The
+    chunk content is emitted as md5 of the space-joined window (stable id
+    for embedding/dedup joins) — downstream embedders re-slice the text
+    by (start_tok, n_tok) instead of shipping duplicated text through
+    every shuffle (overlap would inflate the corpus by chunk/stride x).
+
+    Shape: chunk starts are a closed-form sequence per doc (no window
+    function at all): explode(sequence(0, n_starts-1)) * stride; the
+    window text is an array slice of the one tokens array. Everything is
+    codegen; one explode whose fan-out is doc_tokens/stride.
+    """
+    from crawler_spark.pipeline.dedup import tokens_col
+
+    toks = documents.select("doc_id", tokens_col().alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") > 0)
+    # number of stride-starts: ceil(max(n - chunk, 0) / stride) + 1
+    n_starts = (
+        F.floor(
+            (F.greatest(F.col("n") - F.lit(chunk_tokens), F.lit(0))
+             + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int") + 1
+    )
+    chunks = toks.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+        F.least(
+            F.lit(chunk_tokens), F.col("n") - F.col("chunk_idx") * stride
+        ).cast("long").alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return chunks
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_words, n_symbols, fertility_bp): per-language
+    BPE symbols-per-word after the merge table — the tokenizer-cost table
+    multilingual mixture budgeting needs (a language with 2x fertility
+    spends 2x the token budget per word; mixing by raw document counts
+    silently under-trains it).
+
+    Shape: reuses bpe_encode's per-doc aggregate, then one keyed rollup
+    on lang joined from the documents relation.
+    """
+    from crawler_spark.pipeline.textstats import bpe_encode
+
+    enc = bpe_encode(documents)
+    return (
+        enc.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+        )
+        .withColumn(
+            "fertility_bp",
+            F.expr("CAST(10000 * n_symbols div greatest(n_words, 1) AS BIGINT)"),
+        )
+    )

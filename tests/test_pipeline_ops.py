@@ -1475,3 +1475,41 @@ def test_quantile_sketch_bound_fuzz(spark):
         true_q = sv[min(len(sv) - 1, (q * len(sv) + 99) // 100 - 1)]
         lo = 0 if row["bucket"] <= 1 else 1 << (row["bucket"] - 1)
         assert lo <= true_q <= row["upper_bound"], (q, true_q, row)
+
+
+def test_chunk_documents(spark):
+    from crawler_spark.pipeline.assemble import chunk_documents
+
+    # 10 tokens, chunks of 4 every 3: starts 0,3,6 (ceil(6/3)+1 = 3)
+    d = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)), "en", "s", 0)])
+    rows = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tok"])
+        for r in chunk_documents(d, chunk_tokens=4, stride=3).collect()
+    )
+    assert rows == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    # exact-fit doc: one chunk only
+    d2 = _docs(spark, [(1, "a b c d", "en", "s", 0)])
+    rows2 = chunk_documents(d2, chunk_tokens=4, stride=3).collect()
+    assert len(rows2) == 1 and rows2[0]["n_tok"] == 4
+    # one extra token: second (partial) chunk covers it
+    d3 = _docs(spark, [(1, "a b c d e", "en", "s", 0)])
+    rows3 = sorted((r["start_tok"], r["n_tok"]) for r in
+                   chunk_documents(d3, chunk_tokens=4, stride=3).collect())
+    assert rows3 == [(0, 4), (3, 2)]
+
+
+def test_tokenizer_fertility(spark):
+    from crawler_spark.pipeline.assemble import tokenizer_fertility
+
+    d = _docs(
+        spark,
+        [
+            (1, "the the", "en", "s", 0),   # 'the' -> 1 symbol each
+            (2, "zz zz zz", "de", "s", 0),  # 'zz' -> 2 symbols each
+        ],
+    )
+    got = {r["lang"]: r.asDict() for r in tokenizer_fertility(d).collect()}
+    assert got["en"]["n_words"] == 2 and got["en"]["n_symbols"] == 2
+    assert got["en"]["fertility_bp"] == 10000
+    assert got["de"]["n_words"] == 3 and got["de"]["n_symbols"] == 6
+    assert got["de"]["fertility_bp"] == 20000
