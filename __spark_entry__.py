@@ -1757,6 +1757,52 @@ def q_graph_ppr(spark, sf_dir):
     return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
 
 
+def q_crawl_robots_decision(spark, sf_dir):
+    """RFC 9309 robots evaluation: longest allow/disallow match governs,
+    Allow wins ties, no match = allowed. Robots bodies with Allow
+    carve-outs under a broad Disallow, candidates from orders."""
+    from crawler_spark.operators.robots import parse_robots, robots_decision
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.regexp_replace(F.lower("n_name"), " ", "-"), F.lit(".example.com")
+    )
+    k = F.col("n_nationkey").cast("int")
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private/"),
+        F.lit("Allow: /private/pub/"),
+        F.when(k % 2 == 0, F.lit("Disallow: /")).otherwise(F.lit("")),
+        F.lit("Allow: /open"),
+    )
+    rules = parse_robots(
+        n.select(host.alias("host"), body.alias("body")), include_allow=True
+    )
+    # candidates keyed to the same nation hosts
+    nn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("_nk"),
+        F.concat(
+            F.regexp_replace(F.lower("n_name"), " ", "-"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    cand = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 25).cast("int").alias("_nk"),
+            F.expr(
+                "CASE WHEN o_orderkey % 4 = 0 THEN concat('/private/doc', o_orderkey)"
+                " WHEN o_orderkey % 4 = 1 THEN concat('/private/pub/doc', o_orderkey)"
+                " WHEN o_orderkey % 4 = 2 THEN concat('/open/page', o_orderkey)"
+                " ELSE concat('/free/page', o_orderkey) END"
+            ).alias("path"),
+        )
+        .join(nn, "_nk")
+        .select("host", "path")
+    )
+    return robots_decision(cand, rules)
+
+
 def q_docs_chunking(spark, sf_dir):
     """RAG/embedding chunk prep: overlapping 64-token windows every 48
     tokens, closed-form starts (no window function), chunk ids as md5 —
@@ -1974,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade": q_dedup_cascade,
         "dedup_band_sweep": q_dedup_band_sweep,
         "docs_chunking": q_docs_chunking,
+        "crawl_robots_decision": q_crawl_robots_decision,
         "text_fertility": q_text_fertility,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
@@ -4393,6 +4440,39 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "crawl_robots_decision": """
+            WITH hosts AS (
+                SELECT CAST(n_nationkey AS INT) AS nk,
+                       replace(lower(n_name), ' ', '-') || '.example.com' AS host
+                FROM nation
+            ),
+            rules AS (
+                SELECT host, '/private/' AS prefix, FALSE AS is_allow FROM hosts
+                UNION ALL SELECT host, '/private/pub/', TRUE FROM hosts
+                UNION ALL SELECT host, '/', FALSE FROM hosts WHERE nk % 2 = 0
+                UNION ALL SELECT host, '/open', TRUE FROM hosts
+            ),
+            cand AS (
+                SELECT DISTINCT h.host,
+                       CASE WHEN o_orderkey % 4 = 0 THEN concat('/private/doc', o_orderkey)
+                            WHEN o_orderkey % 4 = 1 THEN concat('/private/pub/doc', o_orderkey)
+                            WHEN o_orderkey % 4 = 2 THEN concat('/open/page', o_orderkey)
+                            ELSE concat('/free/page', o_orderkey) END AS path
+                FROM orders o JOIN hosts h ON h.nk = o_orderkey % 25
+            ),
+            m AS (
+                SELECT c.host, c.path,
+                       CASE WHEN r.prefix IS NOT NULL AND starts_with(c.path, r.prefix)
+                            THEN length(r.prefix) * 2 + CASE WHEN r.is_allow THEN 1 ELSE 0 END
+                       END AS sc
+                FROM cand c LEFT JOIN rules r ON r.host = c.host
+            ),
+            best AS (SELECT host, path, max(sc) AS sc FROM m GROUP BY host, path)
+            SELECT host, path,
+                   CASE WHEN sc IS NULL THEN TRUE ELSE sc % 2 = 1 END AS allowed,
+                   CAST(coalesce(sc // 2, 0) AS INT) AS match_len
+            FROM best
+        """,
         "docs_chunking": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),

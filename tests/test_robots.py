@@ -99,3 +99,50 @@ def test_robots_roundtrip_fixture_table(spark):
     for r in fx.robots:
         assert r["crawl_delay_ms"] % 1000 == 0
     assert got == want
+
+
+def test_robots_decision_rfc9309(spark):
+    from crawler_spark.operators.robots import parse_robots, robots_decision
+
+    body = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/",
+            "Allow: /private/pub/",
+            "Allow: /p",          # shorter than the disallow: loses
+            "Disallow: /open",    # same length as allow below: allow wins
+            "Allow: /open",
+        ]
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h1", body)], "host string, body string"),
+        include_allow=True,
+    )
+    cand = spark.createDataFrame(
+        [
+            ("h1", "/private/x"),        # longest: disallow /private/ -> blocked
+            ("h1", "/private/pub/x"),    # longest: allow -> allowed
+            ("h1", "/open/x"),           # tie length 5: allow wins
+            ("h1", "/elsewhere"),        # no match -> allowed
+            ("h2", "/private/x"),        # host without robots -> allowed
+        ],
+        "host string, path string",
+    )
+    got = {(r["host"], r["path"]): (r["allowed"], r["match_len"])
+           for r in robots_decision(cand, rules).collect()}
+    assert got[("h1", "/private/x")] == (False, 9)
+    assert got[("h1", "/private/pub/x")] == (True, 13)
+    assert got[("h1", "/open/x")] == (True, 5)
+    assert got[("h1", "/elsewhere")] == (True, 0)
+    assert got[("h2", "/private/x")] == (True, 0)
+
+
+def test_parse_robots_allow_opt_in_default_unchanged(spark):
+    from crawler_spark.operators.robots import parse_robots
+
+    body = "User-agent: *\nAllow: /pub\nDisallow: /x"
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    kinds_default = {r["rule_kind"] for r in parse_robots(df).collect()}
+    assert "allow" not in kinds_default  # engine contract unchanged
+    kinds_opt = {r["rule_kind"] for r in parse_robots(df, include_allow=True).collect()}
+    assert "allow" in kinds_opt
