@@ -82,10 +82,13 @@ def pagerank(
         raise ValueError("need 0 < damp_num < damp_den and positive scale")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.cache()
+    # every iteration's left join re-reads nodes — checkpoint the
+    # union+distinct once instead of re-running it per iteration
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     outd = e.groupBy("src").agg(F.count("*").alias("od"))
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
@@ -142,14 +145,22 @@ def hits(
         raise ValueError("hits needs iters >= 1 (auth is defined by the first half-step)")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.cache()
+    # nodes is re-read by every half-step's renormalization join — checkpoint
+    # it once instead of re-running the union+distinct 2*iters times
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     hub = nodes.withColumn("hub", F.lit(int(scale)).cast("long")).localCheckpoint()
 
     def _shift_norm(raw: DataFrame, col: str) -> DataFrame:
+        # materialize the join+agg ONCE: `raw` feeds both the g scalar and
+        # the renormalization join, and without this the two branches each
+        # re-execute the edge join (ReusedExchange does not cover the
+        # differing post-shuffle aggregates)
+        raw = raw.localCheckpoint()
         g = raw.agg(
             F.expr(f"greatest(max({col}) DIV {scale}, CAST(1 AS BIGINT))").alias("g")
         )
