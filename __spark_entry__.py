@@ -73,9 +73,12 @@ def q_crawl_seen_antijoin(spark, sf_dir):
     """Seen-set dedup as exact anti-join (engine/schedule.go:343-351)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    # seen side = a strict subset (every 3rd order), so the survivor set is
+    # non-empty and the gate actually exercises the anti-join semantics
+    seen = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(seen, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 def q_crawl_wave_topk(spark, sf_dir):
@@ -142,7 +145,9 @@ def q_crawl_content_filter(spark, sf_dir):
     semantics, parse/doubangroup/group.go:57-71): keep only bodies matching
     a regex, project the identifying column."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.regexp_like("text", F.lit(r"(frontier|sunroom)"))).select(
+    # 'slow fast' matches a strict subset of the corpus (the sunroom-regex
+    # shape with a non-empty result, so the gate has discriminating power)
+    return docs.filter(F.regexp_like("text", F.lit(r"(slow fast|sunroom)"))).select(
         "doc_id", "source"
     )
 
@@ -1197,7 +1202,7 @@ def q_sim_embedding_neardup(spark, sf_dir):
     from crawler_spark.pipeline.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), max_id=100, sim_threshold=0.5
+        _t(spark, sf_dir, "embeddings"), max_id=100, sim_threshold=0.35
     )
 
 
@@ -2469,7 +2474,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_seen_antijoin": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 3 = 0)
         """,
         "crawl_wave_topk": """
             SELECT user_id, event_id, rn FROM (
@@ -2505,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_content_filter": """
             SELECT doc_id, source FROM documents
-            WHERE regexp_matches(text, '(frontier|sunroom)')
+            WHERE regexp_matches(text, '(slow fast|sunroom)')
         """,
         "crawl_field_extraction": """
             SELECT doc_id,
@@ -4051,7 +4057,7 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim6
             FROM sub a JOIN sub b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.e, b.e)
-                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
         """,
         "sim_embedding_clusters": """
             WITH RECURSIVE sub AS (
