@@ -1808,6 +1808,14 @@ def q_crawl_robots_decision(spark, sf_dir):
     return robots_decision(cand, rules)
 
 
+def q_events_gap_profile(spark, sf_dir):
+    """Per-user inter-event gap profile (min/lower-median/max, exact rank
+    math) — the bot/automation detector and empirical politeness floor."""
+    from crawler_spark.pipeline.events import gap_profile
+
+    return gap_profile(_t(spark, sf_dir, "events"))
+
+
 def q_docs_chunking(spark, sf_dir):
     """RAG/embedding chunk prep: overlapping 64-token windows every 48
     tokens, closed-form starts (no window function), chunk ids as md5 —
@@ -2026,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_band_sweep": q_dedup_band_sweep,
         "docs_chunking": q_docs_chunking,
         "crawl_robots_decision": q_crawl_robots_decision,
+        "events_gap_profile": q_events_gap_profile,
         "text_fertility": q_text_fertility,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
@@ -4446,6 +4455,32 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "events_gap_profile": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            ),
+            gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+            r AS (
+                SELECT user_id, gap_us,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY gap_us, ts, event_id) AS rk
+                FROM gg
+            ),
+            per AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+                FROM gg GROUP BY user_id
+            )
+            SELECT p.user_id, p.n_gaps, p.min_gap_us,
+                   CAST(r.gap_us AS BIGINT) AS median_gap_us, p.max_gap_us
+            FROM per p JOIN r ON r.user_id = p.user_id
+                             AND r.rk = (p.n_gaps + 1) // 2
+        """,
         "crawl_robots_decision": """
             WITH hosts AS (
                 SELECT CAST(n_nationkey AS INT) AS nk,

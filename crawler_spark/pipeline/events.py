@@ -369,3 +369,48 @@ def lateness_profile(
         ).cast("long").alias("n_late_over"),
         F.max("late_us").cast("long").alias("max_late_us"),
     )
+
+
+def gap_profile(events: DataFrame) -> DataFrame:
+    """(user_id, n_gaps, min_gap_us, median_gap_us, max_gap_us): per-user
+    inter-event-time profile — the bot/automation detector (machine
+    traffic has implausibly regular or implausibly small gaps; human
+    sessions are heavy-tailed) and the empirical politeness floor when
+    the "user" is a crawler host.
+
+    Exact integer rank math, no percentile floats: the LOWER MEDIAN is
+    the gap ranked ceil(n/2) in (gap, ts, event_id) order — a total
+    order, so the pick is deterministic and engine-identical.
+
+    Shape: one lag window for gaps + one rank window over the per-user
+    gap relation (both partitioned by user_id — the sessionize shape),
+    then a single keyed rollup; the median join is by (user, rank) against
+    the tiny one-row-per-user rank target.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id", us.alias("_us"))
+        .withColumn("gap_us", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    rw = Window.partitionBy("user_id").orderBy("gap_us", "ts", "event_id")
+    ranked = gaps.withColumn("_rk", F.row_number().over(rw))
+    per = ranked.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    med = (
+        ranked.join(
+            per.select("user_id", F.expr("(n_gaps + 1) div 2").alias("_target")),
+            "user_id",
+        )
+        .filter(F.col("_rk") == F.col("_target"))
+        .select("user_id", F.col("gap_us").cast("long").alias("median_gap_us"))
+    )
+    return per.join(med, "user_id").select(
+        "user_id", "n_gaps", "min_gap_us", "median_gap_us", "max_gap_us"
+    )

@@ -1513,3 +1513,30 @@ def test_tokenizer_fertility(spark):
     assert got["en"]["fertility_bp"] == 10000
     assert got["de"]["n_words"] == 3 and got["de"]["n_symbols"] == 6
     assert got["de"]["fertility_bp"] == 20000
+
+
+def test_gap_profile(spark):
+    import datetime as dt
+
+    from crawler_spark.pipeline.events import gap_profile
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [  # u1 gaps: 10s, 30s, 20s -> sorted 10,20,30; lower median 20
+        ("u1", 1, base),
+        ("u1", 2, base + dt.timedelta(seconds=10)),
+        ("u1", 3, base + dt.timedelta(seconds=40)),
+        ("u1", 4, base + dt.timedelta(seconds=60)),
+        # u2: two gaps 5s, 7s -> lower median = 5s
+        ("u2", 5, base), ("u2", 6, base + dt.timedelta(seconds=5)),
+        ("u2", 7, base + dt.timedelta(seconds=12)),
+        # u3: single event -> no gaps, absent from output
+        ("u3", 8, base),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    got = {r["user_id"]: r.asDict() for r in gap_profile(ev).collect()}
+    assert got["u1"] == {
+        "user_id": "u1", "n_gaps": 3, "min_gap_us": 10_000_000,
+        "median_gap_us": 20_000_000, "max_gap_us": 30_000_000,
+    }
+    assert got["u2"]["median_gap_us"] == 5_000_000
+    assert "u3" not in got
