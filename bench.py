@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "graph_hostgraph",
     "graph_reciprocity",
     "dedup_cascade",
+    "docs_chunking",
+    "crawl_robots_decision",
+    "events_gap_profile",
+    "text_fertility",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",
