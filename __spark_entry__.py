@@ -1808,6 +1808,49 @@ def q_crawl_robots_decision(spark, sf_dir):
     return robots_decision(cand, rules)
 
 
+def q_crawl_sitemap_freshness(spark, sf_dir):
+    """lastmod-driven recrawl priorities from sitemap bodies (log-spaced
+    ladder vs the newest lastmod in the batch — no wall clock). Sitemap
+    XML synthesized per nation-host from order dates."""
+    from crawler_spark.operators.sitemap import sitemap_freshness
+
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.regexp_replace(F.lower("n_name"), " ", "-"), F.lit(".example.com")
+    )
+    entries = (
+        o.select(
+            (F.col("o_custkey") % 25).cast("int").alias("_nk"),
+            F.concat(
+                F.lit("<url><loc>https://example.com/o/"),
+                F.col("o_orderkey"),
+                F.lit("</loc><lastmod>"),
+                F.col("o_orderdate").cast("string"),
+                F.lit("</lastmod></url>"),
+            ).alias("e"),
+        )
+        .groupBy("_nk")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("e"))).alias("entries"))
+    )
+    bodies = entries.join(
+        n.select(F.col("n_nationkey").cast("int").alias("_nk"), host.alias("host")),
+        "_nk",
+    ).select(
+        "host",
+        F.concat(F.lit("<urlset>\n"), F.col("entries"), F.lit("\n</urlset>")).alias("body"),
+    )
+    return sitemap_freshness(bodies)
+
+
+def q_text_readability(spark, sf_dir):
+    """Integer Flesch reading-ease (vowel-run syllable proxy, centi-units,
+    floor division) — pure map-side codegen quality signal."""
+    from crawler_spark.pipeline.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_events_gap_profile(spark, sf_dir):
     """Per-user inter-event gap profile (min/lower-median/max, exact rank
     math) — the bot/automation detector and empirical politeness floor."""
@@ -2035,6 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunking": q_docs_chunking,
         "crawl_robots_decision": q_crawl_robots_decision,
         "events_gap_profile": q_events_gap_profile,
+        "crawl_sitemap_freshness": q_crawl_sitemap_freshness,
+        "text_readability": q_text_readability,
         "text_fertility": q_text_fertility,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
         "events_lateness": q_events_lateness,
@@ -4455,6 +4500,43 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "crawl_sitemap_freshness": """
+            WITH hosts AS (
+                SELECT CAST(n_nationkey AS INT) AS nk,
+                       replace(lower(n_name), ' ', '-') || '.example.com' AS host
+                FROM nation
+            ),
+            urls AS (
+                SELECT CAST(o_custkey % 25 AS INT) AS nk,
+                       'https://example.com/o/' || o_orderkey AS url,
+                       CAST(o_orderdate AS DATE) AS lastmod
+                FROM orders
+            ),
+            j AS (SELECT h.host, u.url, u.lastmod FROM urls u JOIN hosts h USING (nk)),
+            ref AS (SELECT max(lastmod) AS r FROM j)
+            SELECT host, url, strftime(lastmod, '%Y-%m-%d') AS lastmod,
+                   CAST(date_diff('day', lastmod, r) AS INT) AS age_days,
+                   CAST(greatest(0, 6 - length(bin(CAST(date_diff('day', lastmod, r) AS BIGINT)))) AS INT) AS priority
+            FROM j CROSS JOIN ref
+        """,
+        "text_readability": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                       CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS BIGINT) AS n_syllables
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_words, n_sentences, n_syllables,
+                       CAST(100 * n_words // n_sentences AS BIGINT) AS wps_c,
+                       CAST(100 * n_syllables // greatest(n_words, 1) AS BIGINT) AS spw_c
+                FROM base
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables, wps_c, spw_c,
+                   CAST(20684 - 1015 * wps_c // 1000 - 8460 * spw_c // 100 AS BIGINT) AS fre_c
+            FROM c
+        """,
         "events_gap_profile": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "crawl_robots_decision",
     "events_gap_profile",
     "text_fertility",
+    "text_readability",
+    "crawl_sitemap_freshness",
     "events_cube",
     "docs_priority_sample",
     "events_transitions",

@@ -59,3 +59,57 @@ def sitemap_seeds(sitemap_bodies: DataFrame, task: str, rule: str) -> DataFrame:
         F.lit(rule).alias("rule"),
         F.lit(0).alias("depth"),
     )
+
+
+_URL_BLOCK = r"(?s)<url>.*?</url>"
+_LOC_IN = r"<loc>\s*([^<]+?)\s*</loc>"
+_LASTMOD_IN = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def sitemap_freshness(sitemap_bodies: DataFrame) -> DataFrame:
+    """(host, url, lastmod, age_days, priority): ``<lastmod>``-driven
+    recrawl priorities from sitemap bodies — the freshness signal a
+    continuous crawl feeds its priority column (sitemaps are the one
+    place publishers TELL you what changed; ignoring lastmod re-fetches
+    the whole site at the politeness rate).
+
+    age_days is measured against the newest lastmod in the batch (a
+    data-derived reference — no wall clock, so runs are reproducible);
+    priority = max(0, 6 - bit_length(age_days)) gives a log-spaced
+    ladder: today/yesterday -> 5..4, last week -> 3, last month -> 1,
+    older -> 0.
+
+    Shape: one (?s) block explode per <url> element, two per-block
+    regexp_extracts — all codegen; the reference max(lastmod) is a 1-row
+    broadcast crossJoin.
+    """
+    blocks = sitemap_bodies.select(
+        "host",
+        F.explode(F.regexp_extract_all("body", F.lit(_URL_BLOCK), F.lit(0))).alias("b"),
+    ).select(
+        "host",
+        F.regexp_extract("b", _LOC_IN, 1).alias("url"),
+        # try_to_date: blocks without <lastmod> extract '' and must drop,
+        # not throw under ANSI mode
+        F.expr(
+            "try_to_date(regexp_extract(b, '{}', 1))".format(
+                _LASTMOD_IN.replace("\\", "\\\\")  # SQL literal: keep \s as regex
+            )
+        ).alias("lastmod"),
+    ).filter((F.col("url") != "") & F.col("lastmod").isNotNull())
+    ref = blocks.agg(F.max("lastmod").alias("_ref"))
+    return (
+        blocks.crossJoin(F.broadcast(ref))
+        .withColumn("age_days", F.datediff(F.col("_ref"), F.col("lastmod")).cast("int"))
+        .withColumn(
+            "priority",
+            F.greatest(
+                F.lit(0), F.lit(6) - F.length(F.bin(F.col("age_days").cast("long")))
+            ).cast("int"),
+        )
+        .select(
+            "host", "url",
+            F.date_format("lastmod", "yyyy-MM-dd").alias("lastmod"),
+            "age_days", "priority",
+        )
+    )

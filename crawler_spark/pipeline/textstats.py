@@ -1302,3 +1302,46 @@ def idf_drift(
         .orderBy(F.desc("drift_bits"), F.desc(F.col("df_a") + F.col("df_b")), "term")
         .limit(top)
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, wps_c, spw_c, fre_c):
+    integer Flesch reading-ease — the classic readability quality signal
+    (too-low = legalese/machine text, implausibly-high = keyword lists),
+    kept fully in integers so both engines agree bit-for-bit.
+
+    Syllables are approximated by vowel-group runs (the standard cheap
+    proxy), sentences by [.!?]+ runs (floored at 1). Centi-units with
+    floor division everywhere: wps_c = 100*words/sentences, spw_c =
+    100*syllables/words, fre_c = 20684 - 1015*wps_c/1000 - 8460*spw_c/100
+    (Flesch's 206.84 - 1.015*wps - 84.6*spw, scaled x100).
+
+    Shape: three regexp counts + closed-form arithmetic — pure map-side
+    codegen, zero shuffles; composes with partition pruning like
+    gopher_rules.
+    """
+    n_words = F.size(tokens_col())
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiou]+"), F.lit(0))
+    )
+    base = documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr("CAST(100 * n_words div n_sentences AS BIGINT)").alias("wps_c"),
+        F.expr(
+            "CAST(100 * n_syllables div greatest(n_words, 1) AS BIGINT)"
+        ).alias("spw_c"),
+    ).withColumn(
+        "fre_c",
+        F.expr(
+            "CAST(20684 - 1015 * wps_c div 1000 - 8460 * spw_c div 100 AS BIGINT)"
+        ),
+    )

@@ -1540,3 +1540,19 @@ def test_gap_profile(spark):
     }
     assert got["u2"]["median_gap_us"] == 5_000_000
     assert "u3" not in got
+
+
+def test_readability(spark):
+    from crawler_spark.pipeline.textstats import readability
+
+    # "go now. stop it now!" -> 5 words, 2 sentences, syllables(vowel runs):
+    # go(1) now(1) stop(1) it(1) now(1) = 5
+    d = _docs(spark, [(1, "go now. stop it now!", "en", "s", 0),
+                      (2, "nopunct here", "en", "s", 0)])
+    got = {r["doc_id"]: r.asDict() for r in readability(d).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["wps_c"] == 250 and r1["spw_c"] == 100
+    assert r1["fre_c"] == 20684 - 1015 * 250 // 1000 - 8460 * 100 // 100
+    # no terminal punctuation -> sentence count floors at 1
+    assert got[2]["n_sentences"] == 1

@@ -42,3 +42,28 @@ def test_sitemap_seeds_canonical_frontier_rows(spark):
     r = got[want]
     assert (r["task"], r["rule"], r["depth"]) == ("t1", "list", 0)
     assert set(seeds[0].asDict()) == {"curl", "key", "task", "rule", "depth"}
+
+
+def test_sitemap_freshness(spark):
+    from crawler_spark.operators.sitemap import sitemap_freshness
+
+    body = (
+        "<urlset>\n"
+        "<url><loc>https://a.com/new</loc><lastmod>2026-03-10</lastmod></url>\n"
+        "<url><loc>https://a.com/week</loc><lastmod>2026-03-04</lastmod></url>\n"
+        "<url><loc>https://a.com/old</loc><lastmod>2025-03-10</lastmod></url>\n"
+        "<url><loc>https://a.com/nomod</loc></url>\n"
+        "</urlset>"
+    )
+    got = {r["url"]: r.asDict() for r in sitemap_freshness(
+        spark.createDataFrame([("a.com", body)], "host string, body string")
+    ).collect()}
+    # newest lastmod is the reference: age 0 -> priority 5
+    assert got["https://a.com/new"]["age_days"] == 0
+    assert got["https://a.com/new"]["priority"] == 5
+    # 6 days old -> bin length 3 -> priority 3
+    assert got["https://a.com/week"]["age_days"] == 6
+    assert got["https://a.com/week"]["priority"] == 3
+    # a year old -> priority 0, entries without lastmod dropped
+    assert got["https://a.com/old"]["priority"] == 0
+    assert "https://a.com/nomod" not in got
