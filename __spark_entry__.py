@@ -1808,6 +1808,30 @@ def q_crawl_robots_decision(spark, sf_dir):
     return robots_decision(cand, rules)
 
 
+def q_events_type_overlap(spark, sf_dir):
+    """Audience-overlap (co-audience Jaccard) between event types — the
+    user-keyed self-join is bounded by |types|^2 per user."""
+    from crawler_spark.pipeline.events import type_overlap
+
+    return type_overlap(_t(spark, sf_dir, "events"))
+
+
+def q_crawl_wave_fairness(spark, sf_dir):
+    """Jain's fairness index (bp) of a per-host wave allocation — the
+    politeness/salting regression alarm. Synthetic skewed allocation from
+    orders (same family as crawl_host_skew)."""
+    from crawler_spark.pipeline.frontier import wave_fairness
+
+    o = _t(spark, sf_dir, "orders")
+    alloc = o.select(
+        F.expr(
+            "concat('h', CASE WHEN o_orderkey % 10 < 5 THEN 0"
+            " ELSE o_orderkey % 10 END)"
+        ).alias("host")
+    ).groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    return wave_fairness(alloc)
+
+
 def q_crawl_sitemap_freshness(spark, sf_dir):
     """lastmod-driven recrawl priorities from sitemap bodies (log-spaced
     ladder vs the newest lastmod in the batch — no wall clock). Sitemap
@@ -2079,6 +2103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_decision": q_crawl_robots_decision,
         "events_gap_profile": q_events_gap_profile,
         "crawl_sitemap_freshness": q_crawl_sitemap_freshness,
+        "events_type_overlap": q_events_type_overlap,
+        "crawl_wave_fairness": q_crawl_wave_fairness,
         "text_readability": q_text_readability,
         "text_fertility": q_text_fertility,
         "crawl_canonical_collisions": q_crawl_canonical_collisions,
@@ -4500,6 +4526,35 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "events_type_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+            ovl AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+                   CAST(10000 * n_both // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_bp
+            FROM ovl
+            JOIN sizes sa ON sa.event_type = type_a
+            JOIN sizes sb ON sb.event_type = type_b
+        """,
+        "crawl_wave_fairness": """
+            WITH alloc AS (
+                SELECT concat('h', CASE WHEN o_orderkey % 10 < 5 THEN 0
+                                        ELSE o_orderkey % 10 END) AS host,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n) AS BIGINT) AS total,
+                   CAST(10000 * sum(n) * sum(n)
+                        // greatest(count(*) * sum(n * n), 1) AS BIGINT) AS fairness_bp
+            FROM alloc
+        """,
         "crawl_sitemap_freshness": """
             WITH hosts AS (
                 SELECT CAST(n_nationkey AS INT) AS nk,

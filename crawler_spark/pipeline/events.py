@@ -414,3 +414,39 @@ def gap_profile(events: DataFrame) -> DataFrame:
     return per.join(med, "user_id").select(
         "user_id", "n_gaps", "min_gap_us", "median_gap_us", "max_gap_us"
     )
+
+
+def type_overlap(events: DataFrame) -> DataFrame:
+    """(type_a, type_b, n_a, n_b, n_both, jaccard_bp): audience overlap
+    between event types — which behaviors share users (the co-audience
+    matrix segmentation and funnel design start from).
+
+    Shape: the (user, type) relation is DISTINCT-ed first (one keyed
+    agg), pairs come from a self-join keyed on user_id whose fan-out is
+    bounded by |types|^2 per user — types are a bounded dimension, so
+    this never goes quadratic in events; the rollup is keyed on the tiny
+    (type_a, type_b) domain.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(sa, "type_a")
+        .join(sb, "type_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("CAST(10000 * n_both div (n_a + n_b - n_both) AS BIGINT)"),
+        )
+        .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_bp")
+    )

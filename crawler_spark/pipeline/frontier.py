@@ -476,3 +476,31 @@ def domain_budget(
             ).cast("long"),
         )
     )
+
+
+def wave_fairness(allocations: DataFrame, count_col: str = "n") -> DataFrame:
+    """(n_groups, total, fairness_bp): Jain's fairness index of a wave
+    allocation — (sum x)^2 / (n * sum x^2) in basis points, the standard
+    scheduling-fairness measure (1.0 = perfectly even budget across
+    hosts, 1/n = one host starves everyone). Run on the per-host wave
+    counts each round to catch a salting or budget regression turning the
+    crawl into a single-host hammer.
+
+    One partial->final aggregation into a single row; exact integers
+    (headroom: counts <= ~10^6 per group keep sum^2 and n*sumsq inside
+    int64 for 10^6 groups — at larger scales pre-divide counts by a
+    common shift, the index is scale-invariant).
+    """
+    x = F.col(count_col).cast("long")
+    agg = allocations.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(x).cast("long").alias("total"),
+        F.sum(x * x).cast("long").alias("_sumsq"),
+    )
+    return agg.select(
+        "n_groups",
+        "total",
+        F.expr(
+            "CAST(10000 * total * total div greatest(n_groups * _sumsq, 1) AS BIGINT)"
+        ).alias("fairness_bp"),
+    )

@@ -1556,3 +1556,27 @@ def test_readability(spark):
     assert r1["fre_c"] == 20684 - 1015 * 250 // 1000 - 8460 * 100 // 100
     # no terminal punctuation -> sentence count floors at 1
     assert got[2]["n_sentences"] == 1
+
+
+def test_type_overlap(spark):
+    from crawler_spark.pipeline.events import type_overlap
+
+    ev = spark.createDataFrame(
+        [("u1", "view"), ("u1", "click"), ("u2", "view"), ("u2", "click"),
+         ("u3", "view"), ("u1", "view")],  # dup (u1, view) must not double
+        "user_id string, event_type string",
+    )
+    got = {(r["type_a"], r["type_b"]): r.asDict() for r in type_overlap(ev).collect()}
+    r = got[("click", "view")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (2, 3, 2)
+    assert r["jaccard_bp"] == 10000 * 2 // 3
+
+
+def test_wave_fairness(spark):
+    from crawler_spark.pipeline.frontier import wave_fairness
+
+    even = spark.createDataFrame([("a", 10), ("b", 10), ("c", 10)], "host string, n long")
+    assert wave_fairness(even).collect()[0]["fairness_bp"] == 10000
+    skew = spark.createDataFrame([("a", 30), ("b", 0), ("c", 0)], "host string, n long")
+    # one host takes all: index = 1/n -> 3333 bp
+    assert wave_fairness(skew).collect()[0]["fairness_bp"] == 3333
