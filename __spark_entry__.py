@@ -1808,6 +1808,37 @@ def q_crawl_robots_decision(spark, sf_dir):
     return robots_decision(cand, rules)
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup family-size histogram (singletons included, partitions
+    the corpus) — the dedup health report."""
+    from crawler_spark.pipeline.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_events_peak_hour(spark, sf_dir):
+    """Hour-of-day volume profile per event type + each type's peak hour
+    (deterministic tie-break) — load-shaping telemetry for politeness
+    scheduling windows."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "HH").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    best = hours.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("n_events")).alias("_neg"), F.col("hour").alias("_h"))
+        ).alias("_b")
+    ).select(
+        "event_type",
+        F.col("_b._h").alias("peak_hour"),
+        (-F.col("_b._neg")).cast("long").alias("peak_n"),
+    )
+    return hours.join(best, "event_type").select(
+        "event_type", "hour", "n_events", "peak_hour", "peak_n"
+    )
+
+
 def q_events_type_overlap(spark, sf_dir):
     """Audience-overlap (co-audience Jaccard) between event types — the
     user-keyed self-join is bounded by |types|^2 per user."""
@@ -2104,6 +2135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_profile": q_events_gap_profile,
         "crawl_sitemap_freshness": q_crawl_sitemap_freshness,
         "events_type_overlap": q_events_type_overlap,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "events_peak_hour": q_events_peak_hour,
         "crawl_wave_fairness": q_crawl_wave_fairness,
         "text_readability": q_text_readability,
         "text_fertility": q_text_fertility,
@@ -5242,6 +5275,30 @@ def oracle_sql() -> dict[str, str]:
     """
     d["stream_funnel"] = d["events_funnel"]
     d["stream_sessionize"] = d["events_sessionize"]
+    # histogram over the clusters relation (same composition pattern)
+    d["dedup_cluster_sizes"] = f"""
+        WITH c AS ({d["dedup_clusters"]}),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM c GROUP BY 1)
+        SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz
+    """
+    d["events_peak_hour"] = """
+        WITH h AS (
+            SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%H') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT event_type, hour AS peak_hour, n_events AS peak_n
+            FROM (SELECT event_type, hour, n_events,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY n_events DESC, hour) AS rk
+                  FROM h) WHERE rk = 1
+        )
+        SELECT h.event_type, h.hour, h.n_events, b.peak_hour, b.peak_n
+        FROM h JOIN best b ON b.event_type = h.event_type
+    """
     # 2x2 agreement between the two quality detectors (same composition
     # pattern as sim_ann_recall): model-based vs Gopher-rule keep verdicts.
     d["text_quality_agreement"] = f"""

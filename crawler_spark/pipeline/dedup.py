@@ -915,3 +915,25 @@ def lsh_band_sweep(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def cluster_size_histogram(
+    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the near-dup family-size
+    distribution — the dedup health report (a fat head of large families
+    means boilerplate or a mirror site; a long singleton tail means the
+    banding is too strict). Singletons are counted too, so the histogram
+    partitions the whole corpus and n_docs sums back to it.
+
+    Shape: neardup_clusters unchanged, then two tiny keyed aggregations
+    (cluster_id -> size, size -> count) — nothing beyond the dedup pass
+    it diagnoses.
+    """
+    labels = neardup_clusters(documents, num_hashes, band_size, k)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").cast("long").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+    )
