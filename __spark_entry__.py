@@ -1808,6 +1808,15 @@ def q_crawl_robots_decision(spark, sf_dir):
     return robots_decision(cand, rules)
 
 
+def q_sim_norm_histogram(spark, sf_dir):
+    """log2 histogram of quantized squared embedding norms — the ANN
+    index diagnostic (norm spread = IP/cosine divergence; zero spike =
+    broken embeddings). Exact integers, <=64 buckets."""
+    from crawler_spark.pipeline.similarity import norm_histogram
+
+    return norm_histogram(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Near-dup family-size histogram (singletons included, partitions
     the corpus) — the dedup health report."""
@@ -2136,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_freshness": q_crawl_sitemap_freshness,
         "events_type_overlap": q_events_type_overlap,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "sim_norm_histogram": q_sim_norm_histogram,
         "events_peak_hour": q_events_peak_hour,
         "crawl_wave_fairness": q_crawl_wave_fairness,
         "text_readability": q_text_readability,
@@ -4559,6 +4569,20 @@ def oracle_sql() -> dict[str, str]:
             FROM y GROUP BY user_id
         """,
         "dedup_band_sweep": _lsh_sweep_sql(),
+        "sim_norm_histogram": """
+            WITH q AS (
+                SELECT CAST(list_dot_product(
+                           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))::DOUBLE[],
+                           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))::DOUBLE[]
+                       ) AS BIGINT) AS qq
+                FROM embeddings
+            )
+            SELECT CAST(length(bin(greatest(qq, 0))) AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(min(qq) AS BIGINT) AS min_qq,
+                   CAST(max(qq) AS BIGINT) AS max_qq
+            FROM q GROUP BY 1
+        """,
         "events_type_overlap": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
             sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),

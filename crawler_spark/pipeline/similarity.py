@@ -743,3 +743,39 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def norm_histogram(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
+    """(bucket, n_vecs, min_qq, max_qq): log2 histogram of squared vector
+    norms (quantized at ``scale``) — the ANN index diagnostic: a wide
+    norm spread means inner-product and cosine rankings diverge (and
+    MIPS-style reductions need norm augmentation), a spike at zero means
+    broken embeddings upstream. Exact integers end-to-end: qq = integer
+    dot product of the floor-quantized vector, bucket = bit_length(qq).
+
+    Shape: map-side quantize + one partial->final aggregation into <=64
+    buckets — the quantile_sketch shape on the embeddings table.
+    """
+    q = embeddings.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qe")
+    )
+    qq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        q.select(qq.alias("_qq"))
+        .select(
+            F.length(F.bin(F.greatest(F.col("_qq"), F.lit(0)))).cast("int").alias("bucket"),
+            "_qq",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("_qq").cast("long").alias("min_qq"),
+            F.max("_qq").cast("long").alias("max_qq"),
+        )
+    )
