@@ -75,9 +75,9 @@ def sitemap_freshness(sitemap_bodies: DataFrame) -> DataFrame:
 
     age_days is measured against the newest lastmod in the batch (a
     data-derived reference — no wall clock, so runs are reproducible);
-    priority = max(0, 6 - bit_length(age_days)) gives a log-spaced
-    ladder: today/yesterday -> 5..4, last week -> 3, last month -> 1,
-    older -> 0.
+    priority = max(0, 6 - length(bin(age_days))) gives a log-spaced
+    ladder: age 0-1 -> 5, 2-3 -> 4, 4-7 -> 3, 8-15 -> 2, 16-31 -> 1,
+    32+ -> 0.
 
     Shape: one (?s) block explode per <url> element, two per-block
     regexp_extracts — all codegen; the reference max(lastmod) is a 1-row

@@ -131,6 +131,16 @@ def minhash_band_keys(
     """(doc_id, band, band_key) — the LSH bucket assignment, shared by the
     pair self-join and the incremental index join."""
     sig = minhash_signatures(documents, num_hashes, k)
+    return _band_keys_from_sig(sig, num_hashes, band_size)
+
+
+def _band_keys_from_sig(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """Band keys from a precomputed signature table (mh0..mh{H-1} columns).
+
+    Split out so lsh_band_sweep can derive every config's bands from ONE
+    signature pass: mh_i is the same hash family regardless of how many
+    hashes a config uses, so a table computed at max(num_hashes) serves
+    smaller configs as a column-prefix subset."""
     n_bands = num_hashes // band_size
     return sig.select(
         "doc_id",
@@ -894,16 +904,41 @@ def lsh_band_sweep(
     truth set, so precision/recall per config read off one result and the
     (bands, rows) S-curve trade is measured instead of guessed.
 
-    Shape: each config re-derives signatures from the shared shingle
-    relation (one posexplode shuffle per config, bucket-bounded joins
-    inherited from the underlying ops); the sweep is a unionByName of
-    per-config matrices — configs are few and independent, so on a
-    cluster they run as parallel jobs off the same cached shingles.
+    Shape: the expensive inputs are config-INDEPENDENT and computed once —
+    the exact-Jaccard truth set (one df-capped inverted-index join) and
+    the minhash signature table built at max(num_hashes) (mh_i is the
+    same hash family for every config, so smaller configs read a column
+    prefix of the one table). Both are localCheckpoint-materialized, so
+    each config adds only its band explode + bucket self-join + a
+    <=4-row compare. len(configs) signature passes collapse to one.
     """
+    max_hashes = max(h for h, _ in configs)
+    sig = minhash_signatures(documents, max_hashes, k).localCheckpoint()
+    truth = (
+        ngram_jaccard_pairs(documents, k, threshold_num, threshold_den, max_df)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+        .localCheckpoint()
+    )
     frames = []
     for num_hashes, band_size in configs:
-        m = lsh_pair_quality(
-            documents, num_hashes, band_size, k, threshold_num, threshold_den, max_df
+        bands = _band_keys_from_sig(sig, num_hashes, band_size)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .withColumn("in_lsh", F.lit(True))
+        )
+        m = (
+            cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+            .select(
+                F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+                F.coalesce("is_true", F.lit(False)).alias("is_true"),
+            )
+            .groupBy("in_lsh", "is_true")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
         )
         frames.append(
             m.select(

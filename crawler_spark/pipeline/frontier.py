@@ -486,21 +486,25 @@ def wave_fairness(allocations: DataFrame, count_col: str = "n") -> DataFrame:
     counts each round to catch a salting or budget regression turning the
     crawl into a single-host hammer.
 
-    One partial->final aggregation into a single row; exact integers
-    (headroom: counts <= ~10^6 per group keep sum^2 and n*sumsq inside
-    int64 for 10^6 groups — at larger scales pre-divide counts by a
-    common shift, the index is scale-invariant).
+    One partial->final aggregation into a single row. The ratio is
+    computed in decimal(38,0) — 10000 * total^2 needs ~1e4 * (1e12)^2 =
+    1e28 headroom once total allocation reaches the 10^10-URL frontier
+    regime, which overflows int64 at total > ~3e7; decimal(38,0) holds
+    exactly to total <= ~1e16 and the cost is irrelevant on a 1-row
+    aggregate. total/n_groups stay int64 (counts, not products).
     """
     x = F.col(count_col).cast("long")
+    xd = F.col(count_col).cast("decimal(38,0)")
     agg = allocations.agg(
         F.count("*").cast("long").alias("n_groups"),
         F.sum(x).cast("long").alias("total"),
-        F.sum(x * x).cast("long").alias("_sumsq"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("_sumsq"),
     )
     return agg.select(
         "n_groups",
         "total",
         F.expr(
-            "CAST(10000 * total * total div greatest(n_groups * _sumsq, 1) AS BIGINT)"
+            "CAST(10000 * CAST(total AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))"
+            " div greatest(CAST(n_groups AS DECIMAL(38,0)) * _sumsq, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("fairness_bp"),
     )

@@ -1297,11 +1297,12 @@ def test_hll_registers(spark):
     assert sum(r["n_distinct"] for r in rows) == 40
     assert all(1 <= r["max_rank"] <= 53 for r in rows)
     assert all(0 <= r["register"] < 256 for r in rows)
-    # merge = per-register max: splitting the data and max-merging the two
-    # register tables must equal the one-shot table
-    a = hll_registers(df.limit(500), "user_id", m=256)
+    # merge = per-register max: sketches built from DISJOINT halves,
+    # max-merged, must equal the one-shot table (unioning a subset with
+    # the full sketch would pass trivially)
+    a = hll_registers(df.filter("user_id < 20"), "user_id", m=256)
     merged = (
-        a.unionByName(hll_registers(df, "user_id", m=256))
+        a.unionByName(hll_registers(df.filter("user_id >= 20"), "user_id", m=256))
         .groupBy("register")
         .agg({"max_rank": "max"})
         .withColumnRenamed("max(max_rank)", "max_rank")
@@ -1580,3 +1581,14 @@ def test_wave_fairness(spark):
     skew = spark.createDataFrame([("a", 30), ("b", 0), ("c", 0)], "host string, n long")
     # one host takes all: index = 1/n -> 3333 bp
     assert wave_fairness(skew).collect()[0]["fairness_bp"] == 3333
+    # production-scale regression: total ~1e10 overflowed the old int64
+    # 10000*total*total path (ARITHMETIC_OVERFLOW under ANSI); decimal(38,0)
+    # math must return the exact index
+    big = spark.createDataFrame(
+        [("a", 5_000_000_000), ("b", 5_000_000_000)], "host string, n long"
+    )
+    assert wave_fairness(big).collect()[0]["fairness_bp"] == 10000
+    big_skew = spark.createDataFrame(
+        [("a", 10_000_000_000), ("b", 0)], "host string, n long"
+    )
+    assert wave_fairness(big_skew).collect()[0]["fairness_bp"] == 5000
