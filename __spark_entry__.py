@@ -2010,7 +2010,80 @@ def q_crawl_canonical_collisions(spark, sf_dir):
     )
 
 
+# The driver's correctness gate verifies only the FIRST 50 registry
+# entries per round (CORRECTNESS_r{N}.json == registry positions 1-50).
+# _CHECK_WINDOW therefore front-loads the queries with the LEAST driver
+# evidence — round-2 CORRECTNESS covered the 50 crawl/text/dedup basics,
+# so round 3 rotates the graph / streaming / similarity / assemble /
+# frontier families (plus everything new this round) into the window.
+# Rotate this list again each round; queries() preserves the handwritten
+# order for everything not named here.
+_CHECK_WINDOW = [
+    # round-3 additions (never checked by anyone) — keep these first
+    # round-2 additions, driver-unchecked, riskiest families first
+    "crawl_e2e_order",
+    "graph_pagerank",
+    "graph_ppr",
+    "graph_hits",
+    "graph_components",
+    "graph_components_twophase",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_degrees",
+    "graph_neighbor_jaccard",
+    "graph_hostgraph",
+    "graph_reciprocity",
+    "stream_windowed_metrics",
+    "stream_rate_limit",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_sessionize",
+    "stream_hll",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_multitable",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "sim_kmeans",
+    "sim_semantic_dedup",
+    "sim_embedding_neardup",
+    "sim_embedding_clusters",
+    "sim_lsh_bucket_stats",
+    "sim_pair_histogram",
+    "docs_pack_sequences",
+    "docs_stratified_sample",
+    "docs_priority_sample",
+    "docs_epoch_order",
+    "docs_dsir_weights",
+    "docs_shard_assign",
+    "docs_interleave_pack",
+    "docs_span_dedup",
+    "docs_media_dedup",
+    "docs_caption_pairs",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_assemble",
+    "pipeline_curate",
+    "pipeline_assemble",
+    "dedup_band_sweep",
+    "dedup_cascade",
+    "dedup_survivorship",
+    "crawl_rank_budget",
+    "crawl_wave_fairness",
+]
+
+
+def _reorder(base: dict) -> dict:
+    head = {k: base[k] for k in _CHECK_WINDOW if k in base}
+    return head | {k: v for k, v in base.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _reorder(_queries_base())
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonical_keys": q_crawl_canonical_keys,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
@@ -5333,4 +5406,4 @@ def oracle_sql() -> dict[str, str]:
         FROM qm JOIN gr USING (doc_id)
         GROUP BY 1, 2
     """
-    return d
+    return _reorder(d)
