@@ -1658,6 +1658,16 @@ def q_text_bpe_encode(spark, sf_dir):
     return bpe_encode(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """Full iterative BPE TRAINING loop (6 merges): per-iteration
+    weighted-pair argmax + corpus-wide merge over the word-frequency
+    vocab relation; returns the ordered merge table. Closes VERDICT r2
+    missing-item 5 (bpe_pair_counts was one iteration)."""
+    from crawler_spark.pipeline.textstats import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 def q_text_dup_ngram_coverage(spark, sf_dir):
     """Cross-document duplicated 8-gram character coverage (RefinedWeb
     metric; the scalable proxy for suffix-array exact-substring dedup) —
@@ -2020,6 +2030,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # order for everything not named here.
 _CHECK_WINDOW = [
     # round-3 additions (never checked by anyone) — keep these first
+    "text_bpe_train",
     # round-2 additions, driver-unchecked, riskiest families first
     "crawl_e2e_order",
     "graph_pagerank",
@@ -2227,6 +2238,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lateness": q_events_lateness,
         "graph_ppr": q_graph_ppr,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_train": q_text_bpe_train,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
         "crawl_anchor_text": q_crawl_anchor_text,
         "crawl_domain_budget": q_crawl_domain_budget,
@@ -2647,6 +2659,46 @@ def _bpe_sym_expr() -> str:
     for a, b in BPE_MERGES:
         s = f"replace({s}, '({a})({b})', '({a}{b})')"
     return s
+
+
+def _bpe_train_sql(k: int = 6) -> str:
+    """Unrolled k-iteration BPE training loop (the fixed-iteration style
+    of the PageRank/HITS oracles): v{i} = vocab after i merges, p{i} =
+    weighted adjacent-pair counts, b{i} = 1-row argmax (n DESC, pair ASC
+    — same total order as the Spark side)."""
+    stages = [
+        """words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS tc FROM (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        )""",
+        "v0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym, tc FROM words)",
+    ]
+    for i in range(k):
+        stages.append(f"""p{i} AS (
+            SELECT pair, CAST(sum(tc) AS BIGINT) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(sa)),
+                           j -> sa[j] || ' ' || sa[j + 1])) AS pair, tc
+                FROM (SELECT regexp_extract_all(sym, '\\(([a-z]+)\\)', 1) AS sa,
+                             tc FROM v{i})
+                WHERE len(sa) >= 2
+            ) GROUP BY pair
+        )""")
+        stages.append(
+            f"b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        stages.append(f"""v{i + 1} AS (
+            SELECT replace(sym,
+                '(' || split_part(pair, ' ', 1) || ')(' || split_part(pair, ' ', 2) || ')',
+                '(' || replace(pair, ' ', '') || ')') AS sym, tc
+            FROM v{i}, b{i}
+        )""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS rk, pair, n FROM b{i}" for i in range(k)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4950,6 +5002,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_count * 100 >= q * total
             GROUP BY q, total
         """,
+        "text_bpe_train": _bpe_train_sql(6),
         "text_bpe_encode": f"""
             WITH words AS (
                 SELECT doc_id,

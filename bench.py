@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "docs_profile",
     "text_dup_ngram_coverage",
     "text_bpe_encode",
+    "text_bpe_train",
     "docs_quantile_sketch",
     "crawl_anchor_text",
     "crawl_domain_budget",
@@ -278,6 +279,16 @@ def main() -> None:
         print("CRAWL_RESULT " + json.dumps(run_crawl_bench(master, cpus, mode)))
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--steady-only":
+        # iterate on the steady-state (delta-frontier) round-cost evidence
+        from crawler_spark.session import get_spark
+
+        if os.path.isdir("/dev/shm") and "SPARK_GRAFT_LOCAL_DIR" not in os.environ:
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = _state_tmpdir("bench_local_")
+        spark = get_spark("bench-steady", master="local[32]", shuffle_partitions=32)
+        print(json.dumps({"steady_state": run_steady_state_bench(spark)}))
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-only":
         # iterate on the scaling gate without the sf0.1 query sweep
         from crawler_spark.session import get_spark
@@ -316,6 +327,10 @@ def main() -> None:
     # north-star crawl throughput at local[CPUS] (in-process)
     crawl = run_crawl_bench_inproc(spark)
 
+    steady = None
+    if os.environ.get("SPARK_GRAFT_STEADY", "1") != "0":
+        steady = run_steady_state_bench(spark)
+
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling = run_scaling(spark)
@@ -327,6 +342,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf,
         "crawl": crawl,
+        "steady_state": steady,
         "scaling": scaling,
     }
     print(json.dumps(result))
@@ -535,6 +551,127 @@ def run_crawl_bench_inproc(spark) -> dict:
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+STEADY_WAVE = int(os.environ.get("SPARK_GRAFT_STEADY_WAVE", "25000"))
+STEADY_ROUNDS = int(os.environ.get("SPARK_GRAFT_STEADY_ROUNDS", "4"))
+STEADY_SIZES = [
+    int(s)
+    for s in os.environ.get(
+        "SPARK_GRAFT_STEADY_SIZES", "250000,1000000,4000000"
+    ).split(",")
+]
+
+
+def run_steady_state_bench(spark) -> dict:
+    """Steady-state (wave << frontier) round-cost evidence for the north
+    rule's central claim: in DELTA frontier mode a budget-bound round's
+    cost is O(wave + links), not O(frontier).
+
+    Protocol: fixed wave budget W per round, frontier sizes S spanning a
+    16x range (W << S for all of them), R rounds per run, per-round wall
+    times from RoundStats. The fetched corpus (R*W detail pages — the only
+    pages any run pops, since pops are (-priority, seq) and the fat
+    frontier is seq-ordered) is rendered once and shared by every run, so
+    the only thing that varies between runs is frontier size and mode.
+    Round 1 is reported but excluded from the steady figure (bloom/JIT/
+    codegen warmup); steady_round_s = mean of rounds 2..R.
+
+    Read: delta's growth ratio steady(S_max)/steady(S_min) vs snapshot's.
+    Snapshot rewrites O(S) rows per round, so its ratio tracks the 16x
+    size ratio; delta appends O(W) and should stay near flat — the gap IS
+    the merge-on-read design working.
+    """
+    import shutil
+
+    from crawler_spark.engine import CrawlEngine
+    from crawler_spark.fixtures_big import (
+        bench_tasks_rules_robots,
+        big_web_graph,
+        fat_frontier,
+    )
+    from crawler_spark.operators.fetch import GraphFetcher
+
+    n_fetched = STEADY_WAVE * STEADY_ROUNDS
+    corpus_dir = _state_tmpdir("bench_steady_corpus_")
+    (
+        big_web_graph(
+            spark, n_tags=1, lists_per_tag=max(1, -(-n_fetched // 60)),
+            books_per_list=60, n_topics=1, pad_to=FAT_PAD,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(corpus_dir, "graph"))
+    )
+    web = spark.read.parquet(os.path.join(corpus_dir, "graph"))
+    tasks, rules, robots = bench_tasks_rules_robots(
+        task_budget_per_round=STEADY_WAVE
+    )
+    out: dict = {
+        "wave": STEADY_WAVE,
+        "rounds": STEADY_ROUNDS,
+        "sizes": STEADY_SIZES,
+    }
+    try:
+        for mode in ("delta", "snapshot"):
+            per_size = {}
+            for size in STEADY_SIZES:
+                d = _state_tmpdir("bench_steady_")
+                try:
+                    eng = CrawlEngine(
+                        spark, f"{d}/state", GraphFetcher(web), tasks, rules,
+                        robots, round_s=60, frontier_mode=mode,
+                    )
+                    eng.init_state(fat_frontier(spark, size))
+                    stats = eng.run(max_rounds=STEADY_ROUNDS)
+                    rounds = [s.wall_s for s in stats]
+                    tail = rounds[1:] or rounds
+                    per_size[str(size)] = {
+                        "round_s": [round(r, 2) for r in rounds],
+                        "steady_round_s": round(sum(tail) / len(tail), 2),
+                        "urls_fetched": sum(s.selected for s in stats),
+                    }
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+            lo = per_size[str(min(STEADY_SIZES))]["steady_round_s"]
+            hi = per_size[str(max(STEADY_SIZES))]["steady_round_s"]
+            out[mode] = {
+                "per_size": per_size,
+                "growth_ratio": round(hi / lo, 3) if lo else None,
+            }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+    out["size_ratio"] = round(max(STEADY_SIZES) / min(STEADY_SIZES), 1)
+    _append_steady_md(out)
+    return out
+
+
+def _append_steady_md(steady: dict) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines = [
+        f"\n## Steady-state round cost {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n",
+        f"Budget-bound rounds (wave {steady['wave']} URLs/round, "
+        f"{steady['rounds']} rounds) over frontier sizes spanning "
+        f"{steady['size_ratio']}x, identical fetched corpus; "
+        f"steady_round_s = mean of rounds 2..R (round 1 carries warmup). "
+        f"North-rule claim under test: delta-mode round cost is "
+        f"O(wave+links), independent of frontier size.\n\n",
+        "| mode | " + " | ".join(f"S={s}" for s in steady["sizes"]) +
+        f" | growth over {steady['size_ratio']}x |\n",
+        "|---|" + "---|" * (len(steady["sizes"]) + 1) + "\n",
+    ]
+    for mode in ("delta", "snapshot"):
+        if mode not in steady:
+            continue
+        cells = " | ".join(
+            f"{steady[mode]['per_size'][str(s)]['steady_round_s']} s"
+            for s in steady["sizes"]
+        )
+        lines.append(f"| {mode} | {cells} | {steady[mode]['growth_ratio']}x |\n")
+    with open(path, "a") as f:
+        f.writelines(lines)
 
 
 def _append_bench_md(scaling: dict) -> None:

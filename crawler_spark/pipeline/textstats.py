@@ -1080,6 +1080,81 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """(rk, pair, n): the full iterative BPE TRAINING loop — ``n_merges``
+    rounds of (count adjacent symbol pairs over the word-frequency table,
+    take the argmax, apply the merge corpus-wide), returning the ordered
+    merge table that ``bpe_encode`` applies. ``bpe_pair_counts`` is one
+    iteration of this loop; this is the train-to-vocab-size driver loop
+    (reference has no tokenizer — this is LLM-pipeline surface).
+
+    Scale shape: the corpus collapses ONCE to the (word, count) vocab
+    relation — the only corpus-sized pass. Each iteration then runs on
+    the vocab table: symbols are rendered parenthesized (``the`` ->
+    ``(t)(h)(e)``) so a merge (a,b) is one literal
+    ``replace('(a)(b)' -> '(ab)')`` (exact leftmost-greedy BPE, see
+    bpe_encode); adjacent pairs come from a regexp symbol split + an
+    index-shifted transform, weighted by word count. The per-iteration
+    argmax is a 1-ROW collect (the next merge must be known to build the
+    next plan — same driver-loop shape as the k-means centroid step), and
+    the vocab is localCheckpoint'ed per iteration so plan/lineage stay
+    constant across iterations. Ties rank (n desc, pair asc): total
+    order, engine-independent.
+    """
+    words = documents.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .select(
+            F.regexp_replace(F.col("w"), r"(.)", r"($1)").alias("sym"), "tc"
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for i in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "tc",
+            F.regexp_extract_all(
+                "sym", F.lit(r"\(([a-z]+)\)"), 1
+            ).alias("sa"),
+        ).filter(
+            # sequence(1, 0) would generate DESCENDING [1, 0]: 1-symbol
+            # words must not reach the transform
+            F.size("sa") >= 2
+        ).select(
+            "tc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sa) - 1),"
+                    " i -> concat(sa[i - 1], ' ', sa[i]))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("tc").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        a, b = pair.split(" ")
+        merges.append((i, pair, n))
+        vocab = vocab.withColumn(
+            "sym", F.replace("sym", F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+        ).localCheckpoint()
+    spark = documents.sparkSession
+    return spark.createDataFrame(merges, "rk int, pair string, n long")
+
+
 def bpe_encode(
     documents: DataFrame, merges: tuple[tuple[str, str], ...] = BPE_MERGES
 ) -> DataFrame:

@@ -632,6 +632,34 @@ def test_bpe_pair_counts(spark):
     assert rows == {"a b": (4, 1), "b c": (1, 2)}
 
 
+def test_bpe_train(spark):
+    """Full training loop on a hand-checkable corpus.
+
+    words: the x3, theme x2, thesis, other, there, them (each x1).
+    iter1: 'h e' and 't h' both 9 (other contributes to both); tie ->
+    'h e' wins lexicographically. iter2: 't he' = 9. iter3: 'the m' = 3
+    (theme x2 + them). iter4: 'the r' = 2 ties 'them e' = 2 -> 'the r'
+    ('the ' < 'them'). Greedy-leftmost: 'aaaa' under merge 'a a' pairs
+    as (aa)(aa), never (a)(aa)(a)."""
+    from crawler_spark.pipeline.textstats import bpe_train
+
+    d = _docs(
+        spark,
+        [(1, "the theme thesis", "en", "s", 16),
+         (2, "the other theme", "en", "s", 15),
+         (3, "there the them", "en", "s", 14)],
+    )
+    got = [(r["rk"], r["pair"], r["n"]) for r in
+           bpe_train(d, n_merges=4).orderBy("rk").collect()]
+    assert got == [(1, "h e", 9), (2, "t he", 9), (3, "the m", 3), (4, "the r", 2)]
+
+    # greedy leftmost pairing + early exhaustion (no pairs left -> stop)
+    d2 = _docs(spark, [(1, "aaaa", "en", "s", 4)])
+    got2 = [(r["rk"], r["pair"], r["n"]) for r in
+            bpe_train(d2, n_merges=5).orderBy("rk").collect()]
+    assert got2 == [(1, "a a", 3), (2, "aa aa", 1)]
+
+
 def test_caption_pairs_adjacency(spark):
     """chunk=2, media_every=2: 'a b c d e f g h i' -> chunks [a b, c d,
     e f, g h, i]; media 1 after chunk 2 (cap_before='c d', cap_after='e f'),
