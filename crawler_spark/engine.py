@@ -65,6 +65,117 @@ from .operators.topk import budgeted_topk
 _OBS_MAX_TASKS = 256
 
 
+def _bucket_meta(bucket_rows: int, counts_rows) -> dict:
+    """Manifest form of a bucketed base's partition stats: per-task
+    {"<priority>:<bucket>": rows}. Bounded metadata — O(frontier /
+    bucket_rows) entries, the Iceberg partition-stats analog."""
+    raw: dict[str, dict[str, int]] = {}
+    for r in counts_rows:
+        raw.setdefault(r["task"], {})[f"{r['priority']}:{r['_pbkt']}"] = int(
+            r["count"]
+        )
+    return {"size": int(bucket_rows), "raw": raw, "consumed": {}}
+
+
+def _merge_consumed(bmeta: dict, wave_bkts) -> dict:
+    """Fold a round's wave (task, priority, _pbkt) consumption counts into
+    the manifest bucket metadata. Rows the wave took from frontier_add
+    deltas land in buckets the base never had — their entries simply clamp
+    to live 0 at selection time (adds carry strictly larger seqs than any
+    base row, so those buckets are disjoint from the base's)."""
+    out = {
+        "size": bmeta["size"],
+        "raw": bmeta["raw"],
+        "consumed": {
+            t: dict(d) for t, d in bmeta.get("consumed", {}).items()
+        },
+    }
+    for r in wave_bkts or []:
+        d = out["consumed"].setdefault(r["task"], {})
+        k = f"{r['priority']}:{r['_pbkt']}"
+        d[k] = d.get(k, 0) + int(r["count"])
+    return out
+
+
+def _select_pop_prefix(
+    bmeta: dict, targets: dict[str, int]
+) -> tuple[object, dict[str, bool]]:
+    """Choose, per task, the pop-order PREFIX of base buckets whose live
+    upper bound (raw - consumed, clamped at 0) covers ``targets[task]``
+    rows, and build the partition-pruning predicate selecting exactly
+    those (task, priority, _pbkt) directories.
+
+    Pop order is (-priority, seq); within a priority, buckets ascend in
+    seq, so the walk (priority desc, bucket asc) enumerates buckets in pop
+    order and the chosen set is pop-order CLOSED: every unchosen base row
+    of a task ranks after every chosen row of that task. Fully-consumed
+    leading buckets (live upper bound 0 — exact, since `consumed` counts
+    only tombstoned waves) are skipped entirely, so steady-state
+    consumption advances a per-priority low-water mark and the read stays
+    O(target), independent of how much of the frontier is already done.
+
+    Returns (predicate_or_None, partial: task -> True if some live bucket
+    of that task was left unchosen). predicate None means nothing was
+    prunable (every live bucket chosen) — caller should read the full
+    view and keep exact accounting.
+    """
+    consumed = bmeta.get("consumed", {})
+    terms = []
+    partial: dict[str, bool] = {}
+    any_skipped = False
+    for task, raw_t in bmeta["raw"].items():
+        cons_t = consumed.get(task, {})
+        by_prio: dict[int, list[tuple[int, int]]] = {}
+        for pb, n in raw_t.items():
+            p, b = pb.split(":")
+            live = int(n) - int(cons_t.get(pb, 0))
+            if live > 0:
+                by_prio.setdefault(int(p), []).append((int(b), live))
+            else:
+                any_skipped = True
+        need = int(targets.get(task, 0))
+        got = 0
+        task_terms = []
+        left_live = False
+        for p in sorted(by_prio, reverse=True):
+            buckets = sorted(by_prio[p])
+            if got >= need:
+                left_live = True
+                any_skipped = True
+                break
+            lo = buckets[0][0]
+            hi = None
+            for b, live in buckets:
+                if got >= need:
+                    break
+                hi = b
+                got += live
+            if hi is not None:
+                task_terms.append(
+                    (F.col("priority") == p)
+                    & (F.col("_pbkt") >= lo)
+                    & (F.col("_pbkt") <= hi)
+                )
+                if hi < buckets[-1][0]:
+                    left_live = True
+                    any_skipped = True
+        partial[task] = left_live
+        if task_terms:
+            t_pred = task_terms[0]
+            for tt in task_terms[1:]:
+                t_pred = t_pred | tt
+            terms.append((F.col("task") == task) & t_pred)
+    if not any_skipped:
+        return None, partial
+    if not terms:
+        # no live base rows at all: select nothing from the base
+        return F.lit(False), partial
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = pred | t
+    return pred, partial
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -91,6 +202,7 @@ class CrawlEngine:
         typed_tables: bool = False,
         frontier_mode: str = "snapshot",
         frontier_compact_factor: float = 2.0,
+        frontier_bucket_rows: int = 65536,
     ):
         # ``frontier_mode``:
         # - "snapshot": every round rewrites the surviving frontier (the
@@ -115,7 +227,14 @@ class CrawlEngine:
             raise ValueError(f"unknown frontier_mode {frontier_mode!r}")
         self.frontier_mode = frontier_mode
         self.frontier_compact_factor = float(frontier_compact_factor)
+        # ``frontier_bucket_rows``: delta-mode bases are written partitioned
+        # by (task, priority, seq div bucket_rows) — the pop sort key — so a
+        # budget-bound round partition-prunes its base read to the pop-order
+        # PREFIX covering the wave (O(wave) read, not O(frontier); see the
+        # pruned-pop block in _run_round). 0 disables bucketing.
+        self.frontier_bucket_rows = int(frontier_bucket_rows)
         self._force_frontier_compact = False
+        self._last_prune: dict | None = None
         self.spark = spark
         self.store = SnapshotStore(spark, state_dir)
         self.fetcher = fetcher
@@ -283,7 +402,12 @@ class CrawlEngine:
 
     def init_state(self, seeds: DataFrame) -> None:
         """Round-0 snapshot. Seeds must be FRONTIER-shaped."""
-        self.store.write_frontier(0, seeds)
+        bucket_rows = (
+            self.frontier_bucket_rows if self.frontier_mode == "delta" else 0
+        )
+        bcounts = self.store.write_frontier(
+            0, seeds, bucket_rows=bucket_rows or None
+        )
         empty_seen = self.spark.createDataFrame([], schemas.SEEN)
         self.store.append("seen", 0, empty_seen)
         self.store.append(
@@ -325,6 +449,11 @@ class CrawlEngine:
                     {
                         "frontier_base": 0,
                         "frontier_raw": int(sum(r["n"] for r in per_task)),
+                        **(
+                            {"frontier_buckets": _bucket_meta(bucket_rows, bcounts)}
+                            if bcounts is not None
+                            else {}
+                        ),
                     }
                     if self.frontier_mode == "delta"
                     else {}
@@ -443,15 +572,9 @@ class CrawlEngine:
             )
         )
 
-        # 1. expire (Request.Check semantics)
-        cand = (
-            frontier.join(self._tasks_df, "task")
-            .filter((F.col("depth") <= F.col("max_depth")) & ~F.col("closed"))
-            .drop("max_depth", "closed")
-        )
-
-        # 2. seen dedup: exact anti-join with Bloom pre-filter; reload bypasses.
-        # Seen size is a manifest counter (appended rows), never a table scan.
+        # seen-dedup inputs, needed by the candidate filters below AND the
+        # pruned-pop widening loop. Seen size is a manifest counter
+        # (appended rows), never a table scan.
         n_seen = man.get("seen_count")
         if n_seen is None:  # manifest written before the counter existed
             n_seen = seen.count()
@@ -463,19 +586,107 @@ class CrawlEngine:
                 self._desc(rnd, "bloom-full-build")
                 self._bloom = build_bloom(seen, "key", self.bloom_bits)
             bloom = self._bloom
-        if n_seen == 0:
-            # manifest counter proves the seen table empty (first round /
-            # fresh resume): the anti-join is the identity — skip its
-            # shuffle and job entirely. Exactness: seen is append-only and
-            # the counter counts appended rows, so 0 ⇒ no key can match.
-            pass
-        else:
-            non_reload = cand.filter(~F.col("reload"))
-            reload_rows = cand.filter(F.col("reload"))
-            fresh = anti_join_seen(
-                non_reload, seen, "key", bloom, self.bloom_bits
+
+        def _cand_filters(fr: DataFrame) -> DataFrame:
+            # 1. expire (Request.Check semantics)
+            c = (
+                fr.join(self._tasks_df, "task")
+                .filter(
+                    (F.col("depth") <= F.col("max_depth")) & ~F.col("closed")
+                )
+                .drop("max_depth", "closed")
             )
-            cand = fresh.unionByName(reload_rows)
+            # 2. seen dedup: exact anti-join with Bloom pre-filter; reload
+            # bypasses. n_seen == 0 (manifest counter) proves the anti-join
+            # is the identity — skip its shuffle and job entirely.
+            # Exactness: seen is append-only and the counter counts
+            # appended rows, so 0 ⇒ no key can match.
+            if n_seen != 0:
+                non_reload = c.filter(~F.col("reload"))
+                reload_rows = c.filter(F.col("reload"))
+                fresh = anti_join_seen(
+                    non_reload, seen, "key", bloom, self.bloom_bits
+                )
+                c = fresh.unionByName(reload_rows)
+            return c
+
+        # ---- pruned pop (delta mode): read only the pop-order PREFIX of
+        # the bucketed base that covers this round's budgets, instead of
+        # scanning O(frontier). Exactness: the chosen bucket set is
+        # pop-order closed per task (_select_pop_prefix), so once the
+        # prefix holds >= budget wave-ELIGIBLE base rows for a task (or
+        # covers all its live buckets), the budgeted top-k over
+        # prefix ∪ adds equals the top-k over the full view — any unread
+        # base row ranks after >= budget included base rows. Eligibility
+        # shortfalls (rows the expire/seen filters drop — e.g. compacted-in
+        # links to since-crawled pages) are handled by a measure-and-widen
+        # loop: count survivors on the base prefix (adds excluded — they
+        # cannot substitute in the pop order), widen any short task, redo.
+        # Gates: frontier_unique (no cross-row dedup => candidate filters
+        # are row-local), no queued seeds, no host cap (host budgets are
+        # not task-prefix-coverable), observation accounting, and a
+        # bucketed base in the manifest.
+        self._last_prune = None
+        pruned_partial = False
+        bmeta = (
+            man.get("frontier_buckets")
+            if self.frontier_mode == "delta"
+            else None
+        )
+        if (
+            bmeta
+            and not fused
+            and use_obs
+            and frontier_unique
+            and not stamped_seed_rows
+            and not self._hostcap_active
+            and fcounts_prev is not None
+            and fr_base is not None
+        ):
+            targets = {
+                t: max(2 * min(budgets.get(t, 0), 1 << 40), 1)
+                for t in self.tasks
+            }
+            widen_rounds = 0
+            while True:
+                pred, partial = _select_pop_prefix(bmeta, targets)
+                if pred is None or not any(partial.values()):
+                    # nothing left unread (or no live base rows): the full
+                    # view is already O(live) — keep exact accounting
+                    break
+                self._desc(rnd, "pruned-pop-count")
+                base_live = self.store.read_frontier_base_live(
+                    fr_base, fr_round, base_filter=pred
+                )
+                cnts = {
+                    r["task"]: r["n"]
+                    for r in _cand_filters(base_live)
+                    .groupBy("task")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                short = [
+                    t
+                    for t, is_partial in partial.items()
+                    if is_partial
+                    and cnts.get(t, 0) < min(budgets.get(t, 0), 1 << 40)
+                ]
+                if not short:
+                    frontier = self.store.read_frontier_view(
+                        fr_base, fr_round, base_filter=pred
+                    )
+                    pruned_partial = True
+                    self._last_prune = {
+                        "targets": dict(targets),
+                        "widen_rounds": widen_rounds,
+                        "survivors": cnts,
+                    }
+                    break
+                widen_rounds += 1
+                for t in short:
+                    targets[t] *= 4
+
+        cand = _cand_filters(frontier)
 
         # within-round duplicate keys: first by (-priority, seq) wins
         # (reference: first pop marks visited, later pops skip —
@@ -660,7 +871,9 @@ class CrawlEngine:
                         tier_carry_after(c, tier, self.round_s, 0)
                         for c, tier in zip(carries[name], t.limits)
                     ]
-                done = n_cand == 0
+                # pruned n_cand counts only the read prefix — emptiness of
+                # the prefix proves nothing about the unread buckets
+                done = n_cand == 0 and not pruned_partial
                 new_man = self._advance_manifest(
                     man, rnd, carries, used, max_seq, done, n_seen,
                     frontier_counts=fcounts_prev,
@@ -1076,19 +1289,29 @@ class CrawlEngine:
             # analog — the 1-in-K snapshot round amortizes to O(delta)).
             delta_round = False
             raw_next = 0
+            # pruned rounds never measured the full candidate set: use the
+            # manifest's per-task frontier counts (an upper bound on live —
+            # filter-dead rows stay counted until a compaction re-measures)
+            # for the live/deferred arithmetic. Overestimating live only
+            # DELAYS compaction and keeps the n_wave == eff_cand "deferred
+            # empty" proof from firing spuriously (UB > live >= n_wave
+            # whenever unread live buckets exist).
+            eff_cand = (
+                sum(fcounts_prev.values()) if pruned_partial else n_cand
+            )
             if (
                 self.frontier_mode == "delta"
                 and not self._force_frontier_compact
                 and n_wave is not None
-                and n_cand is not None
-                and n_wave != n_cand
+                and eff_cand is not None
+                and n_wave != eff_cand
                 and man.get("frontier_raw") is not None
             ):
                 raw_next = (
                     int(man["frontier_raw"])
                     + n_links + n_retries + len(stamped_seed_rows)
                 )
-                live_next = (n_cand - n_wave) + n_links + n_retries
+                live_next = (eff_cand - n_wave) + n_links + n_retries
                 delta_round = raw_next <= self.frontier_compact_factor * max(
                     live_next, 1
                 )
@@ -1128,7 +1351,7 @@ class CrawlEngine:
                     )
                 )
             else:
-                if n_wave == n_cand:
+                if n_wave == eff_cand:
                     # wave ⊆ cand by construction and seq is frontier-unique,
                     # so equal counts prove the deferred set empty — skips an
                     # |cand| x |wave| anti-join shuffle on full-throughput
@@ -1136,6 +1359,16 @@ class CrawlEngine:
                     deferred = spark.createDataFrame(
                         [], schemas.FRONTIER
                     ).select(*frontier_cols)
+                elif pruned_partial:
+                    # compaction after a pruned round: the pruned cand holds
+                    # only the read prefix — rebuild the survivor set from
+                    # the FULL view (O(frontier) once, amortized: this IS
+                    # the rewrite_data_files round)
+                    deferred = _cand_filters(
+                        self.store.read_frontier_view(fr_base, fr_round)
+                    ).join(wave.select("seq"), "seq", "left_anti").select(
+                        *frontier_cols
+                    )
                 else:
                     deferred = cand.join(
                         wave.select("seq"), "seq", "left_anti"
@@ -1144,7 +1377,7 @@ class CrawlEngine:
                 # contribute defaultParallelism zero-row partitions to the
                 # frontier write (pure task-launch overhead on small deltas)
                 pieces = []
-                if n_wave != n_cand:
+                if n_wave != eff_cand:
                     pieces.append(deferred)
                 if not skip_links:
                     pieces.append(new_links)
@@ -1189,12 +1422,36 @@ class CrawlEngine:
             self.store.append_local(
                 "metrics", rnd, metrics_rows, schemas.ROUND_METRICS
             )
+            snap_fut = None
             if not delta_round:
-                futs.append(
-                    pool.submit(
-                        self._labeled, rnd, "frontier-snapshot",
-                        self.store.write_frontier, rnd, next_frontier,
+                snap_bucket_rows = (
+                    self.frontier_bucket_rows
+                    if self.frontier_mode == "delta"
+                    else 0
+                )
+                snap_fut = pool.submit(
+                    self._labeled, rnd, "frontier-snapshot",
+                    self.store.write_frontier, rnd, next_frontier,
+                    snap_bucket_rows or None,
+                )
+                futs.append(snap_fut)
+            # delta-mode consumption accounting for the pruned pop: which
+            # (task, priority, bucket) each waved row came from — an O(wave)
+            # job over the wave scratch, folded into the write window. Kept
+            # current even on rounds the pruner sat out (queued seeds, host
+            # cap), so the bucket live-bounds never go stale.
+            wave_bkts = None
+            if delta_round and bmeta is not None and not fused:
+                wave_bkts = (
+                    wave.groupBy(
+                        "task",
+                        "priority",
+                        F.expr(
+                            f"CAST(seq div {int(bmeta['size'])} AS INT)"
+                        ).alias("_pbkt"),
                     )
+                    .agg(F.count(F.lit(1)).alias("count"))
+                    .collect()
                 )
             for f in futs:
                 f.result()
@@ -1202,7 +1459,7 @@ class CrawlEngine:
         # alive); its size is pure arithmetic over already-known counts —
         # deferred (candidates minus wave; seq is frontier-unique) + new
         # links + retries — so no re-scan of the written snapshot is needed
-        n_frontier = (n_cand - n_wave) + n_links + n_retries
+        n_frontier = (eff_cand - n_wave) + n_links + n_retries
         done = n_frontier == 0
 
         # per-task next-frontier counts: deferred (cand - used) + links +
@@ -1211,6 +1468,13 @@ class CrawlEngine:
         cand_by_task = (
             cand_counts if cand_counts is not None else by_task("cand")
         )
+        if pruned_partial:
+            # the pruned cand counted only the read prefix: advance the
+            # manifest totals arithmetically instead (an upper bound on
+            # live — filter-dead rows stay counted until a compaction
+            # round re-measures exactly; safe for the fused proof, which
+            # only fires when the bound fits the budgets)
+            cand_by_task = fcounts_prev
         fcounts_next: dict[str, int] = {}
         for t in {*cand_by_task, *link_counts, *retry_counts}:
             n = (
@@ -1244,11 +1508,34 @@ class CrawlEngine:
             if delta_round:
                 new_man["frontier_base"] = man.get("frontier_base")
                 new_man["frontier_raw"] = int(raw_next)
+                if bmeta is not None:
+                    new_man["frontier_buckets"] = _merge_consumed(
+                        bmeta, wave_bkts
+                    )
             else:
                 # this round's snapshot IS the new base (compaction / fresh
                 # tiny base of a fully-consumed round); old deltas are GC'd
                 # lazily at next round start, after this manifest commits
                 new_man["frontier_base"] = rnd
+                snap_counts = (
+                    snap_fut.result() if snap_fut is not None else None
+                )
+                if snap_counts is not None:
+                    bm = _bucket_meta(self.frontier_bucket_rows, snap_counts)
+                    new_man["frontier_buckets"] = bm
+                    # the bucketed write's partition stats are an EXACT
+                    # per-task census of the new base — replace any
+                    # arithmetic upper bounds (pruned rounds) with them
+                    exact = {
+                        t: sum(d.values()) for t, d in bm["raw"].items()
+                    }
+                    new_man["frontier_counts"] = {
+                        t: n for t, n in exact.items() if n
+                    }
+                    n_frontier = sum(exact.values())
+                    new_man["done"] = n_frontier == 0
+                else:
+                    new_man.pop("frontier_buckets", None)
                 new_man["frontier_raw"] = int(n_frontier)
                 self._force_frontier_compact = False
         # keep the Bloom current with this round's delta (wave-bounded work)
@@ -1317,6 +1604,8 @@ class CrawlEngine:
         if man.get("frontier_base") is not None:
             out["frontier_base"] = man.get("frontier_base")
             out["frontier_raw"] = man.get("frontier_raw")
+            if man.get("frontier_buckets") is not None:
+                out["frontier_buckets"] = man.get("frontier_buckets")
         return out
 
 

@@ -1286,6 +1286,121 @@ def dup_ngram_coverage(documents: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, n_removed_spans, removed_chars, clean_text): exact
+    duplicate-substring REMOVAL at word-``n``-gram granularity — the
+    transform counterpart of ``dup_ngram_coverage`` (which only measures).
+    Every corpus-wide occurrence of a duplicated n-gram except the FIRST
+    (global (doc_id, start) order, within-doc repeats included) has its
+    character span cut out of the canonical space-joined token rendering;
+    overlapping cuts merge (interval-union islands), so what is removed is
+    maximal duplicated regions — the n-gram-resolution analog of Lee et
+    al. 2022 suffix-array exact-substring dedup (ExactSubstr), which this
+    engine deliberately approximates at shuffle-friendly granularity (a
+    distributed suffix array is noted out of scope in SCALE.md).
+
+    Scale shape: gram spans are the posexplode + lead chain (keyed per
+    doc); the keeper is a partial->final ``min(struct(doc_id, start))``
+    aggregation keyed on gram — skew-safe for boilerplate grams with 10^6
+    occurrences (map-side combine, no window over the gram group) — and
+    occurrences join back 1 keeper row per gram (AQE handles the hot-key
+    partition imbalance). Island sweep + complement slicing are windows
+    partitioned by doc_id; clean text reassembles via array_sort over the
+    per-doc kept pieces (bounded by islands per doc). No pair joins, no
+    df caps needed — removal never goes quadratic.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "t")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    off = F.coalesce(
+        F.sum(F.length("t") + 1).over(
+            wnd.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    parts = [F.col("t")] + [F.lead("t", j).over(wnd) for j in range(1, n)]
+    spans = (
+        toks.select(
+            "doc_id",
+            off.alias("start"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("t", n - 1).over(wnd).isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select(
+            "doc_id", "start",
+            (F.col("start") + F.length("gram")).cast("long").alias("end"),
+            "gram",
+        )
+    )
+    keeper = spans.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "start")).alias("_k"),
+        F.count("*").alias("_occ"),
+    )
+    removals = (
+        spans.join(keeper.filter(F.col("_occ") >= 2), "gram")
+        .filter(
+            (F.col("doc_id") != F.col("_k.doc_id"))
+            | (F.col("start") != F.col("_k.start"))
+        )
+        .select("doc_id", "start", "end")
+    )
+    sweep = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(sweep.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        removals.withColumn(
+            "_new",
+            F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(sweep))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("start").cast("long").alias("isl_s"),
+            F.max("end").cast("long").alias("isl_e"),
+        )
+        .select("doc_id", "isl_s", "isl_e", F.lit(False).alias("_sentinel"))
+    )
+    docs_c = documents.select(
+        "doc_id", F.array_join(tokens_col(), " ").alias("canon")
+    ).withColumn("clen", F.length("canon").cast("long"))
+    # one sentinel island at (clen, clen) per doc closes the complement:
+    # the piece BEFORE each island (prev island end -> this island start)
+    # enumerates every kept segment including the tail
+    marks = islands.unionByName(
+        docs_c.select(
+            "doc_id",
+            F.col("clen").alias("isl_s"),
+            F.col("clen").alias("isl_e"),
+            F.lit(True).alias("_sentinel"),
+        )
+    )
+    mw = Window.partitionBy("doc_id").orderBy("isl_s", "isl_e")
+    prev_e = F.coalesce(F.lag("isl_e").over(mw), F.lit(0))
+    pieces = marks.withColumn("_prev_e", prev_e).join(docs_c, "doc_id").select(
+        "doc_id", "isl_s", "isl_e", "_sentinel",
+        F.expr(
+            "substring(canon, CAST(_prev_e + 1 AS INT),"
+            " CAST(isl_s - _prev_e AS INT))"
+        ).alias("piece"),
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.sum(F.when(~F.col("_sentinel"), 1).otherwise(0))
+        .cast("long").alias("n_removed_spans"),
+        F.sum(F.when(~F.col("_sentinel"), F.col("isl_e") - F.col("isl_s")).otherwise(0))
+        .cast("long").alias("removed_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("isl_s", "isl_e", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("clean_text"),
+    )
+
+
 def hll_registers(df: DataFrame, value_col: str, m: int = 256) -> DataFrame:
     """(register, max_rank, n_distinct): the register table of an
     HLL-style cardinality sketch over ``value_col`` — the constant-memory,

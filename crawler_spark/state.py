@@ -84,19 +84,80 @@ class SnapshotStore:
         with open(self._manifest_path(rnd)) as f:
             return json.load(f)
 
-    def write_frontier(self, rnd: int, frontier: DataFrame) -> None:
-        frontier.write.mode("overwrite").parquet(
-            os.path.join(self._round_dir(rnd), "frontier")
+    def write_frontier(
+        self, rnd: int, frontier: DataFrame, bucket_rows: int | None = None
+    ) -> list | None:
+        """Write the frontier base snapshot for round ``rnd``.
+
+        With ``bucket_rows`` set (delta mode), the base is written
+        PARTITIONED by (task, priority, _pbkt = seq div bucket_rows) —
+        the parquet stand-in for an Iceberg table partitioned on the pop
+        sort key. Because the wave pop is ordered (-priority, seq), the
+        (priority desc, _pbkt asc) directory walk enumerates rows in pop
+        order, so a budget-bound round can PARTITION-PRUNE the base read
+        to the pop-order prefix covering its wave (engine.py pruned-pop
+        path) instead of scanning O(frontier). Returns the per-(task,
+        priority, _pbkt) row counts — read back from the written files'
+        partition columns only (zero data columns scanned) — which the
+        engine persists in the manifest as the pruning metadata (the
+        Iceberg partition-stats analog).
+        """
+        from pyspark.sql import functions as F
+
+        path = os.path.join(self._round_dir(rnd), "frontier")
+        if not bucket_rows:
+            frontier.write.mode("overwrite").parquet(path)
+            return None
+        df = frontier.withColumn(
+            "_pbkt", F.expr(f"CAST(seq div {int(bucket_rows)} AS INT)")
+        )
+        (
+            df.repartition("task", "priority", "_pbkt")
+            .write.mode("overwrite")
+            .partitionBy("task", "priority", "_pbkt")
+            .parquet(path)
+        )
+        return (
+            self.spark.read.schema(self._frontier_schema(True))
+            .parquet(path)
+            .groupBy("task", "priority", "_pbkt")
+            .count()
+            .collect()
         )
 
-    def read_frontier(self, rnd: int) -> DataFrame:
-        # explicit schema: skips the footer-inference job (a driver-serial
-        # per-round constant); the frontier is always FRONTIER-shaped
+    def _frontier_schema(self, with_bucket: bool):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         from . import schemas
 
-        return self.spark.read.schema(schemas.FRONTIER).parquet(
-            os.path.join(self._round_dir(rnd), "frontier")
+        if not with_bucket:
+            return schemas.FRONTIER
+        return StructType(
+            list(schemas.FRONTIER.fields)
+            + [StructField("_pbkt", IntegerType(), True)]
         )
+
+    def frontier_is_bucketed(self, rnd: int) -> bool:
+        path = os.path.join(self._round_dir(rnd), "frontier")
+        if not os.path.isdir(path):
+            return False
+        return any(d.startswith("task=") for d in os.listdir(path))
+
+    def read_frontier(self, rnd: int, with_bucket: bool = False) -> DataFrame:
+        # explicit schema: skips the footer-inference job (a driver-serial
+        # per-round constant); the frontier is always FRONTIER-shaped.
+        # Bucketed bases carry their partition columns (task, priority,
+        # _pbkt) in directory names; the user schema resolves them by name
+        # (values cast from the dir strings), and _pbkt is dropped unless
+        # the caller wants it for partition-pruning filters.
+        from . import schemas
+
+        path = os.path.join(self._round_dir(rnd), "frontier")
+        bucketed = self.frontier_is_bucketed(rnd)
+        df = self.spark.read.schema(self._frontier_schema(bucketed)).parquet(path)
+        if bucketed and not with_bucket:
+            df = df.select(*schemas.FRONTIER.fieldNames())
+        return df
 
     def _frontier_delta_dirs(self, table: str, base_rnd: int, rnd: int) -> list[str]:
         base = os.path.join(self.root, table)
@@ -109,25 +170,55 @@ class SnapshotStore:
             and base_rnd < int(d.split("=")[1]) <= rnd
         ]
 
-    def read_frontier_view(self, base_rnd: int, rnd: int) -> DataFrame:
+    def read_frontier_dels(self, base_rnd: int, rnd: int) -> DataFrame | None:
+        del_dirs = self._frontier_delta_dirs("frontier_del", base_rnd, rnd)
+        if not del_dirs:
+            return None
+        return self.spark.read.schema("seq BIGINT").parquet(*del_dirs)
+
+    def read_frontier_base_live(
+        self, base_rnd: int, rnd: int, base_filter=None
+    ) -> DataFrame:
+        """Base snapshot minus tombstones, WITHOUT the row appends —
+        optionally partition-pruned by ``base_filter`` (a predicate over
+        task/priority/_pbkt). The engine's pruned-pop widening loop counts
+        wave-eligible survivors on exactly this relation: prefix
+        sufficiency must be proven against BASE rows only (appended rows
+        are always read in full and cannot substitute for unread base
+        rows in the pop order)."""
+        from . import schemas
+
+        out = self.read_frontier(base_rnd, with_bucket=base_filter is not None)
+        if base_filter is not None:
+            out = out.filter(base_filter).select(*schemas.FRONTIER.fieldNames())
+        dels = self.read_frontier_dels(base_rnd, rnd)
+        if dels is not None:
+            out = out.join(dels, "seq", "left_anti")
+        return out
+
+    def read_frontier_view(
+        self, base_rnd: int, rnd: int, base_filter=None
+    ) -> DataFrame:
         """Merge-on-read frontier view at logical round ``rnd``:
         base snapshot ∪ committed row appends, minus consumed-seq
         tombstones (the Iceberg MERGE-on-read analog; the base rewrite is
         the rewrite_data_files analog, triggered arithmetically by the
         engine). Every delta round in (base, rnd] is committed — the
         engine's clean_round sweep removes torn current-round dirs before
-        any read."""
+        any read. ``base_filter`` partition-prunes the base side only
+        (pruned-pop path); appends are always read in full."""
         from . import schemas
 
-        out = self.read_frontier(base_rnd)
+        out = self.read_frontier(base_rnd, with_bucket=base_filter is not None)
+        if base_filter is not None:
+            out = out.filter(base_filter).select(*schemas.FRONTIER.fieldNames())
         add_dirs = self._frontier_delta_dirs("frontier_add", base_rnd, rnd)
         if add_dirs:
             out = out.unionByName(
                 self.spark.read.schema(schemas.FRONTIER).parquet(*add_dirs)
             )
-        del_dirs = self._frontier_delta_dirs("frontier_del", base_rnd, rnd)
-        if del_dirs:
-            dels = self.spark.read.schema("seq BIGINT").parquet(*del_dirs)
+        dels = self.read_frontier_dels(base_rnd, rnd)
+        if dels is not None:
             out = out.join(dels, "seq", "left_anti")
         return out
 

@@ -99,6 +99,139 @@ def test_http_fetcher_headers_proxy_and_errors(spark):
     assert "汉" * 10 in rows["http://h/gbk"]["body"]
 
 
+def make_async_echo_transport():
+    """Coroutine twin of the echo mock: same responses, async signature —
+    exercises the event-loop drain path of HttpFetcher.fetch."""
+    sync = make_echo_transport()
+
+    async def echo_async(url, headers, proxy, timeout_s):
+        import asyncio
+
+        await asyncio.sleep(0)  # prove we're really on the loop
+        return sync(url, headers, proxy, timeout_s)
+
+    return echo_async
+
+
+def test_http_fetcher_async_transport_parity(spark):
+    """A coroutine-function transport must produce byte-identical results
+    through the full mapInPandas pipeline (rotation, cookies, decode,
+    error mapping) — the async drain is a concurrency swap, not a
+    semantics change."""
+    mk = dict(
+        timeout_s=7.5,
+        user_agents=("UA-a", "UA-b", "UA-c"),
+        proxies=("http://p0:1", "http://p1:1"),
+        cookies={"douban": "sid=abc"},
+    )
+    wave_rows = [
+        ("http://h/0", 0, "douban", "http://h/0"),
+        ("http://h/1", 1, "other", "http://h/1"),
+        ("http://h/timeout", 2, "douban", "http://h/timeout"),
+        ("http://h/gone", 3, "douban", "http://h/gone"),
+        ("http://h/gbk", 4, "douban", "http://h/gbk"),
+    ]
+    sync_rows = sorted(
+        tuple(r)
+        for r in HttpFetcher(transport=make_echo_transport(), **mk)
+        .fetch(_wave(spark, wave_rows))
+        .drop("latency_ms")
+        .collect()
+    )
+    async_rows = sorted(
+        tuple(r)
+        for r in HttpFetcher(transport=make_async_echo_transport(), **mk)
+        .fetch(_wave(spark, wave_rows))
+        .drop("latency_ms")
+        .collect()
+    )
+    assert sync_rows == async_rows
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Tiny threaded asyncio HTTP server on 127.0.0.1: content-length,
+    chunked, charset'd and erroring endpoints for the real asyncio
+    transport (no external network)."""
+    import asyncio
+    import threading
+
+    ready = threading.Event()
+    state: dict = {}
+
+    async def handle(reader, writer):
+        req = await reader.readline()
+        path = req.split()[1].decode()
+        while (await reader.readline()).rstrip(b"\r\n"):
+            pass  # drain request headers
+        if path.endswith("/clen"):
+            body = b"hello-clen"
+            head = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"
+                b"\r\nContent-Length: %d\r\n\r\n" % len(body)
+            )
+            writer.write(head + body)
+        elif path.endswith("/chunked"):
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                b"4\r\nchun\r\n3\r\nked\r\n0\r\n\r\n"
+            )
+        elif path.endswith("/gbk"):
+            body = "汉字".encode("gbk")
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk"
+                b"\r\nContent-Length: %d\r\n\r\n" % len(body) + body
+            )
+        else:
+            writer.write(
+                b"HTTP/1.1 404 Not Found\r\nContent-Length: 4\r\n\r\ngone"
+            )
+        await writer.drain()
+        writer.close()
+
+    def run():
+        async def main():
+            server = await asyncio.start_server(handle, "127.0.0.1", 0)
+            state["port"] = server.sockets[0].getsockname()[1]
+            ready.set()
+            async with server:
+                await server.serve_forever()
+
+        try:
+            asyncio.run(main())
+        except RuntimeError:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    ready.wait(10)
+    yield f"http://127.0.0.1:{state['port']}"
+
+
+def test_asyncio_transport_real_http(http_server):
+    """The stdlib asyncio transport against a real local HTTP server:
+    status/header parse, content-length and chunked bodies, charset hint,
+    404 pass-through, connect-failure -> status 0."""
+    import asyncio
+
+    from crawler_spark.operators.fetch import asyncio_transport
+
+    def go(url):
+        return asyncio.run(asyncio_transport(url, {"X-T": "1"}, None, 5.0))
+
+    st, raw, cs, ms = go(f"{http_server}/clen")
+    assert (st, raw, cs) == (200, b"hello-clen", "utf-8") and ms >= 0
+    st, raw, cs, _ = go(f"{http_server}/chunked")
+    assert (st, raw) == (200, b"chunked")
+    st, raw, cs, _ = go(f"{http_server}/gbk")
+    assert st == 200 and raw == "汉字".encode("gbk") and cs == "gbk"
+    st, raw, _, _ = go(f"{http_server}/missing")
+    assert (st, raw) == (404, b"gone")
+    # nothing listens on port 1: transport-level failure contract
+    st, raw, _, _ = go("http://127.0.0.1:1/x")
+    assert (st, raw) == (0, b"")
+
+
 def test_http_fetcher_no_rotation_config(spark):
     f = HttpFetcher(transport=make_echo_transport())  # no UA/proxy/cookie config
     wave = _wave(spark, [("http://h/a", 7, "t", "http://h/a")])
