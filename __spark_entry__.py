@@ -1668,6 +1668,17 @@ def q_text_bpe_train(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+def q_text_exact_substring_dedup(spark, sf_dir):
+    """Exact duplicate-substring REMOVAL (word-8-gram granularity, Lee et
+    al. ExactSubstr analog): every non-first corpus-wide occurrence of a
+    duplicated 8-gram is cut out of the canonical rendering; overlapping
+    cuts merge. The transform counterpart of text_dup_ngram_coverage.
+    Closes VERDICT r2 missing-item 6 at n-gram resolution."""
+    from crawler_spark.pipeline.textstats import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_text_dup_ngram_coverage(spark, sf_dir):
     """Cross-document duplicated 8-gram character coverage (RefinedWeb
     metric; the scalable proxy for suffix-array exact-substring dedup) —
@@ -2031,6 +2042,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 _CHECK_WINDOW = [
     # round-3 additions (never checked by anyone) — keep these first
     "text_bpe_train",
+    "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
     "crawl_e2e_order",
     "graph_pagerank",
@@ -2239,6 +2251,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "text_bpe_encode": q_text_bpe_encode,
         "text_bpe_train": q_text_bpe_train,
+        "text_exact_substring_dedup": q_text_exact_substring_dedup,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
         "crawl_anchor_text": q_crawl_anchor_text,
         "crawl_domain_budget": q_crawl_domain_budget,
@@ -5022,6 +5035,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(syms) AS BIGINT) AS n_symbols,
                    CAST(10000 * sum(syms) // greatest(sum(chars), 1) AS BIGINT) AS compression_bp
             FROM enc GROUP BY doc_id
+        """,
+        "text_exact_substring_dedup": f"""
+            WITH tokpos AS (
+                SELECT doc_id, unnest({_TOKS}) AS t,
+                       unnest(range(len({_TOKS}))) AS pos
+                FROM documents
+            ),
+            offs AS (
+                SELECT doc_id, pos, t,
+                       CAST(coalesce(sum(length(t) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+                FROM tokpos
+            ),
+            g AS (
+                SELECT doc_id, s,
+                       concat_ws(' ', t,
+                           {", ".join(f"lead(t, {j}) OVER (PARTITION BY doc_id ORDER BY pos)" for j in range(1, 8))}
+                       ) AS gram,
+                       lead(t, 7) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS fullg
+                FROM offs
+            ),
+            spans AS (
+                SELECT doc_id, s, s + length(gram) AS e, gram FROM g WHERE fullg
+            ),
+            rem AS (
+                SELECT doc_id, s, e FROM (
+                    SELECT doc_id, s, e,
+                           row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+                    FROM spans
+                ) WHERE rn > 1
+            ),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS newi
+                FROM rem
+            ),
+            isl2 AS (
+                SELECT doc_id, s, e,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e) AS islid
+                FROM isl
+            ),
+            islands AS (
+                SELECT doc_id, CAST(min(s) AS BIGINT) AS isl_s,
+                       CAST(max(e) AS BIGINT) AS isl_e, FALSE AS sent
+                FROM isl2 GROUP BY doc_id, islid
+            ),
+            canon AS (
+                SELECT doc_id, array_to_string({_TOKS}, ' ') AS canon
+                FROM documents
+            ),
+            marks AS (
+                SELECT doc_id, isl_s, isl_e, sent FROM islands
+                UNION ALL
+                SELECT doc_id, CAST(length(canon) AS BIGINT),
+                       CAST(length(canon) AS BIGINT), TRUE
+                FROM canon
+            ),
+            pieces AS (
+                SELECT m.doc_id, isl_s, isl_e, sent,
+                       substring(canon, CAST(prev_e + 1 AS INT),
+                                 CAST(isl_s - prev_e AS INT)) AS piece
+                FROM (
+                    SELECT doc_id, isl_s, isl_e, sent,
+                           coalesce(lag(isl_e) OVER (
+                               PARTITION BY doc_id ORDER BY isl_s, isl_e
+                           ), 0) AS prev_e
+                    FROM marks
+                ) m JOIN canon USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN NOT sent THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans,
+                   CAST(sum(CASE WHEN NOT sent THEN isl_e - isl_s ELSE 0 END) AS BIGINT) AS removed_chars,
+                   string_agg(piece, '' ORDER BY isl_s, isl_e) AS clean_text
+            FROM pieces GROUP BY doc_id
         """,
         "text_dup_ngram_coverage": f"""
             WITH tokpos AS (

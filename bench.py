@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "text_dup_ngram_coverage",
     "text_bpe_encode",
     "text_bpe_train",
+    "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",
     "crawl_domain_budget",

@@ -632,6 +632,25 @@ def test_bpe_pair_counts(spark):
     assert rows == {"a b": (4, 1), "b c": (1, 2)}
 
 
+def test_exact_substring_dedup(spark):
+    """First-occurrence-kept duplicate 5-gram removal: doc a keeps the
+    gram, doc b's copy is cut (23 chars, leaving its surrounding spaces —
+    byte removal, no re-joining), doc c loses BOTH copies (within-doc
+    repeats count; keeper is doc a) leaving just the separator space."""
+    from crawler_spark.pipeline.textstats import exact_substring_dedup
+
+    d = spark.createDataFrame(
+        [("a", "one two three four five unique tail a"),
+         ("b", "prefix b one two three four five suffix b"),
+         ("c", "one two three four five one two three four five")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_removed_spans"], r["removed_chars"], r["clean_text"])
+           for r in exact_substring_dedup(d, n=5).collect()}
+    assert got["a"] == (0, 0, "one two three four five unique tail a")
+    assert got["b"] == (1, 23, "prefix b  suffix b")
+    assert got["c"] == (2, 46, " ")
+
+
 def test_bpe_train(spark):
     """Full training loop on a hand-checkable corpus.
 
