@@ -300,7 +300,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     from crawler_spark.pipeline.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -309,7 +309,7 @@ def q_dedup_clusters(spark, sf_dir):
     is already an equivalence relation) but content near-dup requires."""
     from crawler_spark.pipeline.dedup import neardup_clusters
 
-    return neardup_clusters(_t(spark, sf_dir, "documents"))
+    return neardup_clusters(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1120,7 +1120,7 @@ def q_dedup_survivorship(spark, sf_dir):
     n_tokens, min-id tiebreak) instead of min-id — the curation policy."""
     from crawler_spark.pipeline.dedup import survivorship
 
-    return survivorship(_t(spark, sf_dir, "documents"))
+    return survivorship(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1132,6 +1132,8 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
+        num_hashes=9,
+        band_size=3,
     )
 
 
@@ -1148,7 +1150,7 @@ def q_dedup_lsh_quality(spark, sf_dir):
     truth (>= 1/5) — the banding-parameter tuning diagnostic."""
     from crawler_spark.pipeline.dedup import lsh_pair_quality
 
-    return lsh_pair_quality(_t(spark, sf_dir, "documents"))
+    return lsh_pair_quality(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_docs_epoch_order(spark, sf_dir):
@@ -1334,7 +1336,7 @@ def q_pipeline_curate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     ex = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    near = neardup_clusters(docs).filter("keep").select("doc_id", "cluster_id")
+    near = neardup_clusters(docs, num_hashes=9, band_size=3).filter("keep").select("doc_id", "cluster_id")
     lang = lang_id(docs).select("doc_id", "predicted")
     q = quality_score(docs).select("doc_id", "n_tokens", "stop_bp")
     return (
@@ -1843,7 +1845,7 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     the corpus) — the dedup health report."""
     from crawler_spark.pipeline.dedup import cluster_size_histogram
 
-    return cluster_size_histogram(_t(spark, sf_dir, "documents"))
+    return cluster_size_histogram(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_events_peak_hour(spark, sf_dir):
@@ -1977,7 +1979,7 @@ def q_dedup_cascade(spark, sf_dir):
     aggregates composed lazily (no collect)."""
     from crawler_spark.pipeline.dedup import dedup_cascade
 
-    return dedup_cascade(_t(spark, sf_dir, "documents"))
+    return dedup_cascade(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
 def q_text_idf_drift(spark, sf_dir):

@@ -110,7 +110,7 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 9, k: int = 3) -> DataFrame:
+def minhash_signatures(documents: DataFrame, num_hashes: int = 128, k: int = 3) -> DataFrame:
     """doc_id + minhash_i = lexicographic min of md5(i || ':' || shingle).
 
     min() is insensitive to duplicates, so the signatures aggregate the RAW
@@ -126,7 +126,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 9, k: int = 3) ->
 
 
 def minhash_band_keys(
-    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
 ) -> DataFrame:
     """(doc_id, band, band_key) — the LSH bucket assignment, shared by the
     pair self-join and the incremental index join."""
@@ -163,12 +163,20 @@ def _band_keys_from_sig(sig: DataFrame, num_hashes: int, band_size: int) -> Data
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Scale path: the self-join is on (band, band_key) — each bucket is tiny,
     so the join never goes quadratic in the corpus.
+
+    Defaults (128 hashes / 16 bands of 8, S-curve midpoint ~0.71) are the
+    MEASURED winner of ``lsh_band_sweep`` on the sf0.1 corpus at a
+    J>=0.8 near-dup truth set: full recall with zero false candidates,
+    where 32 bands of 2 blew candidates up 16.7x (precision 0.060) and
+    8 bands of 16 lost recall (0.969). Numbers in SCALE.md ("LSH banding
+    defaults"). The oracle-gated registry queries pin the toy 9/3 config
+    explicitly so the DuckDB oracles stay tractable.
     """
     bands = minhash_band_keys(documents, num_hashes, band_size, k)
     a = bands.alias("a")
@@ -297,7 +305,7 @@ def connected_components(
 
 
 def neardup_clusters(
-    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
 ) -> DataFrame:
     """(doc_id, cluster_id, keep) — the production dedup decision.
 
@@ -522,8 +530,8 @@ def ngram_jaccard_pairs(
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
-    num_hashes: int = 9,
-    band_size: int = 3,
+    num_hashes: int = 128,
+    band_size: int = 8,
     k: int = 3,
 ) -> DataFrame:
     """(doc_id, verdict, matched): dedup a NEW batch against an existing
@@ -641,8 +649,8 @@ def containment_pairs(
 
 def lsh_pair_quality(
     documents: DataFrame,
-    num_hashes: int = 9,
-    band_size: int = 3,
+    num_hashes: int = 128,
+    band_size: int = 8,
     k: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 5,
@@ -719,7 +727,9 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
     )
 
 
-def survivorship(documents: DataFrame) -> DataFrame:
+def survivorship(
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
+) -> DataFrame:
     """(doc_id, cluster_id, keep) — near-dup clusters with a QUALITY-based
     survivor instead of min-id.
 
@@ -741,7 +751,7 @@ def survivorship(documents: DataFrame) -> DataFrame:
     """
     from crawler_spark.pipeline.textstats import quality_score
 
-    clusters = neardup_clusters(documents)  # (doc_id, cluster_id, keep-by-min-id)
+    clusters = neardup_clusters(documents, num_hashes, band_size, k)
     qual = quality_score(documents).select("doc_id", "stop_bp", "n_tokens")
     labeled = clusters.select("doc_id", "cluster_id").join(qual, "doc_id")
     fam = (
@@ -848,7 +858,7 @@ def simhash_hamming_pairs(
 
 
 def dedup_cascade(
-    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
 ) -> DataFrame:
     """(stage, n_in, n_removed, n_out): per-stage accounting of the
     production dedup cascade — exact (content-hash) first, then
@@ -953,7 +963,7 @@ def lsh_band_sweep(
 
 
 def cluster_size_histogram(
-    documents: DataFrame, num_hashes: int = 9, band_size: int = 3, k: int = 3
+    documents: DataFrame, num_hashes: int = 128, band_size: int = 8, k: int = 3
 ) -> DataFrame:
     """(cluster_size, n_clusters, n_docs): the near-dup family-size
     distribution — the dedup health report (a fat head of large families

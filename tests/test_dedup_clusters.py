@@ -66,7 +66,7 @@ def test_neardup_clusters_full_assignment(spark):
         ],
         "doc_id string, text string",
     )
-    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in neardup_clusters(docs).collect()}
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in neardup_clusters(docs, num_hashes=9, band_size=3).collect()}
     assert len(out) == 5
     assert out["d1"] == ("d1", True)
     assert out["d2"] == ("d1", False)
@@ -162,9 +162,9 @@ def test_lsh_pair_quality_cells(spark):
 
     cells = {
         (r["in_lsh"], r["is_true"]): r["n_pairs"]
-        for r in lsh_pair_quality(docs).collect()
+        for r in lsh_pair_quality(docs, num_hashes=9, band_size=3).collect()
     }
-    n_lsh = minhash_lsh_pairs(docs).count()
+    n_lsh = minhash_lsh_pairs(docs, num_hashes=9, band_size=3).count()
     n_true = ngram_jaccard_pairs(
         docs, k=3, threshold_num=1, threshold_den=5, max_df=100
     ).count()
@@ -197,7 +197,7 @@ def test_incremental_dedup_verdicts(spark):
     )
     got = {
         r["doc_id"]: (r["verdict"], r["matched"])
-        for r in incremental_dedup(new, corpus).collect()
+        for r in incremental_dedup(new, corpus, num_hashes=9, band_size=3).collect()
     }
     assert got[10] == ("exact_dup", 1)
     assert got[30] == ("fresh", None)
@@ -218,7 +218,7 @@ def test_survivorship_picks_quality_not_min_id(spark):
         [(1, base), (2, base), (9, base), (50, "completely unrelated single doc here")],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs).collect()}
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs, num_hashes=9, band_size=3).collect()}
     # identical text -> identical quality -> tie broken by MIN doc_id
     assert got[1] == (1, True)
     assert got[2] == (1, False)
@@ -236,7 +236,7 @@ def test_survivorship_quality_wins(spark):
     docs = spark.createDataFrame(
         [(1, shared), (8, better)], "doc_id long, text string"
     )
-    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs).collect()}
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in survivorship(docs, num_hashes=9, band_size=3).collect()}
     if got[1][0] == got[8][0]:  # same family (bands collided)
         assert got[8][1] is True and got[1][1] is False
     else:  # LSH missed the pair at toy params — both survive their own family
