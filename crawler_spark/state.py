@@ -24,6 +24,26 @@ same protocol is realized on plain parquet:
 The manifest also carries the scalar round state: politeness-bucket carries
 (exact integer numerators), max assigned seq, and the running fetch count —
 the full resume state besides the tables.
+
+Operation-by-operation Iceberg mapping (reviewed against the Iceberg 1.x
+Spark integration: SQL extensions + ``spark_catalog`` procedures). Left
+column = this class; right = the exact call a cluster deployment swaps in.
+Everything else in the engine is unchanged — the store is the only seam.
+
+| parquet stand-in (here)              | Iceberg equivalent |
+|--------------------------------------|--------------------|
+| ``write_frontier`` (full rewrite under ``rounds/r{N}/frontier``) | copy-on-write ``MERGE INTO frontier USING wave ON key WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED INSERT`` — one new snapshot per round |
+| ``append(table, rnd, df)`` under ``<table>/round=N/`` | ``df.writeTo(table).append()`` — Iceberg appends are already snapshot-atomic; the ``round=N`` subdir becomes a plain ``round`` partition column |
+| ``commit.json`` tmp+rename barrier | unnecessary — every Iceberg write IS an atomic snapshot commit; the cross-TABLE round barrier maps to a ``round`` watermark row appended last (or Nessie/REST-catalog multi-table transaction where available) |
+| ``latest_round`` (max committed manifest) | ``SELECT max(round)`` from the watermark table, or ``snapshot_id`` from ``<table>.snapshots`` metadata |
+| resume (ignore uncommitted round dirs) | time-travel read of the last committed snapshot: ``spark.read.option("snapshot-id", …)`` — uncommitted work is invisible by construction |
+| delta-frontier mode: ``frontier_add`` rows + ``frontier_del`` seq tombstones, assembled by ``read_frontier_view`` (base ∪ adds − dels) | merge-on-read table (``write.merge.mode=merge-on-read``): adds are appends, dels are positional/equality delete files; the read-side anti-join is what Iceberg readers do natively |
+| base rewrite when raw/live ratio crosses threshold (``write_frontier`` after deltas) + ``drop_frontier_deltas`` | ``CALL spark_catalog.system.rewrite_data_files(table => 'frontier')`` — compacts delete files into a new base; delta GC is automatic |
+| ``compact(table, upto)`` (small-files merge with crash-safe marker; ``recover_compactions``) | ``rewrite_data_files`` with a snapshot-age filter; crash safety comes free from snapshot isolation (a failed rewrite commits nothing) |
+| ``expire_frontiers(keep_last)`` (delete old round dirs, ``protect`` pins) | ``CALL spark_catalog.system.expire_snapshots(table => 'frontier', retain_last => k)`` + ``remove_orphan_files``; ``protect`` = Iceberg branch/tag refs on pinned snapshots |
+| ``read_frontier`` partition/bucket pruning (``frontier_is_bucketed`` + pruned-pop dir filter) | hidden partitioning ``PARTITIONED BY (bucket(B, key))`` — pruning moves from path filters into Iceberg partition stats/manifest pruning |
+| ``clean_round`` (delete an uncommitted round) | no-op — uncommitted snapshots never existed; a half-written wave is rolled back by ``CALL …rollback_to_snapshot`` if ever made visible |
+| manifest scalar state (bucket carries, max seq, fetch count) | snapshot summary properties (``snapshot.summary()`` custom keys) or the same watermark-table row |
 """
 
 from __future__ import annotations
