@@ -640,6 +640,23 @@ def q_crawl_refetch_schedule(spark, sf_dir):
     return refetch_schedule(hist, base_s=3600, max_doublings=8)
 
 
+def q_crawl_change_rate(spark, sf_dir):
+    """Poisson change-rate estimation per URL (Cho & Garcia-Molina
+    bias-reduced estimator) from the same synthesized fetch history as
+    crawl_refetch_schedule — λ/day is what a freshness-optimal recrawl
+    policy allocates bandwidth by."""
+    from crawler_spark.pipeline.frontier import change_rate_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.col("event_id").alias("fetch_id"),
+        (F.col("event_type") == "purchase").alias("changed"),
+    )
+    return change_rate_estimate(hist)
+
+
 def q_crawl_bloom_audit(spark, sf_dir):
     """Bloom sizing audit: measured FPR of the double-hashing scheme
     (relational simulation — bit set as a DISTINCT position relation)."""
@@ -1617,6 +1634,35 @@ def q_stream_hll(spark, sf_dir):
     )
 
 
+def q_stream_hot_hosts(spark, sf_dir):
+    """Streaming hot-key budget alert (applyInPandasWithState, one long
+    of state per key): a key emits exactly once, when its cumulative
+    count first crosses the threshold. The emitted KEY SET is provably
+    batching-independent (totals are sums; >= T doesn't care which batch
+    crossed), so it equals the batch GROUP BY ... HAVING oracle; the
+    crossing-time count is batch-dependent and is projected away here."""
+    import tempfile
+
+    from crawler_spark.streaming.hotkeys import streaming_hot_keys
+
+    ev = _t(spark, sf_dir, "events").selectExpr("CAST(user_id AS STRING) AS key")
+    d = tempfile.mkdtemp(prefix="entry_streamhot_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/keys")
+    stream = spark.readStream.schema("key string").parquet(f"{d}/keys")
+    sink = "entry_stream_hot"
+    q = (
+        streaming_hot_keys(stream, threshold=70)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT key FROM {sink}")
+
+
 def q_crawl_e2e_order(spark, sf_dir):
     """Full crawl-engine micro-round E2E on the deterministic fixture
     (2 rounds). SQL-inexpressible (stateful round loop); the exact oracle
@@ -1679,6 +1725,18 @@ def q_text_exact_substring_dedup(spark, sf_dir):
     from crawler_spark.pipeline.textstats import exact_substring_dedup
 
     return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8)
+
+
+def q_text_host_boilerplate(spark, sf_dir):
+    """Per-source boilerplate REMOVAL (CCNet line-dedup analog at 10-token
+    segment granularity): a segment repeated in >= 30% of a source's docs
+    is site chrome and is cut; emits the rebuilt clean_text plus counts.
+    The transform counterpart of text_segment_dedup's measurement."""
+    from crawler_spark.pipeline.textstats import host_boilerplate_strip
+
+    return host_boilerplate_strip(
+        _t(spark, sf_dir, "documents"), k=10, min_share_bp=3000, min_df=2
+    )
 
 
 def q_text_dup_ngram_coverage(spark, sf_dir):
@@ -2043,6 +2101,9 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # order for everything not named here.
 _CHECK_WINDOW = [
     # round-3 additions (never checked by anyone) — keep these first
+    "text_host_boilerplate",
+    "crawl_change_rate",
+    "stream_hot_hosts",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2166,6 +2227,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_skew": q_crawl_host_skew,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_redirects": q_crawl_redirects,
+        "crawl_change_rate": q_crawl_change_rate,
         "crawl_bloom_audit": q_crawl_bloom_audit,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
@@ -2229,6 +2291,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "stream_sessionize": q_stream_sessionize,
         "stream_hll": q_stream_hll,
+        "stream_hot_hosts": q_stream_hot_hosts,
         "graph_hostgraph": q_graph_hostgraph,
         "graph_reciprocity": q_graph_reciprocity,
         "docs_quantile_sketch": q_docs_quantile_sketch,
@@ -2254,6 +2317,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "text_bpe_train": q_text_bpe_train,
         "text_exact_substring_dedup": q_text_exact_substring_dedup,
+        "text_host_boilerplate": q_text_host_boilerplate,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
         "crawl_anchor_text": q_crawl_anchor_text,
         "crawl_domain_budget": q_crawl_domain_budget,
@@ -3482,6 +3546,35 @@ def oracle_sql() -> dict[str, str]:
                        + (CAST(3600 AS BIGINT)
                           << CAST(least(n_fetches - last_change_rn, 8) AS INT))
                        AS next_fetch_epoch
+            FROM p
+        """,
+        "crawl_change_rate": """
+            WITH h AS (
+                SELECT user_id AS url_id, ts, event_id AS fetch_id,
+                       event_type = 'purchase' AS changed
+                FROM events
+            ), r AS (
+                SELECT url_id, ts, changed,
+                       row_number() OVER (PARTITION BY url_id
+                                          ORDER BY ts, fetch_id) AS rn
+                FROM h
+            ), p AS (
+                SELECT url_id,
+                       CAST(count(*) - 1 AS BIGINT) AS n_obs,
+                       CAST(sum(CASE WHEN rn > 1 AND changed THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                            AS BIGINT) AS span_s
+                FROM r GROUP BY url_id
+            )
+            SELECT url_id, n_obs, n_changed, span_s,
+                   CASE WHEN n_obs > 0 AND span_s > 0 THEN
+                       round(86400.0
+                             * ln(CAST(2 * n_obs + 1 AS DOUBLE)
+                                  / CAST(2 * (n_obs - n_changed) + 1 AS DOUBLE))
+                             * CAST(n_obs AS DOUBLE) / CAST(span_s AS DOUBLE),
+                             6)
+                   END AS lambda_per_day
             FROM p
         """,
         "crawl_bloom_audit": """
@@ -4972,6 +5065,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
             GROUP BY e.src
         """,
+        "stream_hot_hosts": """
+            SELECT CAST(user_id AS VARCHAR) AS key
+            FROM events GROUP BY user_id HAVING count(*) >= 70
+        """,
         "stream_hll": """
             WITH v AS (
                 SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -5115,6 +5212,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN NOT sent THEN isl_e - isl_s ELSE 0 END) AS BIGINT) AS removed_chars,
                    string_agg(piece, '' ORDER BY isl_s, isl_e) AS clean_text
             FROM pieces GROUP BY doc_id
+        """,
+        "text_host_boilerplate": f"""
+            WITH t AS (
+                SELECT doc_id, source, {_TOKS} AS toks FROM documents
+            ), s AS (
+                SELECT doc_id, source,
+                       CASE WHEN len(toks) > 0
+                            THEN list_transform(generate_series(0, (len(toks) - 1) // 10),
+                                                i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS segs
+                FROM t
+            ), inst AS (
+                SELECT doc_id, source, i, segs[i + 1] AS seg,
+                       md5(segs[i + 1]) AS sh
+                FROM s, unnest(generate_series(0, len(segs) - 1)) AS g(i)
+                WHERE len(segs) > 0
+            ), dfreq AS (
+                SELECT source, sh, count(DISTINCT doc_id) AS df
+                FROM inst GROUP BY source, sh
+            ), srcn AS (
+                SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ), boiler AS (
+                SELECT source, sh FROM dfreq JOIN srcn USING (source)
+                WHERE df >= 2 AND df * 10000 >= 3000 * n_docs
+            ), flagged AS (
+                SELECT i.doc_id, i.i, i.seg, b.sh IS NOT NULL AS is_bp
+                FROM inst i LEFT JOIN boiler b
+                  ON i.source = b.source AND i.sh = b.sh
+            ), per AS (
+                SELECT doc_id, count(*) AS n_segments,
+                       sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_boiler,
+                       coalesce(string_agg(CASE WHEN NOT is_bp THEN seg END,
+                                           ' ' ORDER BY i), '') AS clean_text
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+                   coalesce(clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "text_dup_ngram_coverage": f"""
             WITH tokpos AS (

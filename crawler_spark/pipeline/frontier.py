@@ -508,3 +508,60 @@ def wave_fairness(allocations: DataFrame, count_col: str = "n") -> DataFrame:
             " div greatest(CAST(n_groups AS DECIMAL(38,0)) * _sumsq, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("fairness_bp"),
     )
+
+
+def change_rate_estimate(history: DataFrame) -> DataFrame:
+    """(url_id, n_obs, n_changed, span_s, lambda_per_day): per-URL Poisson
+    change-rate estimation from refetch history — the principled
+    companion to ``refetch_schedule``'s doubling heuristic. Where the
+    backoff reacts to the LAST streak, the rate estimate uses the whole
+    history, and λ is what a freshness-optimal revisit policy allocates
+    bandwidth by (Cho & Garcia-Molina's result: revisit frequency should
+    grow sublinearly in λ, and the hottest pages are NOT worth chasing).
+
+    Input: ``(url_id, ts, fetch_id, changed)`` — same relation as
+    ``refetch_schedule``. A fetch is a change OBSERVATION only if a prior
+    fetch exists, so n_obs = fetches - 1 and n_changed counts ``changed``
+    among fetches 2..n in (ts, fetch_id) order. The estimator is the
+    bias-reduced form r̂ = -ln((n - X + 0.5)/(n + 0.5)) per mean
+    interval, i.e. lambda_per_day = 86400 * ln((2n+1)/(2(n-X)+1)) *
+    n_obs / span_s — NULL when there is no span to estimate from (one
+    fetch, or all fetches at one timestamp). Rounded to 6 decimals in
+    BOTH engines; everything else exact integers.
+
+    Shape: one window (row_number per url, same shuffle key as the
+    aggregation that follows) + one keyed aggregation — one shuffle
+    total, no joins; identical scale story to refetch_schedule.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_id").orderBy("ts", "fetch_id")
+    ranked = history.select(
+        "url_id",
+        "ts",
+        F.col("changed").cast("boolean").alias("changed"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per = ranked.groupBy("url_id").agg(
+        (F.count("*") - 1).cast("long").alias("n_obs"),
+        F.sum(
+            F.when((F.col("rn") > 1) & F.col("changed"), 1).otherwise(0)
+        ).cast("long").alias("n_changed"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("span_s"),
+    )
+    lam = F.round(
+        F.lit(86400.0)
+        * F.log(
+            (2 * F.col("n_obs") + 1).cast("double")
+            / (2 * (F.col("n_obs") - F.col("n_changed")) + 1).cast("double")
+        )
+        * F.col("n_obs").cast("double")
+        / F.col("span_s").cast("double"),
+        6,
+    )
+    return per.withColumn(
+        "lambda_per_day",
+        F.when((F.col("n_obs") > 0) & (F.col("span_s") > 0), lam),
+    )

@@ -1535,3 +1535,90 @@ def readability(documents: DataFrame) -> DataFrame:
             "CAST(20684 - 1015 * wps_c div 1000 - 8460 * spw_c div 100 AS BIGINT)"
         ),
     )
+
+
+def host_boilerplate_strip(
+    documents: DataFrame,
+    k: int = 10,
+    min_share_bp: int = 5000,
+    min_df: int = 2,
+) -> DataFrame:
+    """(doc_id, n_segments, n_boiler, clean_text): CCNet-style boilerplate
+    REMOVAL scoped per source — where ``segment_dedup`` only measures the
+    corpus-duplicated fraction, this emits the cleaned document.
+
+    A k-token segment (same non-overlapping chunking as ``segment_dedup``)
+    is boilerplate WITHIN ITS SOURCE when it appears in at least
+    ``min_share_bp``/10000 of that source's docs and in at least ``min_df``
+    docs (nav bars, cookie banners, footers — repeated across one site, not
+    across the web, which is why the share is per-source: a global
+    threshold would either miss site-local chrome or nuke common idioms).
+    ``clean_text`` is the doc rebuilt from the surviving segments in
+    order; the integer counts are the curation log.
+
+    Scale shape: one segment explode (~tokens/k rows), one aggregation
+    keyed on (source, segment-hash), one tiny per-source doc-count
+    aggregate broadcast back, then one join keyed on (source, hash) whose
+    aggregated side has one row per key (hot boilerplate never fans out
+    quadratically), and one ordered rebuild via collect_list(struct) +
+    array_sort keyed on doc_id — which reuses the explode's
+    HashPartitioning(doc_id) when the explode is doc-keyed. All exact
+    integer math; threshold compare is cross-multiplied (df * 10000 >=
+    min_share_bp * n_docs), no floats.
+    """
+    base = documents.select("doc_id", "source", tokens_col().alias("toks"))
+    segs = base.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size("toks") > 0,
+            F.expr(
+                f"transform(sequence(0, (size(toks) - 1) DIV {k}),"
+                f" i -> concat_ws(' ', slice(toks, i * {k} + 1, {k})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("segs"),
+    )
+    inst = segs.select(
+        "doc_id", "source", F.posexplode("segs").alias("i", "seg")
+    ).withColumn("sh", F.md5("seg"))
+    dfreq = inst.groupBy("source", "sh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    src_n = documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        dfreq.join(F.broadcast(src_n), "source")
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") * 10000 >= F.lit(min_share_bp) * F.col("n_docs"))
+        )
+        .select("source", "sh", F.lit(True).alias("is_bp"))
+    )
+    flagged = inst.join(boiler, ["source", "sh"], "left").select(
+        "doc_id",
+        "i",
+        "seg",
+        F.coalesce("is_bp", F.lit(False)).alias("is_bp"),
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_boiler"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN NOT is_bp"
+                " THEN struct(i, seg) END)), s -> s.seg)"
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -147,3 +147,37 @@ def test_bloom_audit_no_false_negatives_and_sane_fpr(spark):
     # 10k positions in 65536 bits -> ~14% fill -> FPR ~ 0.14^5 ~ 5e-5
     assert audit["fpr_bp"] <= 50
     assert audit["n_bits_set"] <= 10000
+
+
+def test_change_rate_estimate(spark):
+    """Bias-reduced Poisson estimator: λ/day = 86400 · ln((2n+1)/(2(n−X)+1))
+    · n / span; no-history and zero-span URLs get NULL."""
+    import math
+
+    from crawler_spark.pipeline.frontier import change_rate_estimate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # url 1: 5 fetches 100s apart, changes observed at fetches 2 and 4
+        (1, t0, 10, False),
+        (1, t0 + dt.timedelta(seconds=100), 11, True),
+        (1, t0 + dt.timedelta(seconds=200), 12, False),
+        (1, t0 + dt.timedelta(seconds=300), 13, True),
+        (1, t0 + dt.timedelta(seconds=400), 14, False),
+        # url 2: single fetch -> no observations
+        (2, t0, 20, True),
+        # url 3: two fetches at the same instant -> zero span
+        (3, t0, 30, False),
+        (3, t0, 31, True),
+    ]
+    hist = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, fetch_id long, changed boolean"
+    )
+    got = {r["url_id"]: r.asDict() for r in change_rate_estimate(hist).collect()}
+    assert (got[1]["n_obs"], got[1]["n_changed"], got[1]["span_s"]) == (4, 2, 400)
+    expect = round(86400.0 * math.log(9.0 / 5.0) * 4 / 400, 6)
+    assert got[1]["lambda_per_day"] == expect
+    assert got[2]["n_obs"] == 0 and got[2]["lambda_per_day"] is None
+    assert got[3]["span_s"] == 0 and got[3]["lambda_per_day"] is None
+    # the first fetch's changed flag is never an observation
+    assert got[3]["n_changed"] == 1

@@ -1639,3 +1639,34 @@ def test_wave_fairness(spark):
         [("a", 10_000_000_000), ("b", 0)], "host string, n long"
     )
     assert wave_fairness(big_skew).collect()[0]["fairness_bp"] == 5000
+
+
+def test_host_boilerplate_strip(spark):
+    """Per-source chrome removal: the shared nav segment is cut only inside
+    the source where it clears the share threshold; rebuild preserves
+    segment order; empty docs survive with empty clean_text."""
+    from crawler_spark.pipeline.textstats import host_boilerplate_strip
+
+    d = _docs(
+        spark,
+        [
+            # source s1 (3 docs): "nav bar" in 2/3 = 66% -> boilerplate
+            (1, "nav bar alpha beta", "en", "s1", 18),  # segs(k=2): [nav bar][alpha beta]
+            (2, "nav bar gamma delta", "en", "s1", 19),
+            (3, "epsilon zeta", "en", "s1", 12),
+            # source s2 (2 docs): "nav bar" appears once (df=1 < min_df) -> kept
+            (4, "nav bar keep me", "en", "s2", 15),
+            (5, "other text", "en", "s2", 10),
+            (6, " ", "en", "s2", 1),  # tokenless -> 0 segments, '' text
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_boiler"], r["clean_text"])
+        for r in host_boilerplate_strip(d, k=2, min_share_bp=5000).collect()
+    }
+    assert got[1] == (2, 1, "alpha beta")
+    assert got[2] == (2, 1, "gamma delta")
+    assert got[3] == (1, 0, "epsilon zeta")
+    assert got[4] == (2, 0, "nav bar keep me")
+    assert got[5] == (1, 0, "other text")
+    assert got[6] == (0, 0, "")

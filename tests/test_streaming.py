@@ -273,3 +273,41 @@ def test_streaming_hll_matches_batch_across_batches(spark, tmpdir_):
     }
     # stream fold == batch sketch, across micro-batch boundaries
     assert folded == want
+
+
+def test_streaming_hot_keys_once_only_across_batches(spark, tmpdir_):
+    """A key emits exactly once — on the micro-batch where its cumulative
+    count first crosses the threshold — and the emitted key set equals the
+    batch HAVING-count filter regardless of how rows split into batches."""
+    from crawler_spark.streaming.hotkeys import streaming_hot_keys
+
+    src = f"{tmpdir_}/hot"
+    os.makedirs(src)
+    # a: 2+2 rows (crosses in batch 2), b: 3+0 (crosses in batch 1),
+    # c: 1+1 (never crosses), d: 0+3 (crosses in batch 2)
+    b1 = [("a",)] * 2 + [("b",)] * 3 + [("c",)]
+    b2 = [("a",)] * 2 + [("c",)] + [("d",)] * 3
+    for name, rows in (("f1", b1), ("f2", b2)):
+        spark.createDataFrame(rows, "key string").coalesce(1).write.parquet(
+            f"{src}/{name}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        streaming_hot_keys(stream, threshold=3)
+        .writeStream.format("memory")
+        .queryName("hotout")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_}/ckpt_hot")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT key, n_at_cross FROM hotout").collect()
+    got = {r["key"]: r["n_at_cross"] for r in rows}
+    assert len(rows) == len(got), "a key emitted more than once"
+    # b crossed inside batch 1 at 3; a and d crossed at their batch-2 totals
+    assert got == {"a": 4, "b": 3, "d": 3}
