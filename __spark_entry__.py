@@ -657,6 +657,42 @@ def q_crawl_change_rate(spark, sf_dir):
     return change_rate_estimate(hist)
 
 
+def q_crawl_drain_plan(spark, sf_dir):
+    """Politeness-constrained drain plan: rounds-to-empty per host backlog
+    and the makespan-critical hosts — total crawl time is the worst
+    backlog/budget ratio, not frontier size. Hosts from orders custkeys;
+    every third host carries a robots crawl-delay."""
+    from crawler_spark.pipeline.frontier import drain_plan
+
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host")
+    )
+    delays = spark.range(0, 50, 3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 7 + 1).cast("long").alias("crawl_delay_s"),
+    )
+    return drain_plan(fr, delays, round_s=60, default_delay_s=2)
+
+
+def q_docs_source_scorecard(spark, sf_dir):
+    """Per-source curation scorecard (C4-style domain triage): plurality
+    language, mean quality signals, boilerplate rate — the table that
+    decides which feeds get downweighted or blocklisted."""
+    from crawler_spark.pipeline.textstats import source_scorecard
+
+    return source_scorecard(_t(spark, sf_dir, "documents"))
+
+
+def q_text_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model (D=3/4, exact quarters over a
+    common denominator — integer ppm): the n-gram LM training step whose
+    continuation counts fix MLE's zero-probability unseen bigrams."""
+    from crawler_spark.pipeline.textstats import kn_bigram
+
+    return kn_bigram(_t(spark, sf_dir, "documents"))
+
+
 def q_crawl_bloom_audit(spark, sf_dir):
     """Bloom sizing audit: measured FPR of the double-hashing scheme
     (relational simulation — bit set as a DISTINCT position relation)."""
@@ -2104,6 +2140,9 @@ _CHECK_WINDOW = [
     "text_host_boilerplate",
     "crawl_change_rate",
     "stream_hot_hosts",
+    "crawl_drain_plan",
+    "docs_source_scorecard",
+    "text_kn_bigram",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2228,6 +2267,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_redirects": q_crawl_redirects,
         "crawl_change_rate": q_crawl_change_rate,
+        "crawl_drain_plan": q_crawl_drain_plan,
+        "docs_source_scorecard": q_docs_source_scorecard,
+        "text_kn_bigram": q_text_kn_bigram,
         "crawl_bloom_audit": q_crawl_bloom_audit,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
@@ -3547,6 +3589,123 @@ def oracle_sql() -> dict[str, str]:
                           << CAST(least(n_fetches - last_change_rn, 8) AS INT))
                        AS next_fetch_epoch
             FROM p
+        """,
+        "crawl_drain_plan": """
+            WITH fr AS (
+                SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host FROM orders
+            ), per AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+                FROM fr GROUP BY host
+            ), d AS (
+                SELECT 'h' || CAST(i AS VARCHAR) AS host,
+                       CAST(i % 7 + 1 AS BIGINT) AS crawl_delay_s
+                FROM generate_series(0, 49, 3) AS g(i)
+            ), j AS (
+                SELECT host, n_urls,
+                       greatest(1, 60 // coalesce(crawl_delay_s, 2))
+                           AS budget_per_round
+                FROM per LEFT JOIN d USING (host)
+            ), p AS (
+                SELECT host, n_urls, budget_per_round,
+                       (n_urls + budget_per_round - 1) // budget_per_round
+                           AS rounds_to_drain
+                FROM j
+            )
+            SELECT host, n_urls,
+                   CAST(budget_per_round AS BIGINT) AS budget_per_round,
+                   CAST(rounds_to_drain AS BIGINT) AS rounds_to_drain,
+                   rounds_to_drain = (SELECT max(rounds_to_drain) FROM p)
+                       AS is_critical
+            FROM p
+        """,
+        "docs_source_scorecard": f"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       len({_TOKS}) AS n_tokens,
+                       CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * CAST(len(regexp_extract_all(lower(text),
+                                 '{_STOP_PAT}', 1)) AS BIGINT)) // len({_TOKS})
+                            ELSE 0 END AS stop_bp,
+                       {en} AS c_en, {fr} AS c_fr, {de} AS c_de, {es} AS c_es,
+                       text
+                FROM documents
+            ), lp AS (
+                SELECT doc_id, source, n_tokens, stop_bp,
+                       {pred} AS predicted
+                FROM q
+            ), t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0
+                            THEN list_transform(generate_series(0, (len(toks) - 1) // 10),
+                                                i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS segs
+                FROM t
+            ), inst AS (
+                SELECT doc_id, md5(unnest(segs)) AS sh FROM s
+            ), dfreq AS (
+                SELECT sh, count(DISTINCT doc_id) AS df FROM inst GROUP BY sh
+            ), seg AS (
+                SELECT doc_id, count(*) AS n_segments,
+                       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM inst JOIN dfreq USING (sh) GROUP BY doc_id
+            ), b AS (
+                SELECT lp.source, lp.predicted, lp.n_tokens, lp.stop_bp,
+                       coalesce(seg.n_segments, 0) AS n_segments,
+                       coalesce(seg.n_dup, 0) AS n_dup
+                FROM lp LEFT JOIN seg USING (doc_id)
+            ), lc AS (
+                SELECT source, predicted, count(*) AS cnt
+                FROM b GROUP BY source, predicted
+            ), top AS (
+                SELECT source, predicted AS top_lang FROM (
+                    SELECT source, predicted,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY cnt DESC, predicted ASC)
+                               AS rn
+                    FROM lc
+                ) WHERE rn = 1
+            ), agg AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                       CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+                       CAST(sum(stop_bp) // count(*) AS BIGINT) AS mean_stop_bp,
+                       CASE WHEN sum(n_segments) > 0
+                            THEN CAST(1000 * sum(n_dup) // sum(n_segments) AS BIGINT)
+                            ELSE 0 END AS dup_seg_bp
+                FROM b GROUP BY source
+            )
+            SELECT source, n_docs, top_lang, sum_tokens,
+                   mean_tokens, mean_stop_bp, dup_seg_bp
+            FROM agg JOIN top USING (source)
+        """,
+        "text_kn_bigram": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), inst AS (
+                SELECT toks[i] AS t1, toks[i + 1] AS t2
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+            ), bg AS (
+                SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+                FROM inst GROUP BY t1, t2
+            ), l AS (
+                SELECT t1, sum(c12) AS c1,
+                       CAST(count(*) AS BIGINT) AS succ1
+                FROM bg GROUP BY t1
+            ), r AS (
+                SELECT t2, CAST(count(*) AS BIGINT) AS pred2
+                FROM bg GROUP BY t2
+            ), bt AS (
+                SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg
+            )
+            SELECT t1, t2, c12,
+                   CAST(1000000 * (greatest(4 * c12 - 3, 0) * b_types
+                                   + 3 * succ1 * pred2)
+                        // (4 * c1 * b_types) AS BIGINT) AS kn_ppm
+            FROM bg JOIN l USING (t1) JOIN r USING (t2) CROSS JOIN bt
         """,
         "crawl_change_rate": """
             WITH h AS (

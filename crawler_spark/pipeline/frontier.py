@@ -565,3 +565,63 @@ def change_rate_estimate(history: DataFrame) -> DataFrame:
         "lambda_per_day",
         F.when((F.col("n_obs") > 0) & (F.col("span_s") > 0), lam),
     )
+
+
+def drain_plan(
+    frontier: DataFrame,
+    crawl_delays: DataFrame,
+    round_s: int = 60,
+    default_delay_s: int = 1,
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, n_urls, budget_per_round, rounds_to_drain, is_critical):
+    the politeness-constrained DRAIN PLAN — how many micro-rounds until
+    each host's frontier backlog empties, and which hosts set the
+    crawl's makespan.
+
+    Per host the round budget is ``round_s / crawl_delay_s`` (floored, min
+    1 — one fetch per round is always allowed; hosts absent from the
+    delay table get ``default_delay_s``). ``rounds_to_drain`` is
+    ``ceil(n_urls / budget)`` and ``is_critical`` marks the hosts on the
+    makespan (rounds_to_drain == global max): the scheduling insight is
+    that total crawl time is NOT proportional to frontier size but to the
+    worst host backlog/budget ratio — adding executors does nothing for a
+    critical host, only politeness or time does, so the plan is what says
+    whether to re-negotiate delays (sitemap hints), shard by registrant,
+    or accept the tail.
+
+    Shape: one keyed count on host, a broadcast join against the (small:
+    ~#distinct robots policies) delay table, and a 1-row global-max
+    broadcast back — no windows, nothing O(frontier) after the first
+    aggregation. Exact integer math: ceil via (a + b - 1) div b.
+    """
+    per_host = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    joined = per_host.join(
+        F.broadcast(crawl_delays.select("host", "crawl_delay_s")), "host", "left"
+    ).select(
+        "host",
+        "n_urls",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"CAST({int(round_s)} AS BIGINT)"
+                f" div coalesce(crawl_delay_s, {int(default_delay_s)})"
+            ),
+        )
+        .cast("long")
+        .alias("budget_per_round"),
+    )
+    planned = joined.withColumn(
+        "rounds_to_drain",
+        F.expr("CAST((n_urls + budget_per_round - 1) div budget_per_round AS BIGINT)"),
+    )
+    mx = planned.agg(F.max("rounds_to_drain").alias("_mx"))
+    return planned.crossJoin(F.broadcast(mx)).select(
+        "host",
+        "n_urls",
+        "budget_per_round",
+        "rounds_to_drain",
+        (F.col("rounds_to_drain") == F.col("_mx")).alias("is_critical"),
+    )

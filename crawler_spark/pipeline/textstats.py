@@ -1622,3 +1622,128 @@ def host_boilerplate_strip(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def source_scorecard(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, top_lang, sum_tokens, mean_tokens, mean_stop_bp,
+    dup_seg_bp): the per-source curation SCORECARD — the C4/CCNet-style
+    domain triage table. A source with a low mean stopword ratio is
+    machine text; a high dup_seg_bp is a boilerplate farm; a top_lang
+    disagreeing with the collection's target flags a mislabelled feed —
+    this one table is what decides which feeds get recrawled, downweighted
+    (``mixture_weights``) or blocklisted, before any per-doc filtering
+    spends compute.
+
+    Composition: quality_score + lang-ID prediction + segment_dedup joined
+    on doc_id, rolled up keyed on source. top_lang is the plurality
+    predicted language with ties broken ascending (min(struct(-count,
+    lang)) — one aggregation, no window). All exact integers: means are
+    floor divisions, the dup rate is per-mille of segments.
+
+    Scale shape: the per-doc signals are map-side codegen except
+    segment_dedup (whose keyed one-shuffle story is unchanged); the
+    rollup adds one aggregation keyed on source (cardinality = #feeds,
+    thousands not billions) plus a two-level plurality pick on (source,
+    lang). Joins are all on doc_id — co-partitioned after the first
+    shuffle.
+    """
+    q = quality_score(documents).select("doc_id", "n_tokens", "stop_bp")
+    seg = segment_dedup(documents).select(
+        "doc_id", "n_segments", "n_dup_segments"
+    )
+    base = (
+        documents.select("doc_id", "source", lang_pred_col().alias("predicted"))
+        .join(q, "doc_id")
+        .join(seg, "doc_id")
+    )
+    lc = base.groupBy("source", "predicted").agg(F.count("*").alias("cnt"))
+    top = (
+        lc.groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("predicted").alias("p"),
+                )
+            ).alias("m")
+        )
+        .select("source", F.col("m.p").alias("top_lang"))
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.expr("CAST(sum(n_tokens) div count(*) AS BIGINT)").alias("mean_tokens"),
+        F.expr("CAST(sum(stop_bp) div count(*) AS BIGINT)").alias("mean_stop_bp"),
+        F.expr(
+            "CASE WHEN sum(n_segments) > 0 THEN"
+            " CAST(1000 * sum(n_dup_segments) div sum(n_segments) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("dup_seg_bp"),
+    )
+    return agg.join(top, "source").select(
+        "source", "n_docs", "top_lang", "sum_tokens",
+        "mean_tokens", "mean_stop_bp", "dup_seg_bp",
+    )
+
+
+def kn_bigram(documents: DataFrame) -> DataFrame:
+    """(t1, t2, c12, kn_ppm): interpolated Kneser-Ney bigram model over
+    the corpus — the n-gram LM TRAINING step (``lm_score`` is the MLE
+    scorer; KN is what a real perplexity filter ships, because MLE gives
+    unseen-but-plausible continuations probability 0 while KN backs off
+    to how PROMISCUOUSLY a word continues different contexts).
+
+    Discount D = 3/4, exact by working in quarters:
+
+        P_KN(t2|t1) = max(c12 - D, 0)/c1  +  D·succ(t1)/c1 · pred(t2)/B
+
+    where c1 = Σ_t2 c12 (left-context mass), succ(t1) = #distinct
+    continuations of t1, pred(t2) = #distinct contexts preceding t2
+    (the continuation count — KN's key idea), and B = #distinct bigram
+    types. Over the common denominator 4·c1·B the numerator is
+    max(4·c12-3, 0)·B + 3·succ(t1)·pred(t2) — all int64 (c1, B ≤ corpus
+    bigrams; the product stays under 2^63 for corpora to ~10^9 bigram
+    types per partition-of-thought, see headroom note), and
+    kn_ppm = 10^6 · num div den exactly, so both engines hash identically.
+
+    Scale shape: one explode to bigram instances, one partial->final agg
+    keyed on (t1, t2); succ/pred/B derive from that SAME aggregated
+    relation (two tiny keyed aggs + one 1-row broadcast) — the instance
+    relation is touched once. Joins are keyed on t1 / t2 against
+    one-row-per-key sides. int64 headroom: num ≤ 4·c_max·B + 3·V² —
+    safe while c_max·B < 2^61 (≈ a 10^9-type corpus with 10^3 max count;
+    beyond that, pre-scale B and the den by a common power of two, the
+    ratio is invariant).
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<t1:string,t2:string>>)"))
+    inst = base.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")
+    )
+    bg = inst.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c12"))
+    left = bg.groupBy("t1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").cast("long").alias("succ1"),
+    )
+    right = bg.groupBy("t2").agg(F.count("*").cast("long").alias("pred2"))
+    btypes = bg.agg(F.count("*").cast("long").alias("b_types"))
+    return (
+        bg.join(left, "t1")
+        .join(right, "t2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.expr(
+                "CAST(1000000 * (greatest(4 * c12 - 3, 0) * b_types"
+                " + 3 * succ1 * pred2) div (4 * c1 * b_types) AS BIGINT)"
+            ).alias("kn_ppm"),
+        )
+    )

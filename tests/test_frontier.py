@@ -181,3 +181,25 @@ def test_change_rate_estimate(spark):
     assert got[3]["span_s"] == 0 and got[3]["lambda_per_day"] is None
     # the first fetch's changed flag is never an observation
     assert got[3]["n_changed"] == 1
+
+
+def test_drain_plan(spark):
+    """Budget = round_s div delay (min 1, default delay for unlisted
+    hosts); rounds = ceil(backlog/budget); critical = on the makespan."""
+    from crawler_spark.pipeline.frontier import drain_plan
+
+    fr = spark.createDataFrame(
+        [("h1",)] * 5 + [("h2",)] * 100 + [("h3",)] * 4, "host string"
+    )
+    delays = spark.createDataFrame(
+        [("h1", 30), ("h3", 120)], "host string, crawl_delay_s long"
+    )
+    got = {
+        r["host"]: (
+            r["n_urls"], r["budget_per_round"], r["rounds_to_drain"], r["is_critical"]
+        )
+        for r in drain_plan(fr, delays, round_s=60, default_delay_s=1).collect()
+    }
+    assert got["h1"] == (5, 2, 3, False)     # 60//30 = 2/round
+    assert got["h2"] == (100, 60, 2, False)  # default delay 1 -> 60/round
+    assert got["h3"] == (4, 1, 4, True)      # 60//120 = 0 -> floor 1/round

@@ -1670,3 +1670,43 @@ def test_host_boilerplate_strip(spark):
     assert got[4] == (2, 0, "nav bar keep me")
     assert got[5] == (1, 0, "other text")
     assert got[6] == (0, 0, "")
+
+
+def test_source_scorecard(spark):
+    """Plurality language per source, exact floor-div means, per-mille
+    corpus-duplicated segment rate."""
+    from crawler_spark.pipeline.textstats import source_scorecard
+
+    d = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is here", "en", "s1", 27),
+            (2, "the cat and the dog is here", "en", "s1", 27),  # dup of 1
+            (3, "le la et les des oui", "fr", "s1", 20),
+            (4, "el los que de y si", "es", "s2", 18),
+        ],
+    )
+    got = {r["source"]: r.asDict() for r in source_scorecard(d).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3
+    assert s1["top_lang"] == "en"            # en x2 beats fr x1
+    assert s1["sum_tokens"] == 20            # 7 + 7 + 6
+    assert s1["mean_tokens"] == 6            # 20 div 3
+    # stop_bp: docs 1/2 have 4 stopwords of 7 tokens -> 571; doc 3 none
+    assert s1["mean_stop_bp"] == (571 + 571 + 0) // 3
+    # docs 1/2 are each other's duplicate single segment; doc 3 unique
+    assert s1["dup_seg_bp"] == 1000 * 2 // 3
+    assert got["s2"]["top_lang"] == "es" and got["s2"]["dup_seg_bp"] == 0
+
+
+def test_kn_bigram_exact(spark):
+    """Hand-checked Kneser-Ney quarters math on 'a b a b': c(ab)=2,
+    c(ba)=1, B=2, all continuation counts 1."""
+    from crawler_spark.pipeline.textstats import kn_bigram
+
+    d = _docs(spark, [(1, "a b a b", "en", "s1", 7)])
+    got = {(r["t1"], r["t2"]): (r["c12"], r["kn_ppm"]) for r in kn_bigram(d).collect()}
+    # P(b|a) = (4*2-3)/(4*2) + 3*1/(4*2) * 1/2 = 5/8 + 3/16 -> 13/16
+    assert got[("a", "b")] == (2, 13_000_000 // 16)
+    # P(a|b) = (4*1-3)/(4*1) + 3*1/(4*1) * 1/2 = 1/4 + 3/8 -> 5/8
+    assert got[("b", "a")] == (1, 5_000_000 // 8)
