@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "text_dup_ngram_coverage",
     "text_bpe_encode",
     "text_bpe_train",
+    "text_host_boilerplate",
+    "crawl_change_rate",
+    "stream_hot_hosts",
+    "crawl_drain_plan",
+    "docs_source_scorecard",
+    "text_kn_bigram",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",
