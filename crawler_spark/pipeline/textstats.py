@@ -1726,7 +1726,14 @@ def kn_bigram(documents: DataFrame) -> DataFrame:
     inst = base.select(F.explode(bigrams).alias("bg")).select(
         F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")
     )
-    bg = inst.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c12"))
+    # materialize the aggregated bigram relation ONCE — left/right/B all
+    # derive from it, and without this the explode would re-run per
+    # derived aggregate (4 corpus scans; plan-pinned to exactly one)
+    bg = (
+        inst.groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint()
+    )
     left = bg.groupBy("t1").agg(
         F.sum("c12").alias("c1"),
         F.count("*").cast("long").alias("succ1"),

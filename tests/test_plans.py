@@ -396,3 +396,60 @@ def test_idf_drift_single_agg_no_join_between_halves(spark):
         plan,
     ))
     assert joins <= 1, plan
+
+
+def test_host_boilerplate_no_cartesian_keyed_joins(spark):
+    """The boilerplate join must stay keyed on (source, hash) with the
+    tiny per-source doc-count side broadcast — no cartesian anywhere, and
+    no unpartitioned window."""
+    from crawler_spark.pipeline.textstats import host_boilerplate_strip
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(host_boilerplate_strip(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_drain_plan_broadcasts_delays_and_max(spark):
+    """Both small sides (the delay table and the 1-row global max) must
+    broadcast; the only shuffle is the host count aggregation."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import drain_plan
+
+    fr = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host")
+    )
+    delays = spark.range(0, 50, 3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 7 + 1).cast("long").alias("crawl_delay_s"),
+    )
+    plan = _plan(drain_plan(fr, delays))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the frontier side itself must never broadcast (it's the big side)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kn_bigram_single_instance_pass(spark):
+    """succ/pred/B must derive from the MATERIALIZED bigram relation: the
+    explode+aggregate runs once at checkpoint time, so the final plan has
+    zero Generate nodes and reads the checkpointed relation instead
+    (without the checkpoint the explode re-ran 4x — once per derived
+    aggregate); the 1-row B side broadcasts."""
+    from crawler_spark.pipeline.textstats import kn_bigram
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(kn_bigram(docs))
+    assert plan.count("Generate") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_source_scorecard_no_unpartitioned_window(spark):
+    from crawler_spark.pipeline.textstats import source_scorecard
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(source_scorecard(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowExec: No Partition Defined" not in plan
