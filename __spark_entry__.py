@@ -3602,7 +3602,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM generate_series(0, 49, 3) AS g(i)
             ), j AS (
                 SELECT host, n_urls,
-                       greatest(1, 60 // coalesce(crawl_delay_s, 2))
+                       greatest(1, 60 // greatest(coalesce(crawl_delay_s, 2), 1))
                            AS budget_per_round
                 FROM per LEFT JOIN d USING (host)
             ), p AS (

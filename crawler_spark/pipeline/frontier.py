@@ -581,7 +581,9 @@ def drain_plan(
 
     Per host the round budget is ``round_s / crawl_delay_s`` (floored, min
     1 — one fetch per round is always allowed; hosts absent from the
-    delay table get ``default_delay_s``). ``rounds_to_drain`` is
+    delay table get ``default_delay_s``, and a declared delay <= 0 —
+    "Crawl-delay: 0" is valid robots.txt meaning unthrottled — is treated
+    as delay 1, the fastest politeness tier, not as a division error). ``rounds_to_drain`` is
     ``ceil(n_urls / budget)`` and ``is_critical`` marks the hosts on the
     makespan (rounds_to_drain == global max): the scheduling insight is
     that total crawl time is NOT proportional to frontier size but to the
@@ -606,8 +608,11 @@ def drain_plan(
         F.greatest(
             F.lit(1),
             F.expr(
+                # delay <= 0 ("Crawl-delay: 0" = unthrottled) floors to 1
+                # so the division is defined and the host gets the full
+                # one-fetch-per-second budget, same as delay 1
                 f"CAST({int(round_s)} AS BIGINT)"
-                f" div coalesce(crawl_delay_s, {int(default_delay_s)})"
+                f" div greatest(coalesce(crawl_delay_s, {int(default_delay_s)}), 1)"
             ),
         )
         .cast("long")

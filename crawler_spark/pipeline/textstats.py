@@ -1635,10 +1635,12 @@ def source_scorecard(documents: DataFrame) -> DataFrame:
     spends compute.
 
     Composition: quality_score + lang-ID prediction + segment_dedup joined
-    on doc_id, rolled up keyed on source. top_lang is the plurality
-    predicted language with ties broken ascending (min(struct(-count,
-    lang)) — one aggregation, no window). All exact integers: means are
-    floor divisions, the dup rate is per-mille of segments.
+    on doc_id, then ONE two-level aggregation: (source, predicted) sums
+    first, then per source — the plurality pick (min(struct(-count,
+    lang))) and every rollup sum come out of the same pass, so the 3-way
+    per-doc join is consumed exactly once (no second aggregation branch
+    re-reading it). All exact integers: means are floor divisions, the
+    dup rate is per-mille of segments.
 
     Scale shape: the per-doc signals are map-side codegen except
     segment_dedup (whose keyed one-shuffle story is unchanged); the
@@ -1656,32 +1658,32 @@ def source_scorecard(documents: DataFrame) -> DataFrame:
         .join(q, "doc_id")
         .join(seg, "doc_id")
     )
-    lc = base.groupBy("source", "predicted").agg(F.count("*").alias("cnt"))
-    top = (
-        lc.groupBy("source")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("neg"),
-                    F.col("predicted").alias("p"),
-                )
-            ).alias("m")
-        )
-        .select("source", F.col("m.p").alias("top_lang"))
+    per = base.groupBy("source", "predicted").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_tokens").alias("s_tokens"),
+        F.sum("stop_bp").alias("s_stop"),
+        F.sum("n_segments").alias("s_segs"),
+        F.sum("n_dup_segments").alias("s_dup"),
     )
-    agg = base.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
-        F.expr("CAST(sum(n_tokens) div count(*) AS BIGINT)").alias("mean_tokens"),
-        F.expr("CAST(sum(stop_bp) div count(*) AS BIGINT)").alias("mean_stop_bp"),
+    agg = per.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"),
+                F.col("predicted").alias("p"),
+            )
+        ).alias("m"),
+        F.sum("s_tokens").cast("long").alias("sum_tokens"),
+        F.expr("CAST(sum(s_tokens) div sum(cnt) AS BIGINT)").alias("mean_tokens"),
+        F.expr("CAST(sum(s_stop) div sum(cnt) AS BIGINT)").alias("mean_stop_bp"),
         F.expr(
-            "CASE WHEN sum(n_segments) > 0 THEN"
-            " CAST(1000 * sum(n_dup_segments) div sum(n_segments) AS BIGINT)"
+            "CASE WHEN sum(s_segs) > 0 THEN"
+            " CAST(1000 * sum(s_dup) div sum(s_segs) AS BIGINT)"
             " ELSE 0 END"
         ).alias("dup_seg_bp"),
     )
-    return agg.join(top, "source").select(
-        "source", "n_docs", "top_lang", "sum_tokens",
+    return agg.select(
+        "source", "n_docs", F.col("m.p").alias("top_lang"), "sum_tokens",
         "mean_tokens", "mean_stop_bp", "dup_seg_bp",
     )
 

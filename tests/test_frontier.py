@@ -189,10 +189,11 @@ def test_drain_plan(spark):
     from crawler_spark.pipeline.frontier import drain_plan
 
     fr = spark.createDataFrame(
-        [("h1",)] * 5 + [("h2",)] * 100 + [("h3",)] * 4, "host string"
+        [("h1",)] * 5 + [("h2",)] * 100 + [("h3",)] * 4 + [("h4",)] * 90,
+        "host string",
     )
     delays = spark.createDataFrame(
-        [("h1", 30), ("h3", 120)], "host string, crawl_delay_s long"
+        [("h1", 30), ("h3", 120), ("h4", 0)], "host string, crawl_delay_s long"
     )
     got = {
         r["host"]: (
@@ -203,3 +204,6 @@ def test_drain_plan(spark):
     assert got["h1"] == (5, 2, 3, False)     # 60//30 = 2/round
     assert got["h2"] == (100, 60, 2, False)  # default delay 1 -> 60/round
     assert got["h3"] == (4, 1, 4, True)      # 60//120 = 0 -> floor 1/round
+    # "Crawl-delay: 0" = unthrottled -> fastest tier (delay 1), NOT an
+    # error and NOT the 1-per-round floor
+    assert got["h4"] == (90, 60, 2, False)
