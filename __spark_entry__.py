@@ -1075,6 +1075,20 @@ def q_text_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"), max_df=100)
 
 
+def q_sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (Jegou PAMI'11):
+    per-subspace exact-integer Lloyd codebooks, corpus compressed to m
+    codes, query = distance-table lookup + sum — the third classic ANN
+    family next to LSH and IVF, and the memory-bandwidth play at 10^10
+    vectors (the hot scan touches m ints per candidate, not 64 floats)."""
+    from crawler_spark.pipeline.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2],
+        m=4, k_codes=4, iters=2, topk=5,
+    )
+
+
 def q_sim_kmeans(spark, sf_dir):
     """Exact-integer Lloyd k-means (k=4, 2 iterations, deterministic
     lowest-id seeds) — the reproducible corpus-bucketing step."""
@@ -2143,6 +2157,7 @@ _CHECK_WINDOW = [
     "crawl_drain_plan",
     "docs_source_scorecard",
     "text_kn_bigram",
+    "sim_ann_pq",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2298,6 +2313,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
+        "sim_ann_pq": q_sim_ann_pq,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -2712,6 +2728,96 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 10**6) -> str:
             FROM m{t} GROUP BY cluster
         )""")
     parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{iters + 1}")
+    return "".join(parts)
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+    qids: tuple[int, ...] = (0, 1, 2),
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """Unrolled product-quantization ADC top-k (mirrors
+    pipeline/similarity.py pq_topk): per-subspace exact-integer Lloyd
+    codebooks (same construction as _kmeans_sql, keyed by sub), corpus
+    encoded to m codes, query distance = per-subspace table lookup summed,
+    (ad2, vec_id) rank ties."""
+    d = dim // m
+
+    def d2(x: str, c: str) -> str:
+        return (
+            f"CAST(list_dot_product({x}::DOUBLE[], {x}::DOUBLE[])"
+            f" - 2 * list_dot_product({x}::DOUBLE[], {c}::DOUBLE[])"
+            f" + list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]) AS BIGINT)"
+        )
+
+    parts = [
+        f"""WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qe
+            FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, s.sub, q.qe[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv
+            FROM q, (SELECT unnest(range({m})) AS sub) s
+        ),
+        c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+               FROM sub WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f""",
+        a{t} AS (
+            SELECT vec_id, sub, cid AS code FROM (
+                SELECT sb.vec_id, sb.sub, c.cid, {d2("sb.sv", "c.cv")} AS d2,
+                       row_number() OVER (
+                           PARTITION BY sb.vec_id, sb.sub
+                           ORDER BY {d2("sb.sv", "c.cv")}, c.cid) AS rk
+                FROM sub sb JOIN c{t - 1} c ON sb.sub = c.sub
+            ) WHERE rk = 1
+        )""")
+        if t <= iters:
+            parts.append(f""",
+        u{t} AS (
+            SELECT a.sub, a.code AS cid,
+                   unnest(range(len(sb.sv))) AS dim, unnest(sb.sv) AS v
+            FROM a{t} a JOIN sub sb
+              ON a.vec_id = sb.vec_id AND a.sub = sb.sub
+        ),
+        m{t} AS (
+            SELECT sub, cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS cval
+            FROM u{t} GROUP BY sub, cid, dim
+        ),
+        c{t} AS (
+            SELECT sub, CAST(cid AS INT) AS cid, list(cval ORDER BY dim) AS cv
+            FROM m{t} GROUP BY sub, cid
+        )""")
+    in_list = ", ".join(str(i) for i in qids)
+    parts.append(f""",
+        qsub AS (
+            SELECT vec_id AS query_id, sub, sv AS qv
+            FROM sub WHERE vec_id IN ({in_list})
+        ),
+        dt AS (
+            SELECT qs.query_id, qs.sub, c.cid, {d2("qs.qv", "c.cv")} AS d2q
+            FROM qsub qs JOIN c{iters} c ON qs.sub = c.sub
+        ),
+        cand AS (
+            SELECT dt.query_id, a.vec_id, CAST(sum(dt.d2q) AS BIGINT) AS ad2
+            FROM a{iters + 1} a JOIN dt ON a.sub = dt.sub AND a.code = dt.cid
+            WHERE a.vec_id <> dt.query_id
+            GROUP BY dt.query_id, a.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank, ad2
+        FROM (
+            SELECT query_id, vec_id, ad2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ad2, vec_id) AS rk
+            FROM cand
+        ) WHERE rk <= {topk}""")
     return "".join(parts)
 
 
@@ -4619,6 +4725,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate = shares the query's bucket in ANY of the 4 independent
         # tables (OR of per-table equality), then exact-cosine rerank —
         # mirrors ann_topk_multitable's union-distinct exactly
+        "sim_ann_pq": _pq_sql(m=4, k=4, iters=2, topk=5, qids=(0, 1, 2)),
         "sim_kmeans": _kmeans_sql(k=4, iters=2),
         "sim_pair_histogram": f"""
             WITH bkt AS (

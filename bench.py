@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "crawl_drain_plan",
     "docs_source_scorecard",
     "text_kn_bigram",
+    "sim_ann_pq",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",

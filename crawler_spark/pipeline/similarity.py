@@ -779,3 +779,122 @@ def norm_histogram(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
             F.max("_qq").cast("long").alias("max_qq"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, ad2): product-quantization ANN with
+    asymmetric distance (ADC) — the third classic ANN family next to LSH
+    and IVF (Jégou et al., PAMI 2011). The corpus is compressed to m
+    one-byte-ish codes per vector (here m sub-codebooks of ``k_codes``
+    centroids trained by the same exact-integer Lloyd as
+    ``kmeans_quantized``); a query scans CODES, not vectors — distance is
+    a per-subspace table lookup + sum, so the hot loop touches m ints per
+    candidate instead of the full float vector (the memory-bandwidth win
+    that makes billion-scale ANN fit in RAM).
+
+    Everything integer-exact and deterministic (quantized coords,
+    truncating centroid means, (d2, cid) argmin ties, (ad2, vec_id) rank
+    ties), so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: codebook training is Lloyd on the (vec, sub) relation —
+    the m×k_codes centroid table is BROADCAST per iteration (keyed join
+    on sub, never a vector-vector shuffle), updates aggregate on
+    (sub, cid, dim) (key space m·k·sub_dim, tiny), localCheckpoint per
+    iteration keeps the plan constant. Encoding is one keyed join; the
+    query phase joins the code relation against a broadcast
+    (query, sub, cid) distance table and sums keyed on (query, vec) —
+    at 10^10 vectors that is the only corpus-sized pass, over codes not
+    floats. Top-k is a per-query window over candidate rows.
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select("embedding").head()[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d = dim // m
+
+    def _idot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    def _d2(a, b):
+        return _idot(a, a) - 2 * _idot(a, b) + _idot(b, b)
+
+    q = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qe"),
+    )
+    sub = q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("qe", s * d + 1, d) for s in range(m)])
+        ).alias("sub", "sv"),
+    ).localCheckpoint()
+
+    cent = (
+        sub.filter(F.col("vec_id") < k_codes)
+        .select("sub", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv"))
+        .localCheckpoint()
+    )
+
+    def _assign(c):
+        scored = sub.join(F.broadcast(c), "sub").select(
+            "vec_id", "sub", _d2(F.col("sv"), F.col("cv")).alias("d2"), "cid"
+        )
+        return (
+            scored.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+            .select("vec_id", "sub", F.col("mn.cid").alias("code"))
+        )
+
+    for _ in range(iters):
+        asg = _assign(cent).join(sub, ["vec_id", "sub"])
+        dims = asg.select(
+            "sub", F.col("code").alias("cid"), F.posexplode("sv").alias("dim", "v")
+        )
+        cent = (
+            dims.groupBy("sub", "cid", "dim")
+            .agg(F.expr("sum(v) div count(*)").alias("cval"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+
+    codes = _assign(cent)
+    qsub = sub.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    dtable = qsub.join(F.broadcast(cent), "sub").select(
+        "query_id", "sub", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2q")
+    )
+    cand = (
+        codes.withColumnRenamed("code", "cid")
+        .join(F.broadcast(dtable), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "ad2")
+    )

@@ -453,3 +453,14 @@ def test_source_scorecard_no_unpartitioned_window(spark):
     plan = _plan(source_scorecard(docs))
     assert "CartesianProduct" not in plan, plan
     assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_pq_topk_broadcasts_codebooks_no_cartesian(spark):
+    """Codebook and distance-table sides must broadcast (the corpus-code
+    relation is the only big side) and nothing may go cartesian."""
+    from crawler_spark.pipeline.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(pq_topk(emb, [0, 1], m=4, k_codes=4, iters=1, topk=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan

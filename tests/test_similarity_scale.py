@@ -136,3 +136,25 @@ def test_ivf_partitions_corpus_and_recall_sane(spark, embeddings):
     r1 = recall(ivf_topk(embeddings, qids, k=10, nprobe=1))
     r4 = recall(ivf_topk(embeddings, qids, k=10, nprobe=4))
     assert all(r4[q] >= r1[q] for q in r1)
+
+
+def test_pq_topk_contract(spark):
+    """PQ ADC output contract: exactly topk ranked rows per query, ranks
+    dense from 1, approximate distance nondecreasing with rank, never a
+    self-match, and fully deterministic across runs."""
+    from crawler_spark.pipeline.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_topk(emb, [0, 1], m=4, k_codes=4, iters=1, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in rows)
+        d = [r["ad2"] for r in rows]
+        assert d == sorted(d)
+    again = pq_topk(emb, [0, 1], m=4, k_codes=4, iters=1, topk=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
