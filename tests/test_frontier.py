@@ -207,3 +207,40 @@ def test_drain_plan(spark):
     # "Crawl-delay: 0" = unthrottled -> fastest tier (delay 1), NOT an
     # error and NOT the 1-per-round floor
     assert got["h4"] == (90, 60, 2, False)
+
+
+def test_change_rate_fuzz(spark):
+    """Estimator equals the brute-force python computation over random
+    histories (including single-fetch and zero-span URLs)."""
+    import math
+    import random
+
+    from crawler_spark.pipeline.frontier import change_rate_estimate
+
+    rnd = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, want = [], {}
+    for url in range(20):
+        n = rnd.randint(1, 8)
+        ts = sorted(rnd.randint(0, 5000) for _ in range(n))
+        flags = [rnd.random() < 0.4 for _ in range(n)]
+        # fetch_id increases with i, so (ts, fetch_id) order == index order
+        for i in range(n):
+            rows.append((url, t0 + dt.timedelta(seconds=ts[i]), url * 100 + i, flags[i]))
+        n_obs = n - 1
+        changed = sum(flags[1:])
+        span = ts[-1] - ts[0]
+        lam = (
+            round(86400.0 * math.log((2 * n_obs + 1) / (2 * (n_obs - changed) + 1))
+                  * n_obs / span, 6)
+            if n_obs > 0 and span > 0 else None
+        )
+        want[url] = (n_obs, changed, span, lam)
+    hist = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, fetch_id long, changed boolean"
+    )
+    got = {
+        r["url_id"]: (r["n_obs"], r["n_changed"], r["span_s"], r["lambda_per_day"])
+        for r in change_rate_estimate(hist).collect()
+    }
+    assert got == want

@@ -1710,3 +1710,98 @@ def test_kn_bigram_exact(spark):
     assert got[("a", "b")] == (2, 13_000_000 // 16)
     # P(a|b) = (4*1-3)/(4*1) + 3*1/(4*1) * 1/2 = 1/4 + 3/8 -> 5/8
     assert got[("b", "a")] == (1, 5_000_000 // 8)
+
+
+def _ref_boilerplate(docs, k, min_share_bp, min_df):
+    # docs: {doc_id: (source, text)} -> {doc_id: (n_segments, n_boiler, clean)}
+    from collections import defaultdict
+
+    segs = {}
+    for i, (src, t) in docs.items():
+        ts = t.lower().split()
+        segs[i] = [" ".join(ts[p:p + k]) for p in range(0, len(ts), k)]
+    src_docs = defaultdict(set)
+    seg_docs = defaultdict(set)
+    for i, (src, _) in docs.items():
+        src_docs[src].add(i)
+        for sg in set(segs[i]):
+            seg_docs[(src, sg)].add(i)
+    out = {}
+    for i, (src, _) in docs.items():
+        n_docs = len(src_docs[src])
+        kept, n_bp = [], 0
+        for sg in segs[i]:
+            df = len(seg_docs[(src, sg)])
+            if df >= min_df and df * 10000 >= min_share_bp * n_docs:
+                n_bp += 1
+            else:
+                kept.append(sg)
+        out[i] = (len(segs[i]), n_bp, " ".join(kept))
+    return out
+
+
+def test_host_boilerplate_fuzz(spark):
+    from crawler_spark.pipeline.textstats import host_boilerplate_strip
+
+    import random
+
+    rnd = random.Random(11)
+    vocab = ["w%d" % i for i in range(6)]
+    rows = []
+    docs = {}
+    for i in range(24):
+        src = "s%d" % rnd.randint(0, 2)
+        # small vocab + short docs -> plenty of shared segments
+        t = " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 9)))
+        docs[i] = (src, t)
+        rows.append((i, t, "en", src, len(t)))
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_boiler"], r["clean_text"])
+        for r in host_boilerplate_strip(
+            _docs(spark, rows), k=3, min_share_bp=4000, min_df=2
+        ).collect()
+    }
+    want = _ref_boilerplate(docs, 3, 4000, 2)
+    assert got == want
+
+
+def _ref_kn(docs):
+    # brute-force exact-integer KN ppm over corpus bigrams
+    from collections import Counter, defaultdict
+
+    bg = Counter()
+    for t in docs:
+        ts = t.lower().split()
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] += 1
+    c1 = Counter()
+    succ = defaultdict(set)
+    pred = defaultdict(set)
+    for (a, b), c in bg.items():
+        c1[a] += c
+        succ[a].add(b)
+        pred[b].add(a)
+    B = len(bg)
+    out = {}
+    for (a, b), c in bg.items():
+        num = max(4 * c - 3, 0) * B + 3 * len(succ[a]) * len(pred[b])
+        out[(a, b)] = (c, 10**6 * num // (4 * c1[a] * B))
+    return out
+
+
+def test_kn_bigram_fuzz(spark):
+    from crawler_spark.pipeline.textstats import kn_bigram
+
+    import random
+
+    rnd = random.Random(13)
+    vocab = ["t%d" % i for i in range(8)]
+    texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 20)))
+        for _ in range(15)
+    ]
+    d = _docs(spark, [(i, t, "en", "s", 0) for i, t in enumerate(texts)])
+    got = {(r["t1"], r["t2"]): (r["c12"], r["kn_ppm"]) for r in kn_bigram(d).collect()}
+    assert got == _ref_kn(texts)
+    # probability sanity on the fuzzed corpus: every row in (0, 1e6]
+    assert all(0 < p <= 10**6 for _, p in got.values())
