@@ -1089,6 +1089,18 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
+def q_sim_pq_recall(spark, sf_dir):
+    """Measured recall@5 of PQ ADC vs exact L2 top-5 on the same
+    quantized vectors — completes the ANN index-selection table next to
+    sim_ann_recall (LSH) and sim_ivf_recall."""
+    from crawler_spark.pipeline.similarity import pq_recall
+
+    return pq_recall(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2],
+        m=4, k_codes=4, iters=2, topk=5,
+    )
+
+
 def q_sim_kmeans(spark, sf_dir):
     """Exact-integer Lloyd k-means (k=4, 2 iterations, deterministic
     lowest-id seeds) — the reproducible corpus-bucketing step."""
@@ -2158,6 +2170,7 @@ _CHECK_WINDOW = [
     "docs_source_scorecard",
     "text_kn_bigram",
     "sim_ann_pq",
+    "sim_pq_recall",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2314,6 +2327,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_pq_recall": q_sim_pq_recall,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5916,6 +5930,43 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_pct
         FROM exact e
         LEFT JOIN ivf a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+    d["sim_pq_recall"] = f"""
+        WITH exact AS (
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                FROM embeddings
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, qe AS qv FROM q WHERE vec_id IN (0, 1, 2)
+            ),
+            sc AS (
+                SELECT qs.query_id, q.vec_id AS neighbor_id,
+                       CAST(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[])
+                            - 2 * list_dot_product(q.qe::DOUBLE[], qs.qv::DOUBLE[])
+                            + list_dot_product(qs.qv::DOUBLE[], qs.qv::DOUBLE[])
+                            AS BIGINT) AS d2
+                FROM q CROSS JOIN qs WHERE q.vec_id <> qs.query_id
+            )
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, neighbor_id) AS rk
+                FROM sc
+            ) WHERE rk <= 5
+        ),
+        pq AS ({d["sim_ann_pq"]})
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST((100 * count(a.neighbor_id)) // count(*) AS BIGINT)
+                   AS recall_pct
+        FROM exact e
+        LEFT JOIN pq a
                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
     """

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "docs_source_scorecard",
     "text_kn_bigram",
     "sim_ann_pq",
+    "sim_pq_recall",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",

@@ -898,3 +898,99 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "ad2")
     )
+
+
+def l2_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, d2): EXACT L2 top-k on the quantized
+    coordinates — the denominator relation for ``pq_recall`` (same metric
+    and same quantization as the PQ index, so the recall number isolates
+    what PQ's code compression loses, not metric disagreement with the
+    cosine path). Integer-exact, (d2, neighbor_id) rank ties.
+
+    Shape: queries broadcast, corpus never shuffles — one scan + a
+    per-query window over candidate rows (same as cosine_topk).
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qe"),
+    )
+
+    def _idot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    qs = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _idot(F.col("qe"), F.col("qe"))
+                - 2 * _idot(F.col("qe"), F.col("qv"))
+                + _idot(F.col("qv"), F.col("qv"))
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall_pct): measured recall@k of the PQ
+    ADC search against the exact L2 top-k on the same quantized vectors —
+    the number that prices PQ's compression (m codes vs full vectors), on
+    the same metric so codebook coarseness is the ONLY source of loss.
+    Same contract as ann_recall (LSH) and ivf_recall; together the three
+    give the index-selection table a curation run publishes.
+
+    Shape: both sides end in (queries x k)-row relations; the compare is
+    a join + aggregation over that tiny product.
+    """
+    exact = l2_topk(embeddings, query_ids, topk, scale).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(embeddings, query_ids, m, k_codes, iters, topk, scale).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("(100 * n_hit) DIV n_exact").alias("recall_pct"),
+        )
+    )
