@@ -2174,7 +2174,6 @@ _CHECK_WINDOW = [
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
-    "crawl_e2e_order",
     "graph_pagerank",
     "graph_ppr",
     "graph_hits",
@@ -2192,15 +2191,12 @@ _CHECK_WINDOW = [
     "stream_funnel",
     "stream_sessionize",
     "stream_hll",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
     "sim_ann_multitable",
     "sim_ann_ivf",
     "sim_ann_recall",
     "sim_ivf_recall",
     "sim_kmeans",
     "sim_semantic_dedup",
-    "sim_embedding_neardup",
     "sim_embedding_clusters",
     "sim_lsh_bucket_stats",
     "sim_pair_histogram",
@@ -2214,7 +2210,6 @@ _CHECK_WINDOW = [
     "docs_span_dedup",
     "docs_media_dedup",
     "docs_caption_pairs",
-    "multimodal_decode",
     "multimodal_frames",
     "multimodal_assemble",
     "pipeline_curate",
