@@ -2160,7 +2160,10 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # so round 3 rotates the graph / streaming / similarity / assemble /
 # frontier families (plus everything new this round) into the window.
 # Rotate this list again each round; queries() preserves the handwritten
-# order for everything not named here.
+# order for everything not named here. NOTE: only the first 50 window
+# entries are actually driver-verified — entries beyond position 50 are
+# the next-in-line queue for the following round's rotation, nothing
+# more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
     # round-3 additions (never checked by anyone) — keep these first
     "text_host_boilerplate",
@@ -5460,7 +5463,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM isl2 GROUP BY doc_id, islid
             ),
             canon AS (
-                SELECT doc_id, array_to_string({_TOKS}, ' ') AS canon
+                -- coalesce: DuckDB's array_to_string([]) is NULL where
+                -- Spark's array_join is '' (tokenless docs)
+                SELECT doc_id,
+                       coalesce(array_to_string({_TOKS}, ' '), '') AS canon
                 FROM documents
             ),
             marks AS (

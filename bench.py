@@ -584,7 +584,8 @@ def run_steady_state_bench(spark) -> dict:
     frontier is seq-ordered) is rendered once and shared by every run, so
     the only thing that varies between runs is frontier size and mode.
     Round 1 is reported but excluded from the steady figure (bloom/JIT/
-    codegen warmup); steady_round_s = mean of rounds 2..R.
+    codegen warmup); steady_round_s = MIN over rounds 2..R (the same
+    additive-noise floor estimator as the scaling protocol).
 
     Read: delta's growth ratio steady(S_max)/steady(S_min) vs snapshot's.
     Snapshot rewrites O(S) rows per round, so its ratio tracks the 16x

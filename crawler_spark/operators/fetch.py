@@ -162,39 +162,69 @@ async def asyncio_transport(
     Python worker without 16 OS threads per partition).
 
     Minimal but real: raw ``asyncio.open_connection`` (TLS for https),
-    HTTP proxy via absolute-URI request line, status + header parse,
-    Content-Length / chunked / read-to-EOF bodies, charset hint from
-    Content-Type. Same return contract and error mapping as
+    HTTP proxy via absolute-URI request line for http and a CONNECT
+    tunnel + in-place ``start_tls`` upgrade for https (so the proxy is
+    honored for BOTH schemes, like urllib's handler chain), redirect
+    following (301/302/303/307/308, <= 5 hops, relative Locations
+    resolved — parity with urllib's HTTPRedirectHandler), status +
+    header parse, Content-Length / chunked / read-to-EOF bodies, charset
+    hint from Content-Type. Same return contract and error mapping as
     ``urllib_transport`` (transport-level failure -> status 0, engine
     routes through retry-once). A production deployment can swap in
     aiohttp unchanged — the fetcher only requires a coroutine function
     with this signature.
     """
     import asyncio
+    import ssl as _ssl
     import time as _time
-    from urllib.parse import urlsplit
+    from urllib.parse import urljoin, urlsplit
 
     t0 = _time.time()
 
     def _ms() -> int:
         return int((_time.time() - t0) * 1000)
 
-    try:
-        u = urlsplit(url)
+    async def _one(cur_url: str) -> tuple[int, bytes, str | None, dict[str, str]]:
+        u = urlsplit(cur_url)
         tls = u.scheme == "https"
         port = u.port or (443 if tls else 80)
         path = (u.path or "/") + (f"?{u.query}" if u.query else "")
-        if proxy and not tls:
+        if proxy:
             p = urlsplit(proxy if "//" in proxy else f"http://{proxy}")
-            conn_host, conn_port = p.hostname, p.port or 80
-            req_target = url  # absolute-URI form for HTTP proxies
+            reader, writer = await asyncio.wait_for(
+                asyncio.open_connection(p.hostname, p.port or 80), timeout_s
+            )
+            if tls:
+                # CONNECT tunnel, then TLS upgrade on the same stream
+                writer.write(
+                    f"CONNECT {u.hostname}:{port} HTTP/1.1\r\n"
+                    f"Host: {u.hostname}:{port}\r\n\r\n".encode("latin-1")
+                )
+                await asyncio.wait_for(writer.drain(), timeout_s)
+                st_line = await asyncio.wait_for(reader.readline(), timeout_s)
+                tunnel_status = int(st_line.split(None, 2)[1])
+                while (
+                    await asyncio.wait_for(reader.readline(), timeout_s)
+                ).rstrip(b"\r\n"):
+                    pass
+                if tunnel_status != 200:
+                    writer.close()
+                    raise OSError(f"proxy CONNECT failed: {tunnel_status}")
+                await asyncio.wait_for(
+                    writer.start_tls(
+                        _ssl.create_default_context(),
+                        server_hostname=u.hostname,
+                    ),
+                    timeout_s,
+                )
+                req_target = path
+            else:
+                req_target = cur_url  # absolute-URI form for HTTP proxies
         else:
-            conn_host, conn_port = u.hostname, port
+            reader, writer = await asyncio.wait_for(
+                asyncio.open_connection(u.hostname, port, ssl=tls), timeout_s
+            )
             req_target = path
-        reader, writer = await asyncio.wait_for(
-            asyncio.open_connection(conn_host, conn_port, ssl=tls),
-            timeout_s,
-        )
         try:
             lines = [f"GET {req_target} HTTP/1.1", f"Host: {u.netloc}"]
             lines += [f"{k}: {v}" for k, v in headers.items()]
@@ -240,9 +270,19 @@ async def asyncio_transport(
             ctype = hdrs.get("content-type", "")
             if "charset=" in ctype:
                 charset = ctype.split("charset=", 1)[1].split(";")[0].strip()
-            return status, raw, charset, _ms()
+            return status, raw, charset, hdrs
         finally:
             writer.close()
+
+    try:
+        cur = url
+        for _ in range(5):  # redirect hop cap, matching urllib's default
+            status, raw, charset, hdrs = await _one(cur)
+            if status in (301, 302, 303, 307, 308) and "location" in hdrs:
+                cur = urljoin(cur, hdrs["location"])
+                continue
+            return status, raw, charset, _ms()
+        return 0, b"", None, _ms()  # redirect loop -> transport failure
     except Exception:
         return 0, b"", None, _ms()
 

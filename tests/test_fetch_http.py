@@ -182,6 +182,16 @@ def http_server():
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk"
                 b"\r\nContent-Length: %d\r\n\r\n" % len(body) + body
             )
+        elif path.endswith("/redir"):
+            writer.write(
+                b"HTTP/1.1 302 Found\r\nLocation: /clen\r\n"
+                b"Content-Length: 0\r\n\r\n"
+            )
+        elif path.endswith("/redirloop"):
+            writer.write(
+                b"HTTP/1.1 301 Moved\r\nLocation: /redirloop\r\n"
+                b"Content-Length: 0\r\n\r\n"
+            )
         else:
             writer.write(
                 b"HTTP/1.1 404 Not Found\r\nContent-Length: 4\r\n\r\ngone"
@@ -272,3 +282,36 @@ def test_decode_body_hint_precedence():
     assert decode_body(data, "utf-8") == '<meta charset="gbk">abc'
     # undecodable bytes replaced, never raising
     assert "�" in decode_body(b"\xff\xff\xfe\xfa abc", "utf-8")
+
+
+def test_asyncio_transport_redirects(http_server):
+    """Redirects are followed like urllib's HTTPRedirectHandler (relative
+    Location resolved against the current URL); a redirect loop exhausts
+    the 5-hop cap and maps to transport failure (status 0)."""
+    import asyncio
+
+    from crawler_spark.operators.fetch import asyncio_transport
+
+    def go(url):
+        return asyncio.run(asyncio_transport(url, {}, None, 5.0))
+
+    st, raw, cs, _ = go(f"{http_server}/redir")
+    assert (st, raw, cs) == (200, b"hello-clen", "utf-8")
+    st, raw, _, _ = go(f"{http_server}/redirloop")
+    assert (st, raw) == (0, b"")
+
+
+def test_asyncio_transport_connect_refused_by_proxy(http_server):
+    """An https URL through a proxy negotiates a CONNECT tunnel; a proxy
+    that refuses the tunnel (our plain server answers CONNECT with 404)
+    maps to transport failure, never a silent direct connection."""
+    import asyncio
+
+    from crawler_spark.operators.fetch import asyncio_transport
+
+    st, raw, _, _ = asyncio.run(
+        asyncio_transport(
+            "https://site.invalid/x", {}, http_server.split("//")[1], 5.0
+        )
+    )
+    assert (st, raw) == (0, b"")
