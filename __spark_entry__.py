@@ -1232,6 +1232,18 @@ def q_dedup_lsh_quality(spark, sf_dir):
     return lsh_pair_quality(_t(spark, sf_dir, "documents"), num_hashes=9, band_size=3)
 
 
+def q_docs_curriculum(spark, sf_dir):
+    """Quality-annealed epoch schedule: epochs 0..E-2 hash-permute the
+    full corpus, the final epoch restricts to the top-25%-by-quality
+    docs (exact integer rank, no global window) — the "end on your
+    cleanest data" phase of modern pretraining mixes."""
+    from crawler_spark.pipeline.assemble import curriculum_order
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), n_epochs=3, final_clean_bp=2500
+    )
+
+
 def q_docs_epoch_order(spark, sf_dir):
     """Reproducible per-epoch training order (3 epochs x 8 shards):
     coordination-free reshuffle, each epoch an independent hash
@@ -2174,6 +2186,7 @@ _CHECK_WINDOW = [
     "text_kn_bigram",
     "sim_ann_pq",
     "sim_pq_recall",
+    "docs_curriculum",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2326,6 +2339,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "sim_ann_pq": q_sim_ann_pq,
         "sim_pq_recall": q_sim_pq_recall,
+        "docs_curriculum": q_docs_curriculum,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5970,6 +5984,40 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pq a
                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
+    """
+    d["docs_curriculum"] = f"""
+        WITH q AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   CASE WHEN len({_TOKS}) > 0
+                        THEN (1000 * CAST(len(regexp_extract_all(lower(text),
+                             '{_STOP_PAT}', 1)) AS BIGINT)) // len({_TOKS})
+                        ELSE 0 END AS stop_bp
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY stop_bp ASC, n_tokens ASC,
+                                      doc_id DESC) - 1 AS below
+            FROM q
+        ), n AS (
+            SELECT count(*) AS n FROM q
+        ), fin AS (
+            SELECT doc_id FROM r, n WHERE below * 10000 >= 7500 * n
+        ), e AS (
+            SELECT doc_id, ep.epoch
+            FROM documents, (SELECT unnest(range(2)) AS epoch) ep
+            UNION ALL
+            SELECT doc_id, 2 AS epoch FROM fin
+        ), h AS (
+            SELECT doc_id, epoch,
+                   md5('curr' || CAST(epoch AS VARCHAR) || ':'
+                       || CAST(doc_id AS VARCHAR)) AS h
+            FROM e
+        )
+        SELECT doc_id, CAST(epoch AS INT) AS epoch,
+               CAST(row_number() OVER (PARTITION BY epoch
+                                       ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h
     """
     d["stream_funnel"] = d["events_funnel"]
     d["stream_sessionize"] = d["events_sessionize"]

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "text_kn_bigram",
     "sim_ann_pq",
     "sim_pq_recall",
+    "docs_curriculum",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",

@@ -580,3 +580,84 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
             F.expr("CAST(10000 * n_symbols div greatest(n_words, 1) AS BIGINT)"),
         )
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_epochs: int = 3,
+    final_clean_bp: int = 2500,
+    salt: str = "curr",
+) -> DataFrame:
+    """(doc_id, epoch, pos): epoch schedule with a QUALITY-ANNEAL final
+    phase — epochs 0..E-2 are independent hash permutations of the full
+    corpus (same contract as ``epoch_order``), but the LAST epoch is
+    restricted to the top ``final_clean_bp``/10000 of docs by quality and
+    permuted within that subset. This is the "end on your cleanest data"
+    recipe modern pretraining mixes use (a final high-quality phase after
+    broad coverage); the schedule stays a pure function of
+    (salt, epoch, doc_id [, quality rank]), so any worker reconstructs
+    position p of epoch e with no coordination service.
+
+    Quality rank: exact integer rank math on (stop_bp, n_tokens, doc_id)
+    from ``quality_score`` — higher stopword ratio then longer then
+    lower-id wins; a doc is in the final epoch iff
+    (#docs ranked strictly below it) * 10000 >= (10000 - final_clean_bp)
+    * n_docs (cross-multiplied, no floats, and the threshold is a CUTOFF
+    COUNT so exactly the top share survives modulo ties).
+
+    Scale shape: NO global window. The corpus-wide rank is two-level:
+    a cumulative over the stop_bp VALUE histogram (<= 1001 rows by
+    construction — per-mille values — so its unpartitioned window is
+    bounded like host_skew's top-10 sort) broadcast back, plus a
+    row_number PARTITIONED by stop_bp for the within-value offset.
+    Everything else is epoch_order's explode + per-epoch
+    hash-permutation windows keyed on epoch.
+    """
+    from crawler_spark.pipeline.textstats import quality_score
+
+    q = quality_score(documents).select("doc_id", "stop_bp", "n_tokens")
+    vc = q.groupBy("stop_bp").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("stop_bp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vc.select(
+        "stop_bp",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long").alias("below_val"),
+    )
+    n_docs = q.agg(F.count("*").cast("long").alias("n")).withColumn("_j", F.lit(1))
+    win_val = Window.partitionBy("stop_bp").orderBy(F.asc("n_tokens"), F.desc("doc_id"))
+    ranked = (
+        q.withColumn("in_val", F.row_number().over(win_val).cast("long") - 1)
+        .join(F.broadcast(cum), "stop_bp")
+        .withColumn("below", F.col("below_val") + F.col("in_val"))
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(n_docs), "_j")
+        .drop("_j")
+    )
+    final_set = ranked.filter(
+        F.col("below") * 10000 >= F.lit(10000 - int(final_clean_bp)) * F.col("n")
+    ).select("doc_id")
+    e = documents.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {int(n_epochs) - 1})")).alias("epoch"),
+    )
+    last = int(n_epochs) - 1
+    e = e.join(final_set.withColumn("_keep", F.lit(True)), "doc_id", "left").filter(
+        (F.col("epoch") < last) | F.col("_keep")
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    wp = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    return e.select(
+        "doc_id", F.col("epoch").cast("int").alias("epoch"), h.alias("h")
+    ).select(
+        "doc_id",
+        "epoch",
+        (F.row_number().over(wp) - 1).cast("long").alias("pos"),
+    )

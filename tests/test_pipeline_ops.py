@@ -1805,3 +1805,35 @@ def test_kn_bigram_fuzz(spark):
     assert got == _ref_kn(texts)
     # probability sanity on the fuzzed corpus: every row in (0, 1e6]
     assert all(0 < p <= 10**6 for _, p in got.values())
+
+
+def test_curriculum_order_quality_anneal(spark):
+    """Early epochs carry the full corpus; the final epoch carries exactly
+    the top final_clean_bp share by (stop_bp, n_tokens, -doc_id) quality
+    rank; positions are dense per epoch and deterministic."""
+    from crawler_spark.pipeline.assemble import curriculum_order
+
+    rows = [
+        # 2 high-quality docs (stopword-rich), 2 junk docs
+        (1, "the cat and the dog is in a tree", "en", "s", 0),
+        (2, "the fish and the bird is in a bowl", "en", "s", 0),
+        (3, "zzz qqq kkk", "en", "s", 0),
+        (4, "mmm nnn ppp", "en", "s", 0),
+    ]
+    out = curriculum_order(
+        _docs(spark, rows), n_epochs=3, final_clean_bp=5000
+    ).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append((r["pos"], r["doc_id"]))
+    assert {len(by_epoch[0]), len(by_epoch[1])} == {4}
+    # final epoch = top half by quality: the two stopword-rich docs
+    assert sorted(d for _, d in by_epoch[2]) == [1, 2]
+    for ep, rows_ in by_epoch.items():
+        assert sorted(p for p, _ in rows_) == list(range(len(rows_)))
+    # epochs 0 and 1 are DIFFERENT permutations (independent hashes)
+    assert [d for _, d in sorted(by_epoch[0])] != [d for _, d in sorted(by_epoch[1])]
+    again = curriculum_order(
+        _docs(spark, rows), n_epochs=3, final_clean_bp=5000
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
