@@ -1917,6 +1917,23 @@ def q_graph_ppr(spark, sf_dir):
     return ppr(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
 
 
+def q_graph_spam_mass(spark, sf_dir):
+    """Spam mass (Gyongyi et al. VLDB'06): PageRank minus trust-seeded
+    PPR, normalized to equal total mass — the fraction of a node's rank
+    not reachable from trusted seeds; the link-farm budget-cut signal."""
+    from crawler_spark.pipeline.graph import spam_mass
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter("l_suppkey % 11 = 0")
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return spam_mass(_order_supplier_edges(spark, sf_dir), seeds, iters=3)
+
+
 def q_crawl_robots_decision(spark, sf_dir):
     """RFC 9309 robots evaluation: longest allow/disallow match governs,
     Allow wins ties, no match = allowed. Robots bodies with Allow
@@ -2187,6 +2204,7 @@ _CHECK_WINDOW = [
     "sim_ann_pq",
     "sim_pq_recall",
     "docs_curriculum",
+    "graph_spam_mass",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2340,6 +2358,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq": q_sim_ann_pq,
         "sim_pq_recall": q_sim_pq_recall,
         "docs_curriculum": q_docs_curriculum,
+        "graph_spam_mass": q_graph_spam_mass,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -6018,6 +6037,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY epoch
                                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM h
+    """
+    d["graph_spam_mass"] = f"""
+        WITH pr AS ({_pagerank_sql(iters=3)}),
+             tr AS ({_ppr_sql(iters=3)}),
+             j AS (
+                 SELECT pr.node, pr."rank" AS pr,
+                        CAST(coalesce(tr."rank", 0) AS BIGINT) AS tr
+                 FROM pr LEFT JOIN tr ON tr.node = pr.node
+             ),
+             tot AS (
+                 SELECT CAST(sum(pr) AS BIGINT) AS sp,
+                        CAST(sum(tr) AS BIGINT) AS st
+                 FROM j
+             ),
+             nrm AS (
+                 SELECT node, pr,
+                        CAST(CASE WHEN st > 0 THEN
+                            CAST(tr AS HUGEINT) * sp // st
+                            ELSE 0 END AS BIGINT) AS tr_norm
+                 FROM j, tot
+             )
+        SELECT node, pr, tr_norm,
+               CAST(CASE WHEN pr > 0 THEN
+                   10000 * greatest(pr - tr_norm, 0) // pr
+                   ELSE 0 END AS BIGINT) AS spam_bp
+        FROM nrm
     """
     d["stream_funnel"] = d["events_funnel"]
     d["stream_sessionize"] = d["events_sessionize"]

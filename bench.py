@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sim_ann_pq",
     "sim_pq_recall",
     "docs_curriculum",
+    "graph_spam_mass",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",

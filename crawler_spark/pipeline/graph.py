@@ -660,3 +660,68 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
             F.expr("CAST(10000 * n_reciprocal div out_deg AS BIGINT)"),
         )
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted_seeds: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """(node, pr, tr_norm, spam_bp): SPAM MASS (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB'06 "Link Spam Detection Based on Mass Estimation") —
+    the fraction of a node's PageRank that does NOT flow from a trusted
+    seed set. PageRank happily funds a link farm; trust-seeded
+    personalized PageRank cannot reach it except through trusted paths,
+    so ``pr - tr`` localizes exactly the artificially-acquired rank. The
+    crawl use: high spam_bp hosts get budget cuts / blocklist review
+    before they eat 10^6 fetches.
+
+    tr is normalized so total trust mass equals total PageRank mass
+    (``tr * sum(pr) div sum(tr)`` — the two walks conserve different
+    totals), then spam_bp = 10000 * max(pr - tr_norm, 0) div pr. The
+    cross-multiplication runs in DECIMAL(38,0): tr * sum(pr) reaches
+    ~10^25 at web scale (rank ~10^9 x mass-total ~10^16), far past
+    int64 — same overflow discipline as wave_fairness. Everything floor
+    division, bit-identical to the composed SQL oracle.
+
+    Scale shape: the two rank relations are the existing fixed-iteration
+    ops (constant plans, keyed exchanges); the combine is one join keyed
+    on node + a 1-row broadcast of the two mass totals.
+    """
+    pr = pagerank(edges, iters=iters, src=src, dst=dst, scale=scale).select(
+        "node", F.col("rank").alias("pr")
+    )
+    tr = ppr(
+        edges, trusted_seeds, iters=iters, src=src, dst=dst, scale=scale
+    ).select("node", F.col("rank").alias("tr"))
+    j = pr.join(tr, "node", "left").select(
+        "node", "pr", F.coalesce("tr", F.lit(0)).cast("long").alias("tr")
+    )
+    tot = j.agg(
+        F.sum("pr").cast("long").alias("sp"), F.sum("tr").cast("long").alias("st")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "pr",
+            F.expr(
+                "CAST(CASE WHEN st > 0 THEN"
+                " CAST(tr AS DECIMAL(38,0)) * sp DIV st"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("tr_norm"),
+        )
+        .select(
+            "node",
+            "pr",
+            "tr_norm",
+            F.expr(
+                "CAST(CASE WHEN pr > 0 THEN"
+                " 10000 * greatest(pr - tr_norm, 0) DIV pr"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("spam_bp"),
+        )
+    )

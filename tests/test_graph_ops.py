@@ -294,3 +294,25 @@ def test_reciprocity(spark):
     assert got["a"]["reciprocity_bp"] == 5000
     assert got["b"]["out_deg"] == 1 and got["b"]["n_reciprocal"] == 1
     assert got["c"]["n_reciprocal"] == 0
+
+
+def test_spam_mass_flags_untrusted_farm(spark):
+    """Two disjoint star graphs; seeds sit only in the first. The
+    untrusted farm's hub gets spam_bp = 10000 (no trust mass reaches
+    it), the trusted hub stays near 0, and trust normalization conserves
+    total mass."""
+    from crawler_spark.pipeline.graph import spam_mass
+
+    edges = spark.createDataFrame(
+        [("t1", "thub"), ("t2", "thub"), ("t3", "thub"),
+         ("f1", "fhub"), ("f2", "fhub"), ("f3", "fhub")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("t1",), ("t2",), ("t3",)], "node string")
+    got = {r["node"]: r.asDict() for r in spam_mass(edges, seeds, iters=3).collect()}
+    assert got["fhub"]["spam_bp"] == 10000          # zero trust reaches the farm
+    assert got["fhub"]["tr_norm"] == 0
+    assert got["thub"]["spam_bp"] < 2000            # trusted hub mostly clean
+    assert got["thub"]["tr_norm"] > 0
+    # leaves of the trusted star hold seed teleport mass; farm leaves none
+    assert got["t1"]["tr_norm"] > got["f1"]["tr_norm"] == 0
