@@ -548,6 +548,55 @@ def q_crawl_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(s.select(host.alias("host"), body.alias("body")))
 
 
+def q_crawl_sitemap_ingest(spark, sf_dir):
+    """The complete sitemap-to-frontier ENQUEUE path, composed from the
+    engine's own operators: XML sitemap bodies (messy whitespace, upper-
+    case hosts, default :443 ports, unsorted query params, fragments)
+    -> sitemap_seeds (canonical URL + md5 key, the engine's seed
+    contract) -> exact anti-join against the seen set -> lastmod
+    freshness priorities joined on the canonical URL. Output = the new
+    (curl, key, priority) rows a continuous crawl would append to its
+    frontier this round."""
+    from crawler_spark.operators.canon import canonical_col
+    from crawler_spark.operators.dedup import anti_join_seen
+    from crawler_spark.operators.sitemap import sitemap_freshness, sitemap_seeds
+
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    host = F.concat(F.lit("s"), k, F.lit(".shop.example"))
+    d1 = F.expr("CAST(date_add(DATE'2024-01-01', CAST(s_suppkey % 20 AS INT)) AS STRING)")
+    d2 = F.expr("CAST(date_add(DATE'2024-01-01', CAST((s_suppkey * 7) % 20 AS INT)) AS STRING)")
+    body = F.concat_ws(
+        "\n",
+        F.lit("<urlset>"),
+        F.concat(
+            F.lit("<url><loc> HTTPS://S"), k, F.lit(".Shop.Example:443/p/"),
+            k, F.lit("-1?z=2&a=1#f </loc><lastmod>"), d1, F.lit("</lastmod></url>"),
+        ),
+        F.concat(
+            F.lit("<url><loc>https://"), host, F.lit("/p/"), k,
+            F.lit("-2</loc><lastmod>"), d2, F.lit("</lastmod></url>"),
+        ),
+        F.lit("</urlset>"),
+    )
+    bodies = sup.select(host.alias("host"), body.alias("body"))
+    seeds = sitemap_seeds(bodies, task="sitemap", rule="page")
+    # every third supplier's first page was already crawled
+    seen = sup.filter("s_suppkey % 3 = 0").select(
+        F.md5(
+            F.concat(
+                F.lit("https://s"), k, F.lit(".shop.example/p/"), k,
+                F.lit("-1?a=1&z=2"), F.lit("GET"),
+            )
+        ).alias("key")
+    )
+    fresh = sitemap_freshness(bodies).select(
+        canonical_col("url").alias("curl"), "priority"
+    )
+    new = anti_join_seen(seeds, seen, "key")
+    return new.join(fresh, "curl").select("curl", "key", "priority")
+
+
 def q_dedup_winnow(spark, sf_dir):
     """MOSS-style winnowed-fingerprint near-dup pairs (code-dedup family)."""
     from crawler_spark.pipeline.dedup import winnow_pairs
@@ -2205,6 +2254,7 @@ _CHECK_WINDOW = [
     "sim_pq_recall",
     "docs_curriculum",
     "graph_spam_mass",
+    "crawl_sitemap_ingest",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2359,6 +2409,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": q_sim_pq_recall,
         "docs_curriculum": q_docs_curriculum,
         "graph_spam_mass": q_graph_spam_mass,
+        "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5155,6 +5206,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * sum(n) * sum(n)
                         // greatest(count(*) * sum(n * n), 1) AS BIGINT) AS fairness_bp
             FROM alloc
+        """,
+        "crawl_sitemap_ingest": """
+            WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+            u AS (
+                SELECT k,
+                       'https://s' || k || '.shop.example/p/' || k || '-1?a=1&z=2' AS curl,
+                       DATE '2024-01-01' + CAST(k % 20 AS INT) AS lastmod,
+                       TRUE AS maybe_seen
+                FROM sup
+                UNION ALL
+                SELECT k,
+                       'https://s' || k || '.shop.example/p/' || k || '-2' AS curl,
+                       DATE '2024-01-01' + CAST((k * 7) % 20 AS INT) AS lastmod,
+                       FALSE
+                FROM sup
+            ),
+            ref AS (SELECT max(lastmod) AS r FROM u),
+            fresh AS (
+                SELECT curl, k, maybe_seen,
+                       CAST(greatest(0, 6 - length(bin(
+                           CAST(date_diff('day', lastmod, r) AS BIGINT)
+                       ))) AS INT) AS priority
+                FROM u CROSS JOIN ref
+            )
+            SELECT curl, md5(curl || 'GET') AS key, priority
+            FROM fresh
+            WHERE NOT (maybe_seen AND k % 3 = 0)
         """,
         "crawl_sitemap_freshness": """
             WITH hosts AS (

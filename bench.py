@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "sim_pq_recall",
     "docs_curriculum",
     "graph_spam_mass",
+    "crawl_sitemap_ingest",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",
