@@ -742,6 +742,27 @@ def q_text_kn_bigram(spark, sf_dir):
     return kn_bigram(_t(spark, sf_dir, "documents"))
 
 
+def q_crawl_revisit_bandwidth(spark, sf_dir):
+    """Per-host revisit capacity plan from the same synthesized fetch
+    history as crawl_change_rate: evidence-based intervals (exact
+    integer mean_interval / p-hat, clamped) rolled up to fetches/day —
+    the feasibility check against the politeness budget."""
+    from crawler_spark.pipeline.frontier import revisit_bandwidth
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.col("event_id").alias("fetch_id"),
+        (F.col("event_type") == "purchase").alias("changed"),
+    )
+    hosts = ev.select(F.col("user_id").alias("url_id")).distinct().select(
+        "url_id",
+        F.concat(F.lit("h"), (F.col("url_id") % 20).cast("string")).alias("host"),
+    )
+    return revisit_bandwidth(hist, hosts)
+
+
 def q_crawl_bloom_audit(spark, sf_dir):
     """Bloom sizing audit: measured FPR of the double-hashing scheme
     (relational simulation — bit set as a DISTINCT position relation)."""
@@ -2255,6 +2276,7 @@ _CHECK_WINDOW = [
     "docs_curriculum",
     "graph_spam_mass",
     "crawl_sitemap_ingest",
+    "crawl_revisit_bandwidth",
     "text_bpe_train",
     "text_exact_substring_dedup",
     # round-2 additions, driver-unchecked, riskiest families first
@@ -2410,6 +2432,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curriculum": q_docs_curriculum,
         "graph_spam_mass": q_graph_spam_mass,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
+        "crawl_revisit_bandwidth": q_crawl_revisit_bandwidth,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -3908,6 +3931,41 @@ def oracle_sql() -> dict[str, str]:
                                    + 3 * succ1 * pred2)
                         // (4 * c1 * b_types) AS BIGINT) AS kn_ppm
             FROM bg JOIN l USING (t1) JOIN r USING (t2) CROSS JOIN bt
+        """,
+        "crawl_revisit_bandwidth": """
+            WITH h AS (
+                SELECT user_id AS url_id, ts, event_id AS fetch_id,
+                       event_type = 'purchase' AS changed
+                FROM events
+            ), r AS (
+                SELECT url_id, ts, changed,
+                       row_number() OVER (PARTITION BY url_id
+                                          ORDER BY ts, fetch_id) AS rn
+                FROM h
+            ), p AS (
+                SELECT url_id,
+                       CAST(count(*) - 1 AS BIGINT) AS n_obs,
+                       CAST(sum(CASE WHEN rn > 1 AND changed THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                            AS BIGINT) AS span_s
+                FROM r GROUP BY url_id
+            ), iv AS (
+                SELECT url_id,
+                       CASE WHEN n_obs > 0 AND span_s > 0 THEN
+                           greatest(3600, least(604800,
+                               span_s * (2 * n_obs + 1)
+                               // greatest(n_obs * (2 * n_changed + 1), 1)))
+                       ELSE 604800 END AS interval_s,
+                       CASE WHEN n_obs > 0 AND span_s > 0 THEN 0 ELSE 1 END AS cold
+                FROM p
+            )
+            SELECT 'h' || CAST(url_id % 20 AS VARCHAR) AS host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(cold) AS BIGINT) AS n_cold,
+                   CAST(sum(86400 // interval_s) AS BIGINT) AS fetches_per_day,
+                   CAST(min(interval_s) AS BIGINT) AS min_interval_s_host
+            FROM iv GROUP BY url_id % 20
         """,
         "crawl_change_rate": """
             WITH h AS (

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "docs_curriculum",
     "graph_spam_mass",
     "crawl_sitemap_ingest",
+    "crawl_revisit_bandwidth",
     "text_exact_substring_dedup",
     "docs_quantile_sketch",
     "crawl_anchor_text",

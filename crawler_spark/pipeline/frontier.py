@@ -630,3 +630,57 @@ def drain_plan(
         "rounds_to_drain",
         (F.col("rounds_to_drain") == F.col("_mx")).alias("is_critical"),
     )
+
+
+def revisit_bandwidth(
+    history: DataFrame,
+    url_hosts: DataFrame,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 604800,
+) -> DataFrame:
+    """(host, n_urls, n_cold, fetches_per_day, min_interval_s_host): the
+    CAPACITY PLAN a continuous crawl derives from its change observations
+    — per host, how many fetches/day the evidence-based revisit intervals
+    add up to. This is the third leg of the recrawl family: estimate
+    (``change_rate_estimate``) -> schedule (``refetch_schedule``) ->
+    bandwidth (this): the number that gets compared against the host's
+    politeness budget to decide if the revisit policy is even feasible,
+    BEFORE the scheduler starts missing deadlines.
+
+    Per URL the interval is mean_interval / p̂ with the same bias-reduced
+    change probability as the λ estimator, kept exact:
+    ``interval = span_s * (2·n_obs + 1) div (n_obs · (2·n_changed + 1))``
+    clamped to [min, max]; URLs with no usable history (single fetch or
+    zero span) get ``max_interval_s`` — no evidence means revisit slowly,
+    not never (n_cold counts them). fetches_per_day sums the exact
+    ``86400 div interval`` floors.
+
+    Shape: the per-URL stats are change_rate_estimate's single shuffle;
+    the host map joins keyed on url_id and the rollup is one aggregation
+    keyed on host — nothing beyond the estimator it consumes.
+    """
+    stats = change_rate_estimate(history).select(
+        "url_id", "n_obs", "n_changed", "span_s"
+    )
+    usable = (F.col("n_obs") > 0) & (F.col("span_s") > 0)
+    raw_interval = F.expr(
+        "span_s * (2 * n_obs + 1) div greatest(n_obs * (2 * n_changed + 1), 1)"
+    )
+    interval = F.when(
+        usable,
+        F.greatest(
+            F.lit(int(min_interval_s)),
+            F.least(F.lit(int(max_interval_s)), raw_interval),
+        ),
+    ).otherwise(F.lit(int(max_interval_s)))
+    per_url = stats.select(
+        "url_id",
+        interval.cast("long").alias("interval_s"),
+        (~usable).cast("long").alias("cold"),
+    ).join(url_hosts, "url_id")
+    return per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("cold").cast("long").alias("n_cold"),
+        F.sum(F.expr("86400 div interval_s")).cast("long").alias("fetches_per_day"),
+        F.min("interval_s").cast("long").alias("min_interval_s_host"),
+    )

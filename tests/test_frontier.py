@@ -244,3 +244,41 @@ def test_change_rate_fuzz(spark):
         for r in change_rate_estimate(hist).collect()
     }
     assert got == want
+
+
+def test_revisit_bandwidth_plan(spark):
+    """Interval = exact mean_interval / p-hat clamped to [min, max]; cold
+    URLs (no usable history) get the max interval and are counted."""
+    from crawler_spark.pipeline.frontier import revisit_bandwidth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # url 1: 3 fetches 1000s apart, 2 changes -> raw = 2000*5//(2*5)=1000
+        #        -> clamps UP to min 3600
+        (1, t0, 1, False),
+        (1, t0 + dt.timedelta(seconds=1000), 2, True),
+        (1, t0 + dt.timedelta(seconds=2000), 3, True),
+        # url 2: 2 fetches 40000s apart, 0 changes -> raw = 40000*3//1
+        #        = 120000 -> within [3600, 604800]
+        (2, t0, 4, False),
+        (2, t0 + dt.timedelta(seconds=40000), 5, False),
+        # url 3: single fetch -> cold -> max interval
+        (3, t0, 6, True),
+    ]
+    hist = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, fetch_id long, changed boolean"
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "url_id long, host string"
+    )
+    got = {r["host"]: r.asDict() for r in revisit_bandwidth(hist, hosts).collect()}
+    # host a: url1 interval 3600 (24/day), url2 interval 120000 (0/day)
+    assert got["a"] == {
+        "host": "a", "n_urls": 2, "n_cold": 0,
+        "fetches_per_day": 86400 // 3600 + 86400 // 120000,
+        "min_interval_s_host": 3600,
+    }
+    assert got["b"] == {
+        "host": "b", "n_urls": 1, "n_cold": 1,
+        "fetches_per_day": 0, "min_interval_s_host": 604800,
+    }
