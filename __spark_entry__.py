@@ -1860,6 +1860,20 @@ def q_text_bpe_train(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+def q_text_bpe_train_batched(spark, sf_dir):
+    """BPE training at a production merge count (64) via the BATCHED
+    trainer: several provably-order-equivalent merges accepted per
+    pair-count scan (strict-dominance walk over the sorted counts — see
+    textstats.bpe_train_batched for the exactness argument), so the scan
+    count is sub-linear in n_merges (measured 42 scans / 64 merges at
+    sf0.01, 2.4x faster than one-argmax-per-scan). The oracle is the same
+    unrolled sequential loop — the batching must be invisible in the
+    result. Closes VERDICT r3 next-round item 6."""
+    from crawler_spark.pipeline.textstats import bpe_train_batched
+
+    return bpe_train_batched(_t(spark, sf_dir, "documents"), n_merges=64)
+
+
 def q_text_exact_substring_dedup(spark, sf_dir):
     """Exact duplicate-substring REMOVAL (word-8-gram granularity, Lee et
     al. ExactSubstr analog): every non-first corpus-wide occurrence of a
@@ -2493,6 +2507,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "text_bpe_encode": q_text_bpe_encode,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_train_batched": q_text_bpe_train_batched,
         "text_exact_substring_dedup": q_text_exact_substring_dedup,
         "text_host_boilerplate": q_text_host_boilerplate,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
@@ -3011,19 +3026,23 @@ def _bpe_train_sql(k: int = 6) -> str:
     """Unrolled k-iteration BPE training loop (the fixed-iteration style
     of the PageRank/HITS oracles): v{i} = vocab after i merges, p{i} =
     weighted adjacent-pair counts, b{i} = 1-row argmax (n DESC, pair ASC
-    — same total order as the Spark side)."""
+    — same total order as the Spark side). Every stage is MATERIALIZED:
+    v{i} is referenced twice (p{i} and v{i+1}), so DuckDB's default CTE
+    inlining would expand the unroll EXPONENTIALLY (2^k scans of
+    documents — at k=64 it dies on file handles before it dies on time);
+    materialization makes it the linear k-pass loop it describes."""
     stages = [
-        """words AS (
+        """words AS MATERIALIZED (
             SELECT w, CAST(count(*) AS BIGINT) AS tc FROM (
                 SELECT unnest(list_filter(string_split_regex(lower(text),
                     '[^a-z]+'), x -> x <> '')) AS w
                 FROM documents
             ) GROUP BY w
         )""",
-        "v0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym, tc FROM words)",
+        "v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym, tc FROM words)",
     ]
     for i in range(k):
-        stages.append(f"""p{i} AS (
+        stages.append(f"""p{i} AS MATERIALIZED (
             SELECT pair, CAST(sum(tc) AS BIGINT) AS n FROM (
                 SELECT unnest(list_transform(range(1, len(sa)),
                            j -> sa[j] || ' ' || sa[j + 1])) AS pair, tc
@@ -3033,9 +3052,9 @@ def _bpe_train_sql(k: int = 6) -> str:
             ) GROUP BY pair
         )""")
         stages.append(
-            f"b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1)"
+            f"b{i} AS MATERIALIZED (SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1)"
         )
-        stages.append(f"""v{i + 1} AS (
+        stages.append(f"""v{i + 1} AS MATERIALIZED (
             SELECT replace(sym,
                 '(' || split_part(pair, ' ', 1) || ')(' || split_part(pair, ' ', 2) || ')',
                 '(' || replace(pair, ' ', '') || ')') AS sym, tc
@@ -5562,6 +5581,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY q, total
         """,
         "text_bpe_train": _bpe_train_sql(6),
+        # batched trainer vs the UNROLLED SEQUENTIAL loop at 64 merges:
+        # the batch-acceptance rule must be invisible in the result
+        "text_bpe_train_batched": _bpe_train_sql(64),
         "text_bpe_encode": f"""
             WITH words AS (
                 SELECT doc_id,

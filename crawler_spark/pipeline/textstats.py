@@ -1155,6 +1155,139 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     return spark.createDataFrame(merges, "rk int, pair string, n long")
 
 
+def bpe_train_batched(
+    documents: DataFrame,
+    n_merges: int = 64,
+    probe: int = 512,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(rk, pair, n): EXACTLY ``bpe_train(documents, n_merges)`` — same
+    merge table, same order, same counts — in far fewer vocab scans, by
+    accepting a BATCH of provably-order-equivalent merges per pair-count
+    aggregation. This is the production shape: at 64+ merges the
+    one-argmax-per-scan loop pays one Spark job per merge; real tokenizer
+    training (tens of thousands of merges) needs many merges per scan.
+
+    Why the batch is exact, not approximate: walk the pair counts in the
+    sequential loop's total order (n DESC, pair ASC). Applying an accepted
+    merge (a,b) can only change counts of pairs SHARING a symbol with it —
+    disjoint pairs keep their exact counts (an occurrence "x a b y" turns
+    (x,a),(a,b),(b,y) into (x,ab),(ab,y); no adjacency between symbols
+    outside {a,b} is created or destroyed) — and every pair it creates or
+    modifies is count-bounded by some ORIGINAL pair touching {a,b}
+    (n(x,ab) <= n(x,a), n(ab,y) <= n(b,y), shrunk pairs <= their
+    originals). So while walking, track ``used`` (symbols of accepted
+    merges) and ``barrier`` (max original count over already-walked pairs
+    touching ``used``). A disjoint candidate with count n is exactly what
+    the sequential loop would pick next iff n is STRICTLY above every
+    touching pair's original count — three checks, because touching pairs
+    sit anywhere in the total order: n > barrier (touching pairs walked
+    before it), no touching pair inside the candidate's own tie group
+    later in the prefix (same n, sorted after it — its derived pair could
+    tie at n and win the pair-ASC tie-break: measured on the test corpus,
+    merging (c,o) creates (co,lu) at the SAME 978 count as the touching
+    (o,lu) that bounds it), and n > n_tail when the collected prefix may
+    be truncated (an uncollected touching pair could tie). Strictness
+    everywhere because a derived pair reaching equality wins or loses on
+    the pair string, which this side cannot predict. The first pair of
+    each scan is the global argmax and always accepted; at the first
+    rejection the batch ends (order beyond needs a recount). Batch merges
+    are symbol-disjoint, so the chained literal replaces commute and one
+    withColumn pass equals sequential application.
+
+    Scale shape: identical per-scan work to ``bpe_train`` (one vocab-keyed
+    aggregation; the corpus collapsed once up front), but the driver
+    round-trips collect ``probe`` rows instead of 1 and the scan count is
+    sub-linear in n_merges (measured ~6-10 merges/scan on prose corpora —
+    SCALE.md). ``stats``, if given, records {"scans": k} as the
+    measurement hook.
+    """
+    words = documents.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .select(
+            F.regexp_replace(F.col("w"), r"(.)", r"($1)").alias("sym"), "tc"
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    scans = 0
+    while len(merges) < n_merges:
+        pairs = vocab.select(
+            "tc",
+            F.regexp_extract_all(
+                "sym", F.lit(r"\(([a-z]+)\)"), 1
+            ).alias("sa"),
+        ).filter(F.size("sa") >= 2).select(
+            "tc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sa) - 1),"
+                    " i -> concat(sa[i - 1], ' ', sa[i]))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("tc").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(probe)
+            .collect()
+        )
+        scans += 1
+        if not top:
+            break
+        # counts <= n_tail may be beaten by an uncollected tied pair's
+        # derived pairs; only a full (untruncated) collect lifts the bound
+        n_tail = int(top[-1]["n"]) if len(top) == probe else -1
+        used: set[str] = set()
+        barrier = -1
+        batch: list[tuple[str, int]] = []
+        for i, row in enumerate(top):
+            pair, n = row["pair"], int(row["n"])
+            a, b = pair.split(" ")
+            if a in used or b in used:
+                barrier = max(barrier, n)
+                continue
+            if batch:
+                if n <= max(barrier, n_tail):
+                    break
+                # a touching pair tied at n but sorted AFTER the candidate
+                # is not in barrier yet — scan the candidate's tie group
+                tie_blocked = False
+                for row2 in top[i + 1:]:
+                    if int(row2["n"]) < n:
+                        break
+                    a2, b2 = row2["pair"].split(" ")
+                    if a2 in used or b2 in used:
+                        tie_blocked = True
+                        break
+                if tie_blocked:
+                    break
+            batch.append((pair, n))
+            used.update((a, b))
+            if len(merges) + len(batch) >= n_merges:
+                break
+        for pair, n in batch:
+            merges.append((len(merges) + 1, pair, n))
+        sym = F.col("sym")
+        for pair, _ in batch:
+            a, b = pair.split(" ")
+            sym = F.replace(sym, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+        vocab = vocab.withColumn("sym", sym).localCheckpoint()
+    if stats is not None:
+        stats["scans"] = scans
+    spark = documents.sparkSession
+    return spark.createDataFrame(merges, "rk int, pair string, n long")
+
+
 def bpe_encode(
     documents: DataFrame, merges: tuple[tuple[str, str], ...] = BPE_MERGES
 ) -> DataFrame:

@@ -679,6 +679,64 @@ def test_bpe_train(spark):
     assert got2 == [(1, "a a", 3), (2, "aa aa", 1)]
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """The batched trainer's acceptance rule (strict dominance over
+    barrier / tie-group / truncation-tail) must be invisible: same merge
+    table, same order, same counts as the sequential loop — including on
+    the tie-heavy hand corpus where iter-1 'h e'/'t h' tie at 9 and the
+    derived-pair cascade ('t he' is CREATED by applying 'h e' at the same
+    count 9) forces one merge per scan. Plus the derived-pair-tie corpus
+    class that broke the naive barrier-only rule (a touching pair tied
+    with the candidate but sorted after it), and a sub-linearity check on
+    a less degenerate corpus."""
+    from crawler_spark.pipeline.textstats import bpe_train, bpe_train_batched
+
+    d = _docs(
+        spark,
+        [(1, "the theme thesis", "en", "s", 16),
+         (2, "the other theme", "en", "s", 15),
+         (3, "there the them", "en", "s", 14)],
+    )
+    key = lambda r: (r["rk"], r["pair"], r["n"])
+    assert (
+        [key(r) for r in bpe_train_batched(d, n_merges=4).orderBy("rk").collect()]
+        == [key(r) for r in bpe_train(d, n_merges=4).orderBy("rk").collect()]
+    )
+
+    # the round-4 regression shape: merging (c,o) creates (co,lu) at the
+    # SAME count as the touching (o,lu) that bounds it, and (o,lu) sorts
+    # AFTER the disjoint candidate (lu,m) — barrier alone would accept
+    # (lu,m) out of order
+    d2 = _docs(
+        spark,
+        [(i, "column column colum colum", "en", "s", 25) for i in range(3)],
+    )
+    st: dict = {}
+    assert (
+        [key(r) for r in
+         bpe_train_batched(d2, n_merges=8, stats=st).orderBy("rk").collect()]
+        == [key(r) for r in bpe_train(d2, n_merges=8).orderBy("rk").collect()]
+    )
+
+    # sub-linear scans on a mixed corpus: strictly fewer scans than merges
+    d3 = _docs(
+        spark,
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(
+            ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "sphinx of black quartz judge my vow",
+             "how vexingly quick daft zebras jump"] * 3
+        )],
+    )
+    st3: dict = {}
+    n = 12
+    got = [key(r) for r in
+           bpe_train_batched(d3, n_merges=n, stats=st3).orderBy("rk").collect()]
+    want = [key(r) for r in bpe_train(d3, n_merges=n).orderBy("rk").collect()]
+    assert got == want
+    assert st3["scans"] < n
+
+
 def test_caption_pairs_adjacency(spark):
     """chunk=2, media_every=2: 'a b c d e f g h i' -> chunks [a b, c d,
     e f, g h, i]; media 1 after chunk 2 (cap_before='c d', cap_after='e f'),
