@@ -1895,3 +1895,60 @@ def test_curriculum_order_quality_anneal(spark):
         _docs(spark, rows), n_epochs=3, final_clean_bp=5000
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_curation_cascade_stage_attribution(spark):
+    """Every cascade stage fires exactly once on a hand-built corpus and
+    removal is attributed to the FIRST stage that catches each doc:
+
+    - docs 1,2,7 share a 10-token boilerplate segment (3 of 7 source
+      docs = 43% >= 30% share, df 3 >= 2) -> boiler_segs_removed = 3;
+    - docs 3,4 are byte-identical after stripping -> exact dedup keeps
+      min doc_id 3, removes 4 (doc 4 never reaches the LSH stage);
+    - docs 5,6 differ in one trailing word -> minhash-LSH (9/3) joins
+      them, min doc_id 5 kept, 6 removed;
+    - docs 1,3 share a 6-word phrase -> exact-substring (n=5) keeps the
+      first occurrence (doc 1: smaller doc_id) and cuts doc 3's copy:
+      39 chars = 34 letters + 5 separators;
+    - doc 7 is 2 words after stripping -> fails the n_words >= 30 gate;
+    - finals: 1 (45w), 2 (45w), 3 (40-6=34w), 5 (50w) -> 174 words.
+    """
+    from crawler_spark.pipeline.clean import curation_cascade
+
+    BOILER = ("navbar homepage aboutus contact privacy terms login"
+              " search help footer")
+    PHRASE = "paxlo queem rindle sorval tumbek harnow"
+
+    def body(seed, n, extra=""):
+        ws = [f"w{seed}{i:02d}" for i in range(n)]
+        ws[5] = "the"  # stop_hits >= 1
+        return " ".join(ws) + (" " + extra if extra else "")
+
+    b3 = body("c", 34, PHRASE)
+    b5 = body("e", 50)
+    rows = [
+        (1, BOILER + " " + body("a", 39, PHRASE), "en", "s1", 0),
+        (2, BOILER + " " + body("b", 45), "en", "s1", 0),
+        (3, b3, "en", "s1", 0),
+        (4, b3, "en", "s1", 0),
+        (5, b5, "en", "s1", 0),
+        (6, b5.rsplit(" ", 1)[0] + " zzchanged", "en", "s1", 0),
+        (7, BOILER + " tiny the", "en", "s1", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation_cascade(d, substr_n=5).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "source": "s1",
+        "n_raw": 7,
+        "boiler_segs_removed": 3,
+        "n_exact_removed": 1,
+        "n_near_removed": 1,
+        "substr_chars_removed": 39,
+        "n_quality_removed": 1,
+        "n_final": 4,
+        "sum_words_final": 174,
+    }
