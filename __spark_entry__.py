@@ -763,6 +763,60 @@ def q_crawl_revisit_bandwidth(spark, sf_dir):
     return revisit_bandwidth(hist, hosts)
 
 
+def q_crawl_budget_from_revisit(spark, sf_dir):
+    """The recrawl family driven INTO the wave budget (VERDICT r3
+    next-round item 5): evidence-based revisit capacity
+    (revisit_bandwidth over the synthesized fetch history, liberal
+    change definition so the intervals land in-range) prorated to a
+    day-granularity macro-round by revisit_budget_per_round — exactly
+    what CrawlEngine(revisit_plan=...) consumes — and min'd against the
+    politeness budget of a synthesized per-host crawl-delay ladder.
+    Both sides bind somewhere: the fixture's h0/h7/h14 are
+    revisit-limited, the rest politeness-limited. The engine E2E for the
+    same min() is tests/test_revisit_budget.py."""
+    from crawler_spark.pipeline.frontier import (
+        revisit_bandwidth,
+        revisit_budget_per_round,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.col("event_id").alias("fetch_id"),
+        F.col("event_type").isin("purchase", "view", "click").alias("changed"),
+    )
+    hosts = ev.select(F.col("user_id").alias("url_id")).distinct().select(
+        "url_id",
+        F.concat(F.lit("h"), (F.col("url_id") % 20).cast("string")).alias("host"),
+    )
+    plan = revisit_bandwidth(hist, hosts)
+    rb = revisit_budget_per_round(
+        plan.select("host", "fetches_per_day"), round_s=86400
+    ).withColumnRenamed("_budget", "revisit_budget")
+    pol = plan.select(
+        "host",
+        F.expr(
+            "CAST(86400 div ((CAST(substring(host, 2) AS INT) % 7 + 1) * 7200)"
+            " AS BIGINT)"
+        ).alias("politeness_budget"),
+    )
+    return (
+        plan.select("host", "fetches_per_day")
+        .join(rb, "host")
+        .join(pol, "host")
+        .select(
+            "host",
+            "fetches_per_day",
+            "revisit_budget",
+            "politeness_budget",
+            F.least("revisit_budget", "politeness_budget").alias(
+                "budget_per_round"
+            ),
+        )
+    )
+
+
 def q_crawl_bloom_audit(spark, sf_dir):
     """Bloom sizing audit: measured FPR of the double-hashing scheme
     (relational simulation — bit set as a DISTINCT position relation)."""
@@ -2463,6 +2517,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_spam_mass": q_graph_spam_mass,
         "crawl_sitemap_ingest": q_crawl_sitemap_ingest,
         "crawl_revisit_bandwidth": q_crawl_revisit_bandwidth,
+        "crawl_budget_from_revisit": q_crawl_budget_from_revisit,
         "sim_kmeans": q_sim_kmeans,
         "sim_pair_histogram": q_sim_pair_histogram,
         "docs_epoch_order": q_docs_epoch_order,
@@ -4255,6 +4310,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(86400 // interval_s) AS BIGINT) AS fetches_per_day,
                    CAST(min(interval_s) AS BIGINT) AS min_interval_s_host
             FROM iv GROUP BY url_id % 20
+        """,
+        # revisit capacity -> per-round budget, min'd against politeness:
+        # same estimator chain as crawl_revisit_bandwidth with the liberal
+        # change definition, prorated to an 86400 s macro-round (at which
+        # round_s the proration is the identity: budget = max(1, fpd))
+        "crawl_budget_from_revisit": """
+            WITH h AS (
+                SELECT user_id AS url_id, ts, event_id AS fetch_id,
+                       event_type IN ('purchase', 'view', 'click') AS changed
+                FROM events
+            ), r AS (
+                SELECT url_id, ts, changed,
+                       row_number() OVER (PARTITION BY url_id
+                                          ORDER BY ts, fetch_id) AS rn
+                FROM h
+            ), p AS (
+                SELECT url_id,
+                       CAST(count(*) - 1 AS BIGINT) AS n_obs,
+                       CAST(sum(CASE WHEN rn > 1 AND changed THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                            AS BIGINT) AS span_s
+                FROM r GROUP BY url_id
+            ), iv AS (
+                SELECT url_id,
+                       CASE WHEN n_obs > 0 AND span_s > 0 THEN
+                           greatest(3600, least(604800,
+                               span_s * (2 * n_obs + 1)
+                               // greatest(n_obs * (2 * n_changed + 1), 1)))
+                       ELSE 604800 END AS interval_s
+                FROM p
+            ), fpd AS (
+                SELECT 'h' || CAST(url_id % 20 AS VARCHAR) AS host,
+                       CAST(sum(86400 // interval_s) AS BIGINT) AS fetches_per_day
+                FROM iv GROUP BY url_id % 20
+            )
+            SELECT host, fetches_per_day,
+                   CAST(greatest(1, fetches_per_day * 86400 // 86400) AS BIGINT) AS revisit_budget,
+                   CAST(86400 // ((CAST(substr(host, 2) AS INT) % 7 + 1) * 7200) AS BIGINT) AS politeness_budget,
+                   CAST(least(greatest(1, fetches_per_day),
+                              86400 // ((CAST(substr(host, 2) AS INT) % 7 + 1) * 7200)) AS BIGINT) AS budget_per_round
+            FROM fpd
         """,
         "crawl_change_rate": """
             WITH h AS (

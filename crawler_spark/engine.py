@@ -203,6 +203,7 @@ class CrawlEngine:
         frontier_mode: str = "snapshot",
         frontier_compact_factor: float = 2.0,
         frontier_bucket_rows: int = 65536,
+        revisit_plan=None,
     ):
         # ``frontier_mode``:
         # - "snapshot": every round rewrites the surviving frontier (the
@@ -264,12 +265,38 @@ class CrawlEngine:
             .cast("long")
             .alias("_budget"),
         )
+        # ``revisit_plan``: optional (host, fetches_per_day) capacity plan
+        # (pipeline/frontier.py revisit_bandwidth's output shape). When
+        # given, the effective per-host round budget is the elementwise
+        # MIN of the politeness budget and the plan's prorated daily
+        # capacity — politeness is the hard protocol bound, the revisit
+        # plan the evidence-based efficiency bound (don't refetch pages
+        # faster than they change; Cho & Garcia-Molina). Reference analog:
+        # limiter/limiter.go:11-45 budget table gating the wave.
+        if revisit_plan is not None:
+            from .pipeline.frontier import revisit_budget_per_round
+
+            rb = revisit_budget_per_round(revisit_plan, round_s)
+            self._host_budgets = (
+                self._host_budgets.withColumnRenamed("_budget", "_pb")
+                .join(rb.withColumnRenamed("_budget", "_rb"), "host", "full_outer")
+                .select(
+                    "host",
+                    F.least(
+                        F.coalesce("_pb", F.lit(1 << 40)),
+                        F.coalesce("_rb", F.lit(1 << 40)),
+                    )
+                    .cast("long")
+                    .alias("_budget"),
+                )
+            )
         # host caps only bind when some host declares a positive crawl
-        # delay; with none, the host-level topk is provably the identity —
-        # skip its counts/broadcast jobs per round. Config-scale check
-        # (robots is a config list here; at production scale the flag is a
-        # catalog property of the robots table, not a scan).
-        self._hostcap_active = any(
+        # delay OR a revisit plan is installed; with neither, the
+        # host-level topk is provably the identity — skip its
+        # counts/broadcast jobs per round. Config-scale check (robots is a
+        # config list here; at production scale the flag is a catalog
+        # property of the robots table, not a scan).
+        self._hostcap_active = revisit_plan is not None or any(
             int(r.get("crawl_delay_ms", 0) or 0) > 0 for r in robots
         )
         # incrementally-maintained Bloom bitmap over the seen table; rebuilt

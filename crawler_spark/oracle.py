@@ -120,6 +120,7 @@ def run_oracle(
     round_s: int = 60,
     max_rounds: int = 10_000,
     on_round=None,
+    host_budget_overrides: dict[str, int] | None = None,
 ) -> OracleResult:
     graph = {canonicalize(p["url"]): p for p in web_graph}
     taskmap = {t.name: t for t in tasks}
@@ -175,6 +176,9 @@ def run_oracle(
             cap = host_round_cap(
                 robots_map.get(f["host"], {}).get("crawl_delay_ms", 0), round_s
             )
+            if host_budget_overrides and f["host"] in host_budget_overrides:
+                # revisit-plan path: effective cap = min(politeness, plan)
+                cap = min(cap, host_budget_overrides[f["host"]])
             c = host_counts.get(f["host"], 0)
             if c < cap:
                 host_counts[f["host"]] = c + 1

@@ -684,3 +684,39 @@ def revisit_bandwidth(
         F.sum(F.expr("86400 div interval_s")).cast("long").alias("fetches_per_day"),
         F.min("interval_s").cast("long").alias("min_interval_s_host"),
     )
+
+
+def revisit_budget_per_round(
+    revisit_plan: DataFrame, round_s: int = 60
+) -> DataFrame:
+    """(host, _budget): the per-micro-round host budget a revisit
+    capacity plan implies — the bridge from the recrawl analytics
+    (``change_rate_estimate`` -> ``refetch_schedule`` ->
+    ``revisit_bandwidth``) into the engine's wave selection
+    (operators/topk.py consumes exactly this (host, _budget) shape, the
+    same contract as the politeness budgets derived from robots).
+
+    ``budget = max(1, fetches_per_day * round_s div 86400)`` — exact
+    integer floor of the plan's daily capacity prorated to one round,
+    with the same one-fetch-per-round floor as the politeness ladder
+    (a host the evidence says to revisit slowly still drains; it is the
+    engine's job to spend AT MOST the plan, not to starve). The engine
+    (CrawlEngine(revisit_plan=...)) takes the elementwise MIN of this
+    and the politeness budget per host — politeness is a hard protocol
+    bound, the revisit plan an efficiency bound; reference analog:
+    limiter/limiter.go:11-45 gates the wave by its budget table the same
+    way.
+
+    Shape: a projection over the (host, fetches_per_day) rollup — one
+    row per host, no shuffle; the engine broadcasts it against per-wave
+    host counts exactly like the robots budgets (never a row-side join).
+    """
+    return revisit_plan.select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.expr(f"fetches_per_day * {int(round_s)} div 86400"),
+        )
+        .cast("long")
+        .alias("_budget"),
+    )

@@ -1,0 +1,120 @@
+"""The engine consumes a revisit-bandwidth capacity plan.
+
+Round 3 shipped the recrawl analytics family (change_rate_estimate ->
+refetch_schedule -> revisit_bandwidth -> drain_plan) as oracle-gated
+queries, but the engine's per-round host budgets came only from robots
+politeness. This file pins the round-4 wiring (VERDICT r3 next-round
+item 5): ``CrawlEngine(revisit_plan=...)`` takes a (host,
+fetches_per_day) plan — revisit_bandwidth's output shape — and the
+effective per-host round budget becomes
+
+    min(politeness budget, max(1, fetches_per_day * round_s div 86400))
+
+verified end-to-end against the pure-Python reference-semantics oracle
+(run_oracle(host_budget_overrides=...)) on the golden fixture: crawl
+order, seen set, and metrics must match exactly, and the plan must
+actually BIND (the schedule differs from the no-plan baseline).
+
+Reference analog: limiter/limiter.go:11-45 budget table gating the wave.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.engine import CrawlEngine
+from crawler_spark.fixtures import make_fixture, write_fixture
+from crawler_spark.operators.fetch import GraphFetcher
+from crawler_spark.oracle import run_oracle
+
+# per-round budgets the plan encodes: books (politeness-unbounded in the
+# fixture) gets a BINDING 3/round; groups (politeness 12/round from its
+# 5000 ms crawl delay) gets a NON-binding 100/round — the min must pick
+# the politeness side there and the plan side for books.
+ROUND_PLAN = {"books.example.com": 3, "groups.example.com": 100}
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("revisit")
+    fx = make_fixture()
+    write_fixture(fx, str(d / "fx"), spark)
+    # invert the engine's proration exactly: budget = fpd*round_s div 86400
+    plan = spark.createDataFrame(
+        [(h, b * 86400 // fx.round_s) for h, b in ROUND_PLAN.items()],
+        "host string, fetches_per_day long",
+    )
+    web = spark.read.parquet(f"{d}/fx/web_graph")
+    seeds = spark.read.parquet(f"{d}/fx/seeds")
+    eng = CrawlEngine(
+        spark, str(d / "state"), GraphFetcher(web), fx.tasks, fx.rules,
+        fx.robots, fx.round_s, revisit_plan=plan,
+    )
+    eng.init_state(seeds)
+    eng.run()
+    oracle = run_oracle(
+        fx.seeds, fx.web_graph, fx.tasks, fx.rules, fx.robots, fx.round_s,
+        host_budget_overrides=ROUND_PLAN,
+    )
+    baseline = run_oracle(
+        fx.seeds, fx.web_graph, fx.tasks, fx.rules, fx.robots, fx.round_s
+    )
+    return eng, oracle, baseline
+
+
+def test_plan_binds(crawl):
+    """The revisit budget must actually change the schedule (more rounds
+    — the books wave is throttled to 3/round) while converging to the
+    same seen set: a budget defers, never drops."""
+    eng, oracle, baseline = crawl
+    assert oracle.order != baseline.order
+    assert len(oracle.order) == len(baseline.order)
+    assert oracle.seen == baseline.seen
+    assert eng._hostcap_active
+
+
+def test_order_matches_oracle(crawl):
+    eng, oracle, _ = crawl
+    rnd = eng.store.latest_round()
+    got = (
+        eng.store.read_through("order", rnd)
+        .orderBy("round", F.desc("priority"), "seq")
+        .select("curl", "round")
+        .collect()
+    )
+    assert [(r["curl"], r["round"]) for r in got] == [
+        (u, rd) for _, u, rd in oracle.order
+    ]
+
+
+def test_seen_matches_oracle(crawl):
+    eng, oracle, _ = crawl
+    rnd = eng.store.latest_round()
+    got = {
+        r["key"]
+        for r in eng.store.read_through("seen", rnd).select("key").collect()
+    }
+    assert got == oracle.seen
+
+
+def test_metrics_match_oracle(crawl):
+    eng, oracle, _ = crawl
+    rnd = eng.store.latest_round()
+    got = {
+        (r["round"], r["task"]): (
+            r["selected"], r["fetched_ok"], r["new_links"], r["retried"],
+            r["items"],
+        )
+        for r in eng.store.read_through("metrics", rnd).collect()
+        if r["selected"] or r["fetched_ok"] or r["new_links"] or r["retried"]
+    }
+    want = {
+        (m["round"], m["task"]): (
+            m["selected"], m["fetched_ok"], m["new_links"], m["retried"],
+            m["items"],
+        )
+        for m in oracle.metrics
+        if m["selected"] or m["fetched_ok"] or m["new_links"] or m["retried"]
+    }
+    assert got == want
