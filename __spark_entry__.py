@@ -2339,76 +2339,77 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # The driver's correctness gate verifies only the FIRST 50 registry
 # entries per round (CORRECTNESS_r{N}.json == registry positions 1-50).
 # _CHECK_WINDOW therefore front-loads the queries with the LEAST driver
-# evidence — round-2 CORRECTNESS covered the 50 crawl/text/dedup basics,
-# so round 3 rotates the graph / streaming / similarity / assemble /
-# frontier families (plus everything new this round) into the window.
+# evidence — rounds 2-3 pushed 105 distinct queries through the gate, so
+# round 4 rotates in the three new round-4 ops followed by the 55
+# queries that have never held a driver-signed row (r3 VERDICT item 1).
 # Rotate this list again each round; queries() preserves the handwritten
 # order for everything not named here. NOTE: only the first 50 window
 # entries are actually driver-verified — entries beyond position 50 are
 # the next-in-line queue for the following round's rotation, nothing
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
-    # round-3 additions (never checked by anyone) — keep these first
-    "text_host_boilerplate",
-    "crawl_change_rate",
-    "stream_hot_hosts",
-    "crawl_drain_plan",
-    "docs_source_scorecard",
-    "text_kn_bigram",
-    "sim_ann_pq",
-    "sim_pq_recall",
-    "docs_curriculum",
-    "graph_spam_mass",
-    "crawl_sitemap_ingest",
-    "crawl_revisit_bandwidth",
-    "text_bpe_train",
-    "text_exact_substring_dedup",
-    # round-2 additions, driver-unchecked, riskiest families first
-    "graph_pagerank",
-    "graph_ppr",
-    "graph_hits",
-    "graph_components",
-    "graph_components_twophase",
-    "graph_triangles",
-    "graph_kcore",
-    "graph_degrees",
-    "graph_neighbor_jaccard",
-    "graph_hostgraph",
-    "graph_reciprocity",
-    "stream_windowed_metrics",
-    "stream_rate_limit",
-    "stream_dedup",
-    "stream_funnel",
-    "stream_sessionize",
-    "stream_hll",
-    "sim_ann_multitable",
-    "sim_ann_ivf",
-    "sim_ann_recall",
-    "sim_ivf_recall",
-    "sim_kmeans",
-    "sim_semantic_dedup",
-    "sim_embedding_clusters",
-    "sim_lsh_bucket_stats",
-    "sim_pair_histogram",
-    "docs_pack_sequences",
-    "docs_stratified_sample",
-    "docs_priority_sample",
-    "docs_epoch_order",
-    "docs_dsir_weights",
-    "docs_shard_assign",
-    "docs_interleave_pack",
-    "docs_span_dedup",
-    "docs_media_dedup",
-    "docs_caption_pairs",
+    # round-4 additions (never checked by anyone) — first, always
+    "pipeline_clean",
+    "text_bpe_train_batched",
+    "crawl_budget_from_revisit",
+    # the 55 queries with NO driver-signed row after rounds 1-3 (r3
+    # VERDICT item 1 lists them); positions 1-50 get driver rows this
+    # round, positions 51+ are round 5's queue (plus its new ops)
+    "text_ccnet_buckets",
+    "crawl_trap_templates",
+    "crawl_refetch_schedule",
+    "crawl_host_skew",
+    "crawl_snapshot_diff",
+    "crawl_redirects",
+    "crawl_bloom_audit",
+    "docs_modality_mix",
+    "crawl_url_features",
+    "docs_source_stats",
+    "docs_length_deciles",
+    "text_decontam",
+    "pipeline_assemble",
+    "text_gopher_rules",
+    "docs_span_lang_mix",
+    "events_funnel",
+    "text_inverted_index",
+    "crawl_rank_budget",
+    "agg_pricing_rollup",
+    "dedup_agreement",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_simhash_pairs",
+    "dedup_survivorship",
+    "dedup_lsh_quality",
     "multimodal_frames",
+    "docs_dataset_card",
+    "events_asof_join",
+    "events_anomaly",
+    "events_interval_join",
+    "events_retention",
     "multimodal_assemble",
     "pipeline_curate",
-    "pipeline_assemble",
-    "dedup_band_sweep",
+    "docs_quantile_sketch",
+    "events_hll_registers",
+    "text_idf_drift",
     "dedup_cascade",
-    "dedup_survivorship",
-    "crawl_rank_budget",
+    "dedup_band_sweep",
+    "docs_chunking",
+    "crawl_robots_decision",
+    "events_gap_profile",
+    "crawl_sitemap_freshness",
+    "events_type_overlap",
+    "dedup_cluster_sizes",
+    "sim_norm_histogram",
+    "events_peak_hour",
     "crawl_wave_fairness",
+    "text_readability",
+    "text_fertility",
+    "crawl_canonical_collisions",
+    "events_lateness",
+    "text_bpe_encode",
+    "text_dup_ngram_coverage",
+    "crawl_anchor_text",
+    "crawl_domain_budget",
 ]
 
 
