@@ -1213,6 +1213,23 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
+def q_sim_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composite (Faiss IVFPQ shape; Jegou PAMI'11 SecV): IVF's
+    coarse cells prune the scan to nprobe probed cells, PQ codes + a
+    broadcast ADC table price what remains — the production
+    billion-scale layout, composed from the two already-gated halves
+    (sim_ann_ivf's cell/probe fragment + sim_ann_pq's codebook/ADC
+    fragment, both unchanged in the oracle). Round-4 addition following
+    the measured index-selection table in SCALE.md (IVF prunes compute,
+    PQ compresses memory; the composite buys both)."""
+    from crawler_spark.pipeline.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        nprobe=2, m=4, k_codes=4, iters=2, topk=10,
+    )
+
+
 def q_sim_pq_recall(spark, sf_dir):
     """Measured recall@5 of PQ ADC vs exact L2 top-5 on the same
     quantized vectors — completes the ANN index-selection table next to
@@ -2349,6 +2366,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
     # round-4 additions (never checked by anyone) — first, always
+    "sim_ann_ivf_pq",
     "pipeline_clean",
     "text_bpe_train_batched",
     "crawl_budget_from_revisit",
@@ -2513,6 +2531,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rank_budget": q_crawl_rank_budget,
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
         "sim_pq_recall": q_sim_pq_recall,
         "docs_curriculum": q_docs_curriculum,
         "graph_spam_mass": q_graph_spam_mass,
@@ -2946,12 +2965,18 @@ def _pq_sql(
     qids: tuple[int, ...] = (0, 1, 2),
     dim: int = 64,
     scale: int = 10**6,
+    ivf_cents: tuple[int, ...] | None = None,
+    nprobe: int = 2,
 ) -> str:
     """Unrolled product-quantization ADC top-k (mirrors
     pipeline/similarity.py pq_topk): per-subspace exact-integer Lloyd
     codebooks (same construction as _kmeans_sql, keyed by sub), corpus
     encoded to m codes, query distance = per-subspace table lookup summed,
-    (ad2, vec_id) rank ties."""
+    (ad2, vec_id) rank ties. With ``ivf_cents`` set this becomes the
+    IVF-PQ composite (ivf_pq_topk): the sim_ann_ivf oracle's cell
+    assignment + probe selection CTEs are appended and the candidate set
+    is restricted to code rows whose cell is in the query's nprobe probed
+    cells — the PQ training/encoding/distance-table CTEs are unchanged."""
     d = dim // m
 
     def d2(x: str, c: str) -> str:
@@ -3003,6 +3028,37 @@ def _pq_sql(
             FROM m{t} GROUP BY sub, cid
         )""")
     in_list = ", ".join(str(i) for i in qids)
+    if ivf_cents is not None:
+        parts.append(f""",
+        cent AS (
+            SELECT u.cell, e.embedding::DOUBLE[] AS cv
+            FROM (VALUES {", ".join(f"({c}, {vid})" for c, vid in enumerate(ivf_cents))}) AS u(cell, vid)
+            JOIN embeddings e ON e.vec_id = u.vid
+        ), csim AS (
+            SELECT e.vec_id, c.cell,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ), asn AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM csim
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM csim WHERE vec_id IN ({in_list})
+            ) WHERE rn <= {nprobe}
+        )""")
+        cand_extra = (
+            " JOIN asn ON asn.vec_id = a.vec_id"
+            " JOIN probes p ON p.cell = asn.cell AND p.query_id = dt.query_id"
+        )
+    else:
+        cand_extra = ""
     parts.append(f""",
         qsub AS (
             SELECT vec_id AS query_id, sub, sv AS qv
@@ -3014,7 +3070,7 @@ def _pq_sql(
         ),
         cand AS (
             SELECT dt.query_id, a.vec_id, CAST(sum(dt.d2q) AS BIGINT) AS ad2
-            FROM a{iters + 1} a JOIN dt ON a.sub = dt.sub AND a.code = dt.cid
+            FROM a{iters + 1} a JOIN dt ON a.sub = dt.sub AND a.code = dt.cid{cand_extra}
             WHERE a.vec_id <> dt.query_id
             GROUP BY dt.query_id, a.vec_id
         )
@@ -5267,6 +5323,12 @@ def oracle_sql() -> dict[str, str]:
         # tables (OR of per-table equality), then exact-cosine rerank —
         # mirrors ann_topk_multitable's union-distinct exactly
         "sim_ann_pq": _pq_sql(m=4, k=4, iters=2, topk=5, qids=(0, 1, 2)),
+        # IVF-PQ composite: same PQ CTEs + sim_ann_ivf's cell/probe CTEs
+        # restricting the candidate codes to probed cells
+        "sim_ann_ivf_pq": _pq_sql(
+            m=4, k=4, iters=2, topk=10, qids=(0, 1, 2, 3, 4),
+            ivf_cents=tuple(7 + 37 * i for i in range(8)), nprobe=2,
+        ),
         "sim_kmeans": _kmeans_sql(k=4, iters=2),
         "sim_pair_histogram": f"""
             WITH bkt AS (

@@ -363,27 +363,17 @@ def ivf_assign(
     return embeddings.select("vec_id", (-best["negcell"]).cast("int").alias("cell"))
 
 
-def ivf_topk(
+def _ivf_probes(
     embeddings: DataFrame,
     query_ids: list[int],
-    k: int = 10,
-    nprobe: int = 2,
-    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+    nprobe: int,
+    centroid_ids: tuple[int, ...],
 ) -> DataFrame:
-    """IVF approximate top-k: rerank only within the query's ``nprobe``
-    nearest cells. Output contract matches cosine_topk/ann_topk:
-    (query_id, neighbor_id, rank, sim6).
-
-    Scale shape: the index (vec_id, cell) is one corpus scan; queries
-    probe a handful of cells, so candidates = corpus rows whose cell is in
-    a tiny broadcast set — never all-pairs, and the corpus side never
-    shuffles. At 10^10 vectors the cell column becomes the Iceberg
-    partition key so probing prunes file scans.
-    """
-    from pyspark.sql import Window
-
-    cells = ivf_assign(embeddings, centroid_ids)
-    # per-query probed cells: rank centroids by cosine, keep top nprobe
+    """(query_id, qv, cell): each query's ``nprobe`` nearest coarse
+    cells by cosine (ties to the lowest cell index — same struct-sort
+    contract as ivf_assign). Shared by ``ivf_topk`` (which reranks with
+    the carried qv) and ``ivf_pq_topk`` (which needs only the cell
+    set). Centroids collect once (tiny) and fold into the expression."""
     cents = {
         r["vec_id"]: r["embedding"]
         for r in embeddings.filter(F.col("vec_id").isin(list(centroid_ids))).collect()
@@ -406,13 +396,36 @@ def ivf_topk(
             for cell, cid in enumerate(centroid_ids)
         ]
     )
-    probes = q.select(
+    return q.select(
         "query_id",
         "qv",
         F.explode(
             F.slice(F.sort_array(cell_sims, asc=False), 1, nprobe)
         ).alias("probe"),
     ).select("query_id", "qv", (-F.col("probe.negcell")).cast("int").alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+) -> DataFrame:
+    """IVF approximate top-k: rerank only within the query's ``nprobe``
+    nearest cells. Output contract matches cosine_topk/ann_topk:
+    (query_id, neighbor_id, rank, sim6).
+
+    Scale shape: the index (vec_id, cell) is one corpus scan; queries
+    probe a handful of cells, so candidates = corpus rows whose cell is in
+    a tiny broadcast set — never all-pairs, and the corpus side never
+    shuffles. At 10^10 vectors the cell column becomes the Iceberg
+    partition key so probing prunes file scans.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(embeddings, centroid_ids)
+    probes = _ivf_probes(embeddings, query_ids, nprobe, centroid_ids)
     cand = (
         embeddings.join(cells, "vec_id")
         .join(F.broadcast(probes), "cell")
@@ -816,6 +829,36 @@ def pq_topk(
     """
     from pyspark.sql import Window
 
+    codes, dtable = _pq_codes_dtable(embeddings, query_ids, m, k_codes, iters, scale)
+    cand = (
+        codes.withColumnRenamed("code", "cid")
+        .join(F.broadcast(dtable), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "ad2")
+    )
+
+
+def _pq_codes_dtable(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int,
+    k_codes: int,
+    iters: int,
+    scale: int,
+):
+    """The shared PQ machinery behind ``pq_topk`` and ``ivf_pq_topk``:
+    train the per-subspace exact-integer Lloyd codebooks, encode the
+    corpus, and build the per-query broadcastable ADC distance table.
+    Returns (codes: (vec_id, sub, code), dtable: (query_id, sub, cid,
+    d2q)). Identical construction (and therefore identical oracle
+    parity) to the original inline pq_topk body."""
     dim = len(embeddings.select("embedding").head()[0])
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -885,9 +928,54 @@ def pq_topk(
     dtable = qsub.join(F.broadcast(cent), "sub").select(
         "query_id", "sub", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2q")
     )
+    return codes, dtable
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    nprobe: int = 2,
+    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, ad2): the IVF-PQ COMPOSITE — the
+    production billion-scale ANN shape (Faiss IVFPQ; Jégou et al. PAMI
+    2011 §V): IVF's coarse cells prune the scan to the query's
+    ``nprobe`` nearest cells, PQ's codes compress what remains, distances
+    are the same broadcast ADC table lookups as ``pq_topk``. The two
+    halves are the existing oracle-gated operators composed unchanged —
+    ``ivf_assign`` decides WHO is scanned, ``_pq_codes_dtable`` decides
+    WHAT a scan costs. (This variant shares one global codebook set
+    rather than encoding per-cell residuals; residual encoding slots
+    into the same plumbing by subtracting the broadcast cell centroid
+    before ``_pq_codes_dtable``.)
+
+    Scale shape: candidates = code rows whose cell is in the query's
+    broadcast probe set — the corpus-sized pass is over m-int codes
+    RESTRICTED to probed cells (both the IVF file-pruning win and the PQ
+    memory win at once; at 10^10 vectors the cell is the Iceberg
+    partition key, so the probe join prunes file scans). Joins: codes ->
+    cells keyed on vec_id (co-partitioned), probes and distance table
+    broadcast; the only aggregation is the per-(query, vec) ADC sum.
+    Everything integer-exact with (ad2, vec_id) rank ties, so the
+    composed DuckDB oracle matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    codes, dtable = _pq_codes_dtable(embeddings, query_ids, m, k_codes, iters, scale)
+    cells = ivf_assign(embeddings, centroid_ids)
+    probes = _ivf_probes(embeddings, query_ids, nprobe, centroid_ids).select(
+        "query_id", "cell"
+    )
     cand = (
         codes.withColumnRenamed("code", "cid")
-        .join(F.broadcast(dtable), ["sub", "cid"])
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dtable), ["query_id", "sub", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2q").cast("long").alias("ad2"))

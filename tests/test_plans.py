@@ -482,3 +482,15 @@ def test_pipeline_clean_materialized_boundaries(spark):
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_pq_topk_probes_broadcast_no_cartesian(spark):
+    """The IVF-PQ composite inherits both halves' plan contracts: probes
+    and the ADC distance table broadcast, the corpus-code side never
+    does, and nothing goes cartesian."""
+    from crawler_spark.pipeline.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_pq_topk(emb, [0, 1], nprobe=2, m=4, k_codes=4, iters=1, topk=5))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
