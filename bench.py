@@ -33,6 +33,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
+    # round-4 ops
+    "pipeline_clean",
+    "text_bpe_train_batched",
+    "crawl_budget_from_revisit",
+    "sim_ann_ivf_pq",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

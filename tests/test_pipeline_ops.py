@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from crawler_spark.pipeline.events import asof_last_before
 from crawler_spark.pipeline.textstats import repetition_signals, source_stats
 
@@ -1952,3 +1954,29 @@ def test_curation_cascade_stage_attribution(spark):
         "n_final": 4,
         "sum_words_final": 174,
     }
+
+
+@pytest.mark.parametrize("corpus", [
+    # every corpus here is tie-dense — the only regime where the batch
+    # acceptance rule can differ from the sequential loop
+    ["aaaa bbbb abab baba"],
+    ["ababab bababa", "ababab bababa"],
+    ["xy xy yx", "xyxy yxyx", "xxyy yyxx"],
+    ["column column colum colum", "col umn co lu"],
+    ["aa ab ba bb", "ab ba aa bb", "bb aa ab ba"],
+    ["the them theme anthem", "hem he th the", "mantle mental"],
+])
+def test_bpe_train_batched_tie_adversarial(spark, corpus):
+    """Batched == sequential on tie-dense corpora (equal counts is the
+    only regime where the acceptance rule has any work to do)."""
+    from crawler_spark.pipeline.textstats import bpe_train, bpe_train_batched
+
+    d = _docs(
+        spark,
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(corpus)],
+    )
+    key = lambda r: (r["rk"], r["pair"], r["n"])
+    got = [key(r) for r in
+           bpe_train_batched(d, n_merges=10).orderBy("rk").collect()]
+    want = [key(r) for r in bpe_train(d, n_merges=10).orderBy("rk").collect()]
+    assert got == want

@@ -157,6 +157,33 @@ def main() -> None:
         add("pq", f"m={m} k_codes={kc} iters={iters}", rec, n - 1, cost,
             time.time() - t0)
 
+    # ---- IVF-PQ composite ----
+    cents32 = tuple(5 + (n // 37) * i for i in range(32))
+    for cents, nprobe, m, kc in (
+        (tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
+        (tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
+        (cents32, 8, 8, 64),
+    ):
+        t0 = time.time()
+        approx = S.ivf_pq_topk(emb, queries, nprobe, cents, m, kc, 2, k)
+        rec = recall_vs(exact_l2, approx)
+        cand = (
+            S.ivf_pq_topk(emb, queries, nprobe, cents, m, kc, 2, n)
+            .groupBy("query_id")
+            .count()
+            .agg(F.avg("count"))
+            .head()[0]
+        )
+        cost = cand * m + kc * dim
+        add(
+            "ivf-pq",
+            f"cells={len(cents)} nprobe={nprobe} m={m} k={kc}",
+            rec,
+            cand,
+            cost,
+            time.time() - t0,
+        )
+
     print("\n| family | config | recall@10 | mean cand/query | cost/query (mult-equiv) | vs exact |")
     print("|---|---|---|---|---|---|")
     exact_cost = (n - 1) * dim
