@@ -1602,6 +1602,19 @@ def q_pipeline_clean(spark, sf_dir):
     return curation_cascade(_t(spark, sf_dir, "documents"), substr_n=5)
 
 
+def q_pipeline_clean_docs(spark, sf_dir):
+    """The cascade's EXPORT: the cleaned, deduplicated, quality-gated
+    corpus itself (doc_id, source, clean_text, n_words) — what a
+    curation run actually ships, where pipeline_clean is the dataset
+    card it ships alongside. Same stage parameters and the same per-doc
+    flag relation (clean.py _cascade_flags), so the export and the
+    rollup cannot disagree; the oracle shares the rollup oracle's
+    entire CTE chain with a different final SELECT."""
+    from crawler_spark.pipeline.clean import cleaned_corpus
+
+    return cleaned_corpus(_t(spark, sf_dir, "documents"), substr_n=5)
+
+
 def q_stream_windowed_metrics(spark, sf_dir):
     """Structured Streaming surface through the driver gate: the events
     table becomes a fetch-event firehose (deterministic column mapping),
@@ -2366,6 +2379,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
     # round-4 additions (never checked by anyone) — first, always
+    "pipeline_clean_docs",
     "sim_ann_ivf_pq",
     "pipeline_clean",
     "text_bpe_train_batched",
@@ -2568,6 +2582,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_assemble": q_multimodal_assemble,
         "pipeline_curate": q_pipeline_curate,
         "pipeline_clean": q_pipeline_clean,
+        "pipeline_clean_docs": q_pipeline_clean_docs,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
         "stream_dedup": q_stream_dedup,
@@ -3397,11 +3412,11 @@ def _gopher_bp_cte(src: str, p: str) -> str:
             )"""
 
 
-def _pipeline_clean_sql() -> str:
-    """The composed curation-cascade oracle: the per-stage fragments
-    chained in the Spark cascade's order (clean.py), each stage's output
-    relation feeding the next as its corpus, then the same per-source
-    rollup."""
+def _pipeline_clean_ctes() -> str:
+    """The composed curation-cascade CTE chain shared by the rollup
+    (pipeline_clean) and export (pipeline_clean_docs) oracles: the
+    per-stage fragments chained in the Spark cascade's order (clean.py),
+    each stage's output relation feeding the next as its corpus."""
     frags = ",\n            ".join([
         _boiler_clean_cte("documents", "c1"),
         "docs1 AS MATERIALIZED (SELECT doc_id, source, n_boiler, text FROM c1out)",
@@ -3435,7 +3450,11 @@ def _pipeline_clean_sql() -> str:
                 LEFT JOIN c5out g ON g.doc_id = n.doc_id
             )""",
     ])
-    return f"""WITH RECURSIVE {frags}
+    return f"WITH RECURSIVE {frags}"
+
+
+def _pipeline_clean_sql() -> str:
+    return _pipeline_clean_ctes() + """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_raw,
                    CAST(sum(n_boiler) AS BIGINT) AS boiler_segs_removed,
@@ -3446,6 +3465,17 @@ def _pipeline_clean_sql() -> str:
                    CAST(sum(CASE WHEN exact_kept AND near_keep AND gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
                    CAST(sum(CASE WHEN exact_kept AND near_keep AND gopher_keep THEN n_words ELSE 0 END) AS BIGINT) AS sum_words_final
             FROM flags GROUP BY source"""
+
+
+def _pipeline_clean_docs_sql() -> str:
+    """The export side: one row per surviving doc with its fully-cleaned
+    text — the same CTE chain, final SELECT = survivors instead of the
+    per-source rollup. The `flags` CTE carries no text, so the cleaned
+    body joins from c4out (the substring stage's output) directly."""
+    return _pipeline_clean_ctes() + """
+            SELECT f.doc_id, f.source, s.ctext AS clean_text, f.n_words
+            FROM flags f JOIN c4out s ON s.doc_id = f.doc_id
+            WHERE f.exact_kept AND f.near_keep AND f.gopher_keep"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5511,6 +5541,7 @@ def oracle_sql() -> dict[str, str]:
         # text_gopher_rules) parameterized by its input relation and
         # chained in the Spark cascade's order
         "pipeline_clean": _pipeline_clean_sql(),
+        "pipeline_clean_docs": _pipeline_clean_docs_sql(),
         # streaming windowed metrics: complete-mode availableNow output ==
         # the plain batch window aggregation (stream/batch parity); the
         # deterministic event mapping is re-derived here, windows via

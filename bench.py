@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     # round-4 ops
     "pipeline_clean",
+    "pipeline_clean_docs",
     "text_bpe_train_batched",
     "crawl_budget_from_revisit",
     "sim_ann_ivf_pq",

@@ -100,6 +100,50 @@ def curation_cascade(
     (production default is the measured 128/8 — minhash_lsh_pairs
     docstring + SCALE.md).
     """
+    flags = _cascade_flags(
+        documents, num_hashes, band_size, k, seg_k, substr_n,
+        boiler_share_bp, min_words, min_stop_hits,
+    )
+    survived = F.col("exact_kept") & F.col("near_keep")
+    final = survived & F.col("gopher_keep")
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("n_boiler").cast("long").alias("boiler_segs_removed"),
+        F.sum(F.when(~F.col("exact_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_removed"),
+        F.sum(F.when(F.col("exact_kept") & ~F.col("near_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_removed"),
+        F.sum(F.when(survived, F.col("removed_chars")).otherwise(0))
+        .cast("long")
+        .alias("substr_chars_removed"),
+        F.sum(F.when(survived & ~F.col("gopher_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_removed"),
+        F.sum(F.when(final, 1).otherwise(0)).cast("long").alias("n_final"),
+        F.sum(F.when(final, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("sum_words_final"),
+    )
+
+
+def _cascade_flags(
+    documents: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    k: int,
+    seg_k: int,
+    substr_n: int,
+    boiler_share_bp: int,
+    min_words: int,
+    min_stop_hits: int,
+) -> DataFrame:
+    """The cascade's per-doc decision relation: (doc_id, source,
+    n_boiler, exact_kept, near_keep, removed_chars, ctext, n_words,
+    gopher_keep) — stage flags NULL for docs removed before the stage
+    ran. Shared by ``curation_cascade`` (the rollup) and
+    ``cleaned_corpus`` (the export)."""
     from crawler_spark.pipeline.dedup import exact_dedup, neardup_clusters
     from crawler_spark.pipeline.textstats import (
         exact_substring_dedup,
@@ -160,32 +204,38 @@ def curation_cascade(
             & (F.col("stop_hits") >= F.lit(int(min_stop_hits)))
         ).alias("gopher_keep"),
     )
-    flags = (
+    return (
         flagged.select(
             "doc_id", "source", "n_boiler", "exact_kept", "near_keep"
         )
-        .join(e.select("doc_id", "removed_chars"), "doc_id", "left")
+        .join(e, "doc_id", "left")
         .join(g, "doc_id", "left")
     )
-    survived = F.col("exact_kept") & F.col("near_keep")
-    final = survived & F.col("gopher_keep")
-    return flags.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_raw"),
-        F.sum("n_boiler").cast("long").alias("boiler_segs_removed"),
-        F.sum(F.when(~F.col("exact_kept"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_exact_removed"),
-        F.sum(F.when(F.col("exact_kept") & ~F.col("near_keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_near_removed"),
-        F.sum(F.when(survived, F.col("removed_chars")).otherwise(0))
-        .cast("long")
-        .alias("substr_chars_removed"),
-        F.sum(F.when(survived & ~F.col("gopher_keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_quality_removed"),
-        F.sum(F.when(final, 1).otherwise(0)).cast("long").alias("n_final"),
-        F.sum(F.when(final, F.col("n_words")).otherwise(0))
-        .cast("long")
-        .alias("sum_words_final"),
+
+
+def cleaned_corpus(
+    documents: DataFrame,
+    num_hashes: int = 9,
+    band_size: int = 3,
+    k: int = 3,
+    seg_k: int = 10,
+    substr_n: int = 8,
+    boiler_share_bp: int = 3000,
+    min_words: int = 30,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, source, clean_text, n_words): the cascade's EXPORT — the
+    cleaned, deduplicated, quality-gated corpus a curation run actually
+    ships (``curation_cascade`` is its accounting rollup; this is the
+    data). One row per surviving doc; ``clean_text`` is the text after
+    boilerplate strip AND exact-substring cuts; ``n_words`` is the
+    post-cut token count the packer costs sequences with. Same stage
+    parameters, same per-doc flag relation — the export and the
+    dataset-card rollup can never disagree."""
+    flags = _cascade_flags(
+        documents, num_hashes, band_size, k, seg_k, substr_n,
+        boiler_share_bp, min_words, min_stop_hits,
     )
+    return flags.filter(
+        F.col("exact_kept") & F.col("near_keep") & F.col("gopher_keep")
+    ).select("doc_id", "source", F.col("ctext").alias("clean_text"), "n_words")
