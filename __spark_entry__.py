@@ -1230,6 +1230,21 @@ def q_sim_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_sim_ann_ivf_pq_residual(spark, sf_dir):
+    """TEXTBOOK residual IVFPQ (Jegou PAMI'11 SecV-A, the Faiss IVFPQ
+    layout): PQ codebooks trained on r = x - c(cell(x)) instead of raw
+    vectors — the coarse step explains between-cell variance so the
+    sub-codebooks spend their bits on the tighter residual distribution;
+    the ADC table is per (query, probed cell). Integer-exact residuals
+    (coarse centroids are quantized corpus vectors)."""
+    from crawler_spark.pipeline.similarity import ivf_pq_residual_topk
+
+    return ivf_pq_residual_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        nprobe=2, m=4, k_codes=4, iters=2, topk=10,
+    )
+
+
 def q_sim_pq_recall(spark, sf_dir):
     """Measured recall@5 of PQ ADC vs exact L2 top-5 on the same
     quantized vectors — completes the ANN index-selection table next to
@@ -2379,6 +2394,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
     # round-4 additions (never checked by anyone) — first, always
+    "sim_ann_ivf_pq_residual",
     "pipeline_clean_docs",
     "sim_ann_ivf_pq",
     "pipeline_clean",
@@ -2546,6 +2562,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucket_stats": q_sim_lsh_bucket_stats,
         "sim_ann_pq": q_sim_ann_pq,
         "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+        "sim_ann_ivf_pq_residual": q_sim_ann_ivf_pq_residual,
         "sim_pq_recall": q_sim_pq_recall,
         "docs_curriculum": q_docs_curriculum,
         "graph_spam_mass": q_graph_spam_mass,
@@ -2972,6 +2989,52 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 10**6) -> str:
     return "".join(parts)
 
 
+def _pq_lloyd_ctes(iters: int, k: int, d2) -> list[str]:
+    """The unrolled per-subspace Lloyd chain over a ``sub`` CTE
+    ((vec_id, sub, sv) with c0 = first-k init): a{t} assign, u/m{t}
+    truncating integer mean, c{t} rebuilt codebooks — shared verbatim by
+    the plain-PQ, shared-codebook IVF-PQ, and residual-IVFPQ oracles
+    (they differ only in what ``sub`` contains and how candidates are
+    restricted)."""
+    parts = []
+    for t in range(1, iters + 2):
+        parts.append(f""",
+        a{t} AS (
+            SELECT vec_id, sub, cid AS code FROM (
+                SELECT sb.vec_id, sb.sub, c.cid, {d2("sb.sv", "c.cv")} AS d2,
+                       row_number() OVER (
+                           PARTITION BY sb.vec_id, sb.sub
+                           ORDER BY {d2("sb.sv", "c.cv")}, c.cid) AS rk
+                FROM sub sb JOIN c{t - 1} c ON sb.sub = c.sub
+            ) WHERE rk = 1
+        )""")
+        if t <= iters:
+            parts.append(f""",
+        u{t} AS (
+            SELECT a.sub, a.code AS cid,
+                   unnest(range(len(sb.sv))) AS dim, unnest(sb.sv) AS v
+            FROM a{t} a JOIN sub sb
+              ON a.vec_id = sb.vec_id AND a.sub = sb.sub
+        ),
+        m{t} AS (
+            SELECT sub, cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS cval
+            FROM u{t} GROUP BY sub, cid, dim
+        ),
+        c{t} AS (
+            SELECT sub, CAST(cid AS INT) AS cid, list(cval ORDER BY dim) AS cv
+            FROM m{t} GROUP BY sub, cid
+        )""")
+    return parts
+
+
+def _pq_d2_sql(x: str, c: str) -> str:
+    return (
+        f"CAST(list_dot_product({x}::DOUBLE[], {x}::DOUBLE[])"
+        f" - 2 * list_dot_product({x}::DOUBLE[], {c}::DOUBLE[])"
+        f" + list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]) AS BIGINT)"
+    )
+
+
 def _pq_sql(
     m: int = 4,
     k: int = 4,
@@ -3015,33 +3078,7 @@ def _pq_sql(
         c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
                FROM sub WHERE vec_id < {k})"""
     ]
-    for t in range(1, iters + 2):
-        parts.append(f""",
-        a{t} AS (
-            SELECT vec_id, sub, cid AS code FROM (
-                SELECT sb.vec_id, sb.sub, c.cid, {d2("sb.sv", "c.cv")} AS d2,
-                       row_number() OVER (
-                           PARTITION BY sb.vec_id, sb.sub
-                           ORDER BY {d2("sb.sv", "c.cv")}, c.cid) AS rk
-                FROM sub sb JOIN c{t - 1} c ON sb.sub = c.sub
-            ) WHERE rk = 1
-        )""")
-        if t <= iters:
-            parts.append(f""",
-        u{t} AS (
-            SELECT a.sub, a.code AS cid,
-                   unnest(range(len(sb.sv))) AS dim, unnest(sb.sv) AS v
-            FROM a{t} a JOIN sub sb
-              ON a.vec_id = sb.vec_id AND a.sub = sb.sub
-        ),
-        m{t} AS (
-            SELECT sub, cid, dim, CAST(sum(v) // count(*) AS BIGINT) AS cval
-            FROM u{t} GROUP BY sub, cid, dim
-        ),
-        c{t} AS (
-            SELECT sub, CAST(cid AS INT) AS cid, list(cval ORDER BY dim) AS cv
-            FROM m{t} GROUP BY sub, cid
-        )""")
+    parts.extend(_pq_lloyd_ctes(iters, k, d2))
     in_list = ", ".join(str(i) for i in qids)
     if ivf_cents is not None:
         parts.append(f""",
@@ -3086,6 +3123,108 @@ def _pq_sql(
         cand AS (
             SELECT dt.query_id, a.vec_id, CAST(sum(dt.d2q) AS BIGINT) AS ad2
             FROM a{iters + 1} a JOIN dt ON a.sub = dt.sub AND a.code = dt.cid{cand_extra}
+            WHERE a.vec_id <> dt.query_id
+            GROUP BY dt.query_id, a.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank, ad2
+        FROM (
+            SELECT query_id, vec_id, ad2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ad2, vec_id) AS rk
+            FROM cand
+        ) WHERE rk <= {topk}""")
+    return "".join(parts)
+
+
+def _ivf_pq_residual_sql(
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    qids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    ivf_cents: tuple[int, ...] = tuple(7 + 37 * i for i in range(8)),
+    nprobe: int = 2,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """Textbook residual IVFPQ (mirrors similarity.py
+    ivf_pq_residual_topk): the sim_ann_ivf cell/probe CTEs, residuals
+    r = qe − quantized-coarse-centroid (exact integer subtraction — the
+    coarse centroids are corpus vectors), the SAME unrolled Lloyd chain
+    over residual subvectors, and a per-(query, probed-cell) distance
+    table; candidates restricted to probed cells."""
+    d = dim // m
+    d2 = _pq_d2_sql
+    in_list = ", ".join(str(i) for i in qids)
+    parts = [
+        f"""WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qe
+            FROM embeddings
+        ),
+        centq AS (
+            SELECT u.cell, q.qe AS ce
+            FROM (VALUES {", ".join(f"({c}, {vid})" for c, vid in enumerate(ivf_cents))}) AS u(cell, vid)
+            JOIN q ON q.vec_id = u.vid
+        ),
+        cent AS (
+            SELECT u.cell, e.embedding::DOUBLE[] AS cv
+            FROM (VALUES {", ".join(f"({c}, {vid})" for c, vid in enumerate(ivf_cents))}) AS u(cell, vid)
+            JOIN embeddings e ON e.vec_id = u.vid
+        ), csim AS (
+            SELECT e.vec_id, c.cell,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ), asn AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM csim
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM csim WHERE vec_id IN ({in_list})
+            ) WHERE rn <= {nprobe}
+        ),
+        rq AS (
+            SELECT q.vec_id, a.cell,
+                   list_transform(range(1, {dim + 1}), j -> q.qe[j] - cq.ce[j]) AS re
+            FROM q JOIN asn a USING (vec_id) JOIN centq cq ON cq.cell = a.cell
+        ),
+        sub AS (
+            SELECT vec_id, s.sub, rq.re[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv
+            FROM rq, (SELECT unnest(range({m})) AS sub) s
+        ),
+        c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+               FROM sub WHERE vec_id < {k})"""
+    ]
+    parts.extend(_pq_lloyd_ctes(iters, k, d2))
+    parts.append(f""",
+        qres AS (
+            SELECT p.query_id, p.cell,
+                   list_transform(range(1, {dim + 1}), j -> q.qe[j] - cq.ce[j]) AS re
+            FROM probes p JOIN q ON q.vec_id = p.query_id
+            JOIN centq cq ON cq.cell = p.cell
+        ),
+        qsub AS (
+            SELECT query_id, cell, s.sub,
+                   qres.re[s.sub * {d} + 1 : s.sub * {d} + {d}] AS qv
+            FROM qres, (SELECT unnest(range({m})) AS sub) s
+        ),
+        dt AS (
+            SELECT qs.query_id, qs.cell, qs.sub, c.cid, {d2("qs.qv", "c.cv")} AS d2q
+            FROM qsub qs JOIN c{iters} c ON qs.sub = c.sub
+        ),
+        cand AS (
+            SELECT dt.query_id, a.vec_id, CAST(sum(dt.d2q) AS BIGINT) AS ad2
+            FROM a{iters + 1} a
+            JOIN asn ON asn.vec_id = a.vec_id
+            JOIN dt ON dt.cell = asn.cell AND a.sub = dt.sub AND a.code = dt.cid
             WHERE a.vec_id <> dt.query_id
             GROUP BY dt.query_id, a.vec_id
         )
@@ -5359,6 +5498,7 @@ def oracle_sql() -> dict[str, str]:
             m=4, k=4, iters=2, topk=10, qids=(0, 1, 2, 3, 4),
             ivf_cents=tuple(7 + 37 * i for i in range(8)), nprobe=2,
         ),
+        "sim_ann_ivf_pq_residual": _ivf_pq_residual_sql(),
         "sim_kmeans": _kmeans_sql(k=4, iters=2),
         "sim_pair_histogram": f"""
             WITH bkt AS (

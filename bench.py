@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "text_bpe_train_batched",
     "crawl_budget_from_revisit",
     "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_residual",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

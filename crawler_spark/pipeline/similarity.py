@@ -887,6 +887,36 @@ def _pq_codes_dtable(
         ).alias("sub", "sv"),
     ).localCheckpoint()
 
+    codes, cent = _pq_lloyd(sub, k_codes, iters)
+    qsub = sub.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    dtable = qsub.join(F.broadcast(cent), "sub").select(
+        "query_id", "sub", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2q")
+    )
+    return codes, dtable
+
+
+def _pq_idot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_d2(a, b):
+    return _pq_idot(a, a) - 2 * _pq_idot(a, b) + _pq_idot(b, b)
+
+
+def _pq_lloyd(sub: DataFrame, k_codes: int, iters: int):
+    """Per-subspace exact-integer Lloyd on a (vec_id, sub, sv) relation:
+    init = the first ``k_codes`` vec_ids' subvectors, ``iters`` rounds of
+    (argmin assign vs broadcast centroids, truncating integer mean
+    update), then a final assignment. Returns (codes: (vec_id, sub,
+    code), cent: (sub, cid, cv)). Shared by the plain-PQ and
+    residual-PQ paths — identical construction to the original inline
+    pq_topk body."""
     cent = (
         sub.filter(F.col("vec_id") < k_codes)
         .select("sub", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv"))
@@ -895,7 +925,7 @@ def _pq_codes_dtable(
 
     def _assign(c):
         scored = sub.join(F.broadcast(c), "sub").select(
-            "vec_id", "sub", _d2(F.col("sv"), F.col("cv")).alias("d2"), "cid"
+            "vec_id", "sub", _pq_d2(F.col("sv"), F.col("cv")).alias("d2"), "cid"
         )
         return (
             scored.groupBy("vec_id", "sub")
@@ -920,15 +950,7 @@ def _pq_codes_dtable(
             )
             .localCheckpoint()
         )
-
-    codes = _assign(cent)
-    qsub = sub.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
-    )
-    dtable = qsub.join(F.broadcast(cent), "sub").select(
-        "query_id", "sub", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2q")
-    )
-    return codes, dtable
+    return _assign(cent), cent
 
 
 def ivf_pq_topk(
@@ -976,6 +998,115 @@ def ivf_pq_topk(
         .join(cells, "vec_id")
         .join(F.broadcast(probes), "cell")
         .join(F.broadcast(dtable), ["query_id", "sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "ad2")
+    )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    nprobe: int = 2,
+    centroid_ids: tuple[int, ...] = DEFAULT_IVF_CENTROID_IDS,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, ad2): TEXTBOOK IVFPQ — residual
+    encoding (Jégou et al. PAMI 2011 §V-A; what Faiss IVFPQ actually
+    stores). Where ``ivf_pq_topk`` trains one global codebook set over
+    raw vectors, this encodes r_x = x − c(cell(x)) — the vector MINUS
+    its coarse centroid — so the sub-codebooks spend their bits on the
+    residual distribution (tighter than the raw one: the coarse step
+    already explained the between-cell variance). ADC then approximates
+    ||q − x||² = ||r_q − r_x||² with r_q = q − c(cell) computed PER
+    PROBED CELL, so the distance table is keyed (query, cell, sub, cid)
+    — nprobe× larger than the global-codebook table, still tiny and
+    broadcast.
+
+    Integer-exact throughout: coarse centroids are corpus vectors, so
+    c(cell) is the same floor-quantized integer vector as everything
+    else and the residual subtraction is exact; cell assignment reuses
+    ``ivf_assign``/``_ivf_probes`` (cosine argmax — deterministic,
+    oracle-matched) unchanged.
+
+    Scale shape: identical to ivf_pq_topk — the corpus-sized pass is the
+    residual code scan restricted to probed cells (codes->cells keyed on
+    vec_id, probes + distance table broadcast, one (query, vec) keyed
+    ADC sum). Residual encode adds one broadcast join of the m×k-row
+    quantized-centroid table against the corpus — no new shuffle.
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select("embedding").head()[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d = dim // m
+
+    q = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qe"),
+    )
+    cells = ivf_assign(embeddings, centroid_ids)
+    spark = embeddings.sparkSession
+    cellmap = spark.createDataFrame(
+        [(c, int(vid)) for c, vid in enumerate(centroid_ids)], "cell int, vec_id long"
+    )
+    centq = cellmap.join(q, "vec_id").select("cell", F.col("qe").alias("ce"))
+
+    def _subsplit(df, veccol, keep):
+        return df.select(
+            *keep,
+            F.posexplode(
+                F.array(*[F.slice(veccol, s * d + 1, d) for s in range(m)])
+            ).alias("sub", "sv"),
+        )
+
+    resid = (
+        q.join(cells, "vec_id")
+        .join(F.broadcast(centq), "cell")
+        .select(
+            "vec_id",
+            F.zip_with("qe", "ce", lambda x, y: x - y).alias("re"),
+        )
+    )
+    sub = _subsplit(resid, "re", ["vec_id"]).localCheckpoint()
+    codes, cent = _pq_lloyd(sub, k_codes, iters)
+
+    probes = _ivf_probes(embeddings, query_ids, nprobe, centroid_ids).select(
+        "query_id", "cell"
+    )
+    qres = (
+        probes.join(
+            q.select(F.col("vec_id").alias("query_id"), "qe"), "query_id"
+        )
+        .join(F.broadcast(centq), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qe", "ce", lambda x, y: x - y).alias("re"),
+        )
+    )
+    qsub = _subsplit(qres, "re", ["query_id", "cell"]).withColumnRenamed("sv", "qv")
+    dtable = qsub.join(F.broadcast(cent), "sub").select(
+        "query_id", "cell", "sub", "cid",
+        _pq_d2(F.col("qv"), F.col("cv")).alias("d2q"),
+    )
+    cand = (
+        codes.withColumnRenamed("code", "cid")
+        .join(cells, "vec_id")
+        .join(F.broadcast(dtable), ["cell", "sub", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2q").cast("long").alias("ad2"))

@@ -494,3 +494,17 @@ def test_ivf_pq_topk_probes_broadcast_no_cartesian(spark):
     plan = _plan(ivf_pq_topk(emb, [0, 1], nprobe=2, m=4, k_codes=4, iters=1, topk=5))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_ivf_pq_residual_topk_probes_broadcast_no_cartesian(spark):
+    """Residual IVFPQ keeps the composite's plan contract: centroid
+    table, probes, and per-cell ADC table broadcast; codes never do;
+    nothing cartesian."""
+    from crawler_spark.pipeline.similarity import ivf_pq_residual_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(
+        ivf_pq_residual_topk(emb, [0, 1], nprobe=2, m=4, k_codes=4, iters=1, topk=5)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
