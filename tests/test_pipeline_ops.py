@@ -1980,3 +1980,36 @@ def test_bpe_train_batched_tie_adversarial(spark, corpus):
            bpe_train_batched(d, n_merges=10).orderBy("rk").collect()]
     want = [key(r) for r in bpe_train(d, n_merges=10).orderBy("rk").collect()]
     assert got == want
+
+
+def test_curation_cascade_accounting_identities(spark):
+    """Structural identities the cascade's stage attribution must hold
+    on ANY corpus (here: the sf0.001 test corpus): per source,
+    n_raw == n_exact_removed + n_near_removed + n_quality_removed +
+    n_final (every doc is attributed to exactly one outcome), and the
+    cleaned_corpus export is exactly the rollup's finals — same count
+    per source and n_words summing to sum_words_final."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.clean import cleaned_corpus, curation_cascade
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    roll = {r["source"]: r.asDict() for r in
+            curation_cascade(docs, substr_n=5).collect()}
+    exp = {
+        r["source"]: (r["n"], r["w"])
+        for r in cleaned_corpus(docs, substr_n=5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_words").alias("w"))
+        .collect()
+    }
+    assert roll, "empty rollup"
+    for src, r in roll.items():
+        assert (
+            r["n_raw"]
+            == r["n_exact_removed"] + r["n_near_removed"]
+            + r["n_quality_removed"] + r["n_final"]
+        ), (src, r)
+        got_n, got_w = exp.get(src, (0, 0))
+        assert got_n == r["n_final"], (src, got_n, r["n_final"])
+        assert (got_w or 0) == r["sum_words_final"], (src, got_w, r)

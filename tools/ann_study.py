@@ -157,18 +157,22 @@ def main() -> None:
         add("pq", f"m={m} k_codes={kc} iters={iters}", rec, n - 1, cost,
             time.time() - t0)
 
-    # ---- IVF-PQ composite ----
+    # ---- IVF-PQ composite (shared codebooks + textbook residual) ----
     cents32 = tuple(5 + (n // 37) * i for i in range(32))
-    for cents, nprobe, m, kc in (
-        (tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
-        (tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
-        (cents32, 8, 8, 64),
+    for fam, fn, cents, nprobe, m, kc in (
+        ("ivf-pq", S.ivf_pq_topk, tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
+        ("ivf-pq", S.ivf_pq_topk, tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
+        ("ivf-pq", S.ivf_pq_topk, cents32, 8, 8, 64),
+        ("ivf-pq-res", S.ivf_pq_residual_topk,
+         tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
+        ("ivf-pq-res", S.ivf_pq_residual_topk,
+         tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
     ):
         t0 = time.time()
-        approx = S.ivf_pq_topk(emb, queries, nprobe, cents, m, kc, 2, k)
+        approx = fn(emb, queries, nprobe, cents, m, kc, 2, k)
         rec = recall_vs(exact_l2, approx)
         cand = (
-            S.ivf_pq_topk(emb, queries, nprobe, cents, m, kc, 2, n)
+            fn(emb, queries, nprobe, cents, m, kc, 2, n)
             .groupBy("query_id")
             .count()
             .agg(F.avg("count"))
@@ -176,7 +180,7 @@ def main() -> None:
         )
         cost = cand * m + kc * dim
         add(
-            "ivf-pq",
+            fam,
             f"cells={len(cents)} nprobe={nprobe} m={m} k={kc}",
             rec,
             cand,
