@@ -1213,6 +1213,19 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
+def q_sim_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. VLDB'07): the query probes its home
+    bucket plus every Hamming-1 bucket of the ONE table (p+1 probes)
+    instead of building T independent tables — the index-memory/recall
+    trade production LSH deployments use. Same exact-cosine rerank and
+    rank contract as sim_ann_lsh."""
+    from crawler_spark.pipeline.similarity import ann_topk_multiprobe
+
+    return ann_topk_multiprobe(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, n_planes=8
+    )
+
+
 def q_sim_ann_ivf_pq(spark, sf_dir):
     """IVF-PQ composite (Faiss IVFPQ shape; Jegou PAMI'11 SecV): IVF's
     coarse cells prune the scan to nprobe probed cells, PQ codes + a
@@ -2394,6 +2407,7 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
     # round-4 additions (never checked by anyone) — first, always
+    "sim_ann_multiprobe",
     "sim_ann_ivf_pq_residual",
     "pipeline_clean_docs",
     "sim_ann_ivf_pq",
@@ -2594,6 +2608,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_clusters": q_sim_embedding_clusters,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multitable": q_sim_ann_multitable,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_assemble": q_multimodal_assemble,
@@ -5479,6 +5494,35 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                           * sqrt(list_dot_product(q.qv, q.qv))) AS sim
                 FROM bkt e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                       sim
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim6
+            FROM ranked WHERE rank <= 10
+        """,
+        # multi-probe: home bucket + every single-bit-flipped bucket of
+        # the ONE table (p+1 probes; a vector lives in exactly one bucket
+        # and probes are distinct, so no candidate dedup needed)
+        "sim_ann_multiprobe": f"""
+            WITH bkt AS (
+                SELECT vec_id, embedding, {_ann_planes_sql()} AS bucket FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket AS qbucket
+                FROM bkt WHERE vec_id IN (0,1,2,3,4)
+            ), probes AS (
+                SELECT query_id, qv,
+                       unnest([qbucket] || list_transform(range(0, 8),
+                                                          i -> xor(qbucket, (1 << i)))) AS bucket
+                FROM q
+            ), scored AS (
+                SELECT p.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.embedding::DOUBLE[], p.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(p.qv, p.qv))) AS sim
+                FROM bkt e JOIN probes p ON e.bucket = p.bucket AND e.vec_id <> p.query_id
             ), ranked AS (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,

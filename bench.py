@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "crawl_budget_from_revisit",
     "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_residual",
+    "sim_ann_multiprobe",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

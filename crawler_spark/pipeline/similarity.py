@@ -226,6 +226,68 @@ def ann_topk(
     )
 
 
+def ann_topk_multiprobe(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): instead of T independent
+    tables (T× the index memory), probe the ONE table's neighboring
+    buckets — the query's home bucket plus every Hamming-1 bucket (each
+    single sign bit flipped), p+1 probes total. A near neighbor that
+    lands one hyperplane-sign away is recovered without building another
+    index: the memory/recall trade that made multi-probe the production
+    default when index size matters (at 10^10 vectors, T=8 tables is 8×
+    the footprint; p+1 probes of one table is free).
+
+    Shape: identical to ann_topk with the probe set exploded — the
+    corpus keeps one (vec_id, bucket) row, queries broadcast p+1 probe
+    rows each, candidates = bucket-equijoin (a vector lives in exactly
+    one bucket and a query's probes are distinct, so no candidate dedup
+    is needed), exact-cosine rerank with the same (sim desc,
+    neighbor_id) contract.
+    """
+    from pyspark.sql import Window
+
+    b = lsh_buckets(embeddings, dim, n_planes)
+    emb = embeddings.join(b, "vec_id")
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = emb.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim6"))
+    )
+
+
 def ann_topk_multitable(
     embeddings: DataFrame,
     query_ids: list[int],
