@@ -118,3 +118,54 @@ def test_metrics_match_oracle(crawl):
         if m["selected"] or m["fetched_ok"] or m["new_links"] or m["retried"]
     }
     assert got == want
+
+
+def test_plan_derived_from_history_feeds_engine(spark, tmp_path):
+    """Full recrawl loop closure: a fetch HISTORY -> revisit_bandwidth's
+    capacity plan -> CrawlEngine(revisit_plan=...) -> effective budgets.
+    The engine's _host_budgets must equal min(politeness,
+    max(1, fetches_per_day * round_s div 86400)) computed independently
+    from the same plan — no hand-made fetches_per_day anywhere."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import revisit_bandwidth
+
+    fx = make_fixture()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # url 1 (books): hourly fetches, always changed -> interval clamps to
+    # the 3600 s floor -> 24 fetches/day; url 2 (groups): daily fetches,
+    # never changed -> interval clamps to the 604800 s cap -> 0/day
+    for i in range(25):
+        rows.append((1, t0 + dt.timedelta(hours=i), i, True))
+    for i in range(8):
+        rows.append((2, t0 + dt.timedelta(days=i), 100 + i, False))
+    hist = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, fetch_id long, changed boolean"
+    )
+    hosts = spark.createDataFrame(
+        [(1, "books.example.com"), (2, "groups.example.com")],
+        "url_id long, host string",
+    )
+    plan = revisit_bandwidth(hist, hosts)
+    got_plan = {r["host"]: r["fetches_per_day"] for r in plan.collect()}
+    assert got_plan == {"books.example.com": 24, "groups.example.com": 0}
+
+    d = tmp_path / "state"
+    web = spark.createDataFrame(
+        [dict(url=p["url"], host=p["host"], status=p["status"],
+              body=p["body"], latency_ms=p["latency_ms"])
+         for p in fx.web_graph]
+    )
+    eng = CrawlEngine(
+        spark, str(d), GraphFetcher(web), fx.tasks, fx.rules, fx.robots,
+        fx.round_s, revisit_plan=plan.select("host", "fetches_per_day"),
+    )
+    assert eng._hostcap_active
+    budgets = {r["host"]: r["_budget"] for r in eng._host_budgets.collect()}
+    # books: politeness unbounded, plan 24*60 div 86400 = 0 -> floor 1
+    # groups: politeness floor(60000/5000) = 12, plan floor(0) -> floor 1
+    assert budgets["books.example.com"] == 1
+    assert budgets["groups.example.com"] == 1
