@@ -158,3 +158,41 @@ def test_pq_topk_contract(spark):
         assert d == sorted(d)
     again = pq_topk(emb, [0, 1], m=4, k_codes=4, iters=1, topk=5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_multiprobe_dominates_single_bucket_recall(spark):
+    """Multi-probe's candidate set is a strict superset of the
+    single-bucket search's (the home bucket is always probed), so per
+    query its recall against the exact cosine top-k can never be lower.
+    Pinned on the sf0.001 embeddings at two plane widths."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.similarity import (
+        ann_topk,
+        ann_topk_multiprobe,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [0, 7, 19, 31, 44]
+    exact = cosine_topk(emb, queries, 10).select("query_id", "neighbor_id")
+
+    def per_query_hits(approx):
+        return {
+            r["query_id"]: r["h"]
+            for r in exact.join(
+                approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("h"))
+            .collect()
+        }
+
+    for p in (4, 6):
+        single = per_query_hits(ann_topk(emb, queries, 10, 64, p))
+        multi = per_query_hits(ann_topk_multiprobe(emb, queries, 10, 64, p))
+        for q in queries:
+            assert multi.get(q, 0) >= single.get(q, 0), (p, q, single, multi)
+        assert sum(multi.values()) > sum(single.values()), (p, single, multi)

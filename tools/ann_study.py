@@ -100,6 +100,33 @@ def main() -> None:
         )
         add("lsh", f"single-table p={planes}", rec, cand, cand * dim,
             time.time() - t0)
+    for planes in (6, 8):
+        t0 = time.time()
+        approx = S.ann_topk_multiprobe(emb, queries, k, dim, planes)
+        rec = recall_vs(exact_cos, approx)
+        b = S.lsh_buckets(emb, dim, planes)
+        sizes = b.groupBy("bucket").agg(F.count("*").alias("c"))
+        qb = b.filter(F.col("vec_id").isin(queries)).select(
+            F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+        )
+        pr = qb.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.col("qbucket"),
+                    *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
+                )
+            ).alias("bucket"),
+        )
+        cand = (
+            pr.join(sizes, "bucket", "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("c", F.lit(0))).alias("n"))
+            .agg(F.avg(F.col("n") - 1))
+            .head()[0]
+        )
+        add("lsh", f"multi-probe p={planes} (+{planes} flips)", rec, cand,
+            cand * dim, time.time() - t0)
     for tables in (2, 4, 8):
         t0 = time.time()
         approx = S.ann_topk_multitable(emb, queries, k, dim, 8, tables)
