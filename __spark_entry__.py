@@ -774,10 +774,7 @@ def q_crawl_budget_from_revisit(spark, sf_dir):
     Both sides bind somewhere: the fixture's h0/h7/h14 are
     revisit-limited, the rest politeness-limited. The engine E2E for the
     same min() is tests/test_revisit_budget.py."""
-    from crawler_spark.pipeline.frontier import (
-        revisit_bandwidth,
-        revisit_budget_per_round,
-    )
+    from crawler_spark.pipeline.frontier import revisit_bandwidth
 
     ev = _t(spark, sf_dir, "events")
     hist = ev.select(
@@ -791,29 +788,30 @@ def q_crawl_budget_from_revisit(spark, sf_dir):
         F.concat(F.lit("h"), (F.col("url_id") % 20).cast("string")).alias("host"),
     )
     plan = revisit_bandwidth(hist, hosts)
-    rb = revisit_budget_per_round(
-        plan.select("host", "fetches_per_day"), round_s=86400
-    ).withColumnRenamed("_budget", "revisit_budget")
-    pol = plan.select(
+    # every derived column is a row-wise function of plan's own columns:
+    # revisit_budget_per_round's proration (same max(1, fpd*round_s div
+    # 86400) formula — the engine path uses that operator; this query
+    # inlines it so all columns come out of ONE projection) and the
+    # politeness ladder compose with no joins, and the expensive
+    # revisit_bandwidth aggregation runs once (a join-per-column version
+    # recomputes it per branch and shuffles twice for nothing)
+    return plan.select(
         "host",
+        "fetches_per_day",
+        F.greatest(
+            F.lit(1), F.expr("fetches_per_day * 86400 div 86400")
+        ).cast("long").alias("revisit_budget"),
         F.expr(
             "CAST(86400 div ((CAST(substring(host, 2) AS INT) % 7 + 1) * 7200)"
             " AS BIGINT)"
         ).alias("politeness_budget"),
-    )
-    return (
-        plan.select("host", "fetches_per_day")
-        .join(rb, "host")
-        .join(pol, "host")
-        .select(
-            "host",
-            "fetches_per_day",
-            "revisit_budget",
-            "politeness_budget",
-            F.least("revisit_budget", "politeness_budget").alias(
-                "budget_per_round"
+        F.least(
+            F.greatest(F.lit(1), F.expr("fetches_per_day * 86400 div 86400")),
+            F.expr(
+                "CAST(86400 div ((CAST(substring(host, 2) AS INT) % 7 + 1)"
+                " * 7200) AS BIGINT)"
             ),
-        )
+        ).cast("long").alias("budget_per_round"),
     )
 
 
@@ -3004,7 +3002,7 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 10**6) -> str:
     return "".join(parts)
 
 
-def _pq_lloyd_ctes(iters: int, k: int, d2) -> list[str]:
+def _pq_lloyd_ctes(iters: int, d2) -> list[str]:
     """The unrolled per-subspace Lloyd chain over a ``sub`` CTE
     ((vec_id, sub, sv) with c0 = first-k init): a{t} assign, u/m{t}
     truncating integer mean, c{t} rebuilt codebooks — shared verbatim by
@@ -3093,7 +3091,7 @@ def _pq_sql(
         c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
                FROM sub WHERE vec_id < {k})"""
     ]
-    parts.extend(_pq_lloyd_ctes(iters, k, d2))
+    parts.extend(_pq_lloyd_ctes(iters, d2))
     in_list = ", ".join(str(i) for i in qids)
     if ivf_cents is not None:
         parts.append(f""",
@@ -3218,7 +3216,7 @@ def _ivf_pq_residual_sql(
         c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
                FROM sub WHERE vec_id < {k})"""
     ]
-    parts.extend(_pq_lloyd_ctes(iters, k, d2))
+    parts.extend(_pq_lloyd_ctes(iters, d2))
     parts.append(f""",
         qres AS (
             SELECT p.query_id, p.cell,
@@ -3595,7 +3593,7 @@ def _pipeline_clean_ctes() -> str:
         """flags AS (
                 SELECT n.doc_id, n.source, n.n_boiler, n.exact_kept, n.near_keep,
                        s.removed_chars, g.n_words,
-                       (g.n_words >= 30 AND g.mean_wl_bp BETWEEN 3000 AND 10000
+                       (g.n_words BETWEEN 30 AND 100000 AND g.mean_wl_bp BETWEEN 3000 AND 10000
                         AND g.symbol_bp <= 100 AND g.bullet_bp <= 900
                         AND g.ellipsis_bp <= 300 AND g.alpha_bp >= 800
                         AND g.stop_hits >= 1) AS gopher_keep

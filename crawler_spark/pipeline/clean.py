@@ -84,10 +84,11 @@ def curation_cascade(
     - ``gopher_keep``: the survivor passes the Gopher/MassiveText
       quality rules, evaluated on the fully-cleaned text — the
       repetition/format rules (mean word length 3-10 chars,
-      symbol/bullet/ellipsis caps, >=80% alphabetic words) at the
-      paper's thresholds, with the two prose-length floors
-      parameterized (``min_words``, default 30; ``min_stop_hits``,
-      default 1): the published 50-word / 2-stopword values assume
+      symbol/bullet/ellipsis caps, >=80% alphabetic words, the
+      100k-word ceiling) at the paper's thresholds, with the two
+      prose-length FLOORS parameterized (``min_words``, default 30;
+      ``min_stop_hits``, default 1): the published 50-word /
+      2-stopword values assume
       web-length English prose, and a gate a corpus cannot pass at ANY
       quality level measures nothing (the synthetic test corpus tops
       out at stop_hits=1; production runs set 50/2 back).
@@ -195,7 +196,7 @@ def _cascade_flags(
         "doc_id",
         "n_words",
         (
-            (F.col("n_words") >= F.lit(int(min_words)))
+            F.col("n_words").between(int(min_words), 100000)
             & F.col("mean_wl_bp").between(3000, 10000)
             & (F.col("symbol_bp") <= 100)
             & (F.col("bullet_bp") <= 900)

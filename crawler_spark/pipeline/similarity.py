@@ -926,16 +926,6 @@ def _pq_codes_dtable(
         raise ValueError(f"m={m} must divide dim={dim}")
     d = dim // m
 
-    def _idot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def _d2(a, b):
-        return _idot(a, a) - 2 * _idot(a, b) + _idot(b, b)
-
     q = embeddings.select(
         "vec_id",
         F.expr(
@@ -954,7 +944,7 @@ def _pq_codes_dtable(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
     )
     dtable = qsub.join(F.broadcast(cent), "sub").select(
-        "query_id", "sub", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2q")
+        "query_id", "sub", "cid", _pq_d2(F.col("qv"), F.col("cv")).alias("d2q")
     )
     return codes, dtable
 

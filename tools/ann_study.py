@@ -73,6 +73,13 @@ def main() -> None:
         )
         return 100.0 * r["h"] / r["t"]
 
+    def mean_cand(df_counts):
+        # average over ALL sampled queries: a query with zero candidates
+        # contributes 0, not absence (groupBy would silently drop it and
+        # bias the mean upward)
+        got = {r[0]: r[1] for r in df_counts.collect()}
+        return sum(got.get(q, 0) for q in queries) / len(queries)
+
     rows = []
 
     def add(family, config, recall, cand_per_q, cost_per_q, wall):
@@ -135,15 +142,13 @@ def main() -> None:
         qb = bm.filter(F.col("vec_id").isin(queries)).select(
             F.col("vec_id").alias("query_id"), "table", "bucket"
         )
-        cand = (
+        cand = mean_cand(
             bm.join(qb, ["table", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id")
             .distinct()
             .groupBy("query_id")
             .count()
-            .agg(F.avg("count"))
-            .head()[0]
         )
         add("lsh", f"multi-table p=8 T={tables}", rec, cand, cand * dim,
             time.time() - t0)
@@ -159,12 +164,10 @@ def main() -> None:
             rec = recall_vs(exact_cos, approx)
             # actual probed mass per query: rank with k=N so the top-k
             # window keeps EVERY candidate, then count rows per query
-            cand = (
+            cand = mean_cand(
                 S.ivf_topk(emb, queries, n, nprobe, cents)
                 .groupBy("query_id")
                 .count()
-                .agg(F.avg("count"))
-                .head()[0]
             )
             add(
                 "ivf",
@@ -198,14 +201,15 @@ def main() -> None:
         t0 = time.time()
         approx = fn(emb, queries, nprobe, cents, m, kc, 2, k)
         rec = recall_vs(exact_l2, approx)
-        cand = (
+        cand = mean_cand(
             fn(emb, queries, nprobe, cents, m, kc, 2, n)
             .groupBy("query_id")
             .count()
-            .agg(F.avg("count"))
-            .head()[0]
         )
-        cost = cand * m + kc * dim
+        # residual ADC tables are per (query, probed cell): nprobe x the
+        # shared-codebook build cost
+        tables = nprobe if fam == "ivf-pq-res" else 1
+        cost = cand * m + tables * kc * dim
         add(
             fam,
             f"cells={len(cents)} nprobe={nprobe} m={m} k={kc}",
