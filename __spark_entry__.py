@@ -1622,10 +1622,16 @@ def q_pipeline_clean(spark, sf_dir):
     cuts before minhash would make near-identical docs artificially
     unique). The oracle composes the per-stage SQL fragments in the same
     order; substr_n=5 here (vs the standalone query's 8) so the
-    substring stage is active on the synthetic corpus."""
+    substring stage is active on the synthetic corpus, and the Gopher
+    prose floors are passed EXPLICITLY at the relaxed 30-word/1-stopword
+    test-corpus values (the operator's defaults are the paper's 50/2 —
+    the synthetic corpus tops out at stop_hits=1)."""
     from crawler_spark.pipeline.clean import curation_cascade
 
-    return curation_cascade(_t(spark, sf_dir, "documents"), substr_n=5)
+    return curation_cascade(
+        _t(spark, sf_dir, "documents"), substr_n=5,
+        min_words=30, min_stop_hits=1,
+    )
 
 
 def q_pipeline_clean_docs(spark, sf_dir):
@@ -1635,10 +1641,34 @@ def q_pipeline_clean_docs(spark, sf_dir):
     card it ships alongside. Same stage parameters and the same per-doc
     flag relation (clean.py _cascade_flags), so the export and the
     rollup cannot disagree; the oracle shares the rollup oracle's
-    entire CTE chain with a different final SELECT."""
+    entire CTE chain with a different final SELECT. Gopher floors at
+    the explicit relaxed 30/1 (operator defaults are the paper's 50/2;
+    see q_pipeline_clean)."""
     from crawler_spark.pipeline.clean import cleaned_corpus
 
-    return cleaned_corpus(_t(spark, sf_dir, "documents"), substr_n=5)
+    return cleaned_corpus(
+        _t(spark, sf_dir, "documents"), substr_n=5,
+        min_words=30, min_stop_hits=1,
+    )
+
+
+def q_pipeline_clean_pack(spark, sf_dir):
+    """The last mile raw crawl -> training-ready sequences (VERDICT r4
+    next-round item 6): the curation cascade's cleaned-corpus export fed
+    straight into GPT-style sequence packing — each surviving document
+    mapped to the training-sequence bins it occupies when the cleaned
+    corpus is concatenated in doc_id order and split every 512 tokens
+    (small capacity so bin boundaries are exercised on the sf0.01
+    corpus). The export is materialized once (the Iceberg corpus-table
+    commit in production) so the per-doc flag relation is computed
+    exactly once; the oracle extends the cascade CTE chain with the same
+    running-sum prefix the docs_pack_sequences oracle uses."""
+    from crawler_spark.pipeline.clean import cleaned_corpus_packed
+
+    return cleaned_corpus_packed(
+        _t(spark, sf_dir, "documents"), capacity=512, substr_n=5,
+        min_words=30, min_stop_hits=1,
+    )
 
 
 def q_stream_windowed_metrics(spark, sf_dir):
@@ -2395,69 +2425,23 @@ def q_crawl_canonical_collisions(spark, sf_dir):
 # The driver's correctness gate verifies only the FIRST 50 registry
 # entries per round (CORRECTNESS_r{N}.json == registry positions 1-50).
 # _CHECK_WINDOW therefore front-loads the queries with the LEAST driver
-# evidence — rounds 2-3 pushed 105 distinct queries through the gate, so
-# round 4 rotates in the three new round-4 ops followed by the 55
-# queries that have never held a driver-signed row (r3 VERDICT item 1).
-# Rotate this list again each round; queries() preserves the handwritten
-# order for everything not named here. NOTE: only the first 50 window
-# entries are actually driver-verified — entries beyond position 50 are
-# the next-in-line queue for the following round's rotation, nothing
+# evidence, then the STALEST. Round-5 window (positions 1-50): the new
+# round-5 op, then the final 14 never-driver-verified backlog queries
+# (clearing cumulative driver coverage to 167+1/168), then the
+# oldest-evidence freshness rotation (3 r1 rows + 32 of the r2 cohort).
+# queries() preserves the handwritten order for everything not named
+# here. NOTE: only the first 50 window entries are driver-verified —
+# entries beyond position 50 are the next rotation's queue, nothing
 # more (they hold no driver evidence until they rotate forward).
 _CHECK_WINDOW = [
-    # round-4 additions (never checked by anyone) — first, always
-    "sim_ann_multiprobe",
-    "sim_ann_ivf_pq_residual",
-    "pipeline_clean_docs",
-    "sim_ann_ivf_pq",
-    "pipeline_clean",
-    "text_bpe_train_batched",
-    "crawl_budget_from_revisit",
-    # the 55 queries with NO driver-signed row after rounds 1-3 (r3
-    # VERDICT item 1 lists them); positions 1-50 get driver rows this
-    # round, positions 51+ are round 5's queue (plus its new ops)
-    "text_ccnet_buckets",
-    "crawl_trap_templates",
-    "crawl_refetch_schedule",
-    "crawl_host_skew",
-    "crawl_snapshot_diff",
-    "crawl_redirects",
-    "crawl_bloom_audit",
-    "docs_modality_mix",
-    "crawl_url_features",
-    "docs_source_stats",
-    "docs_length_deciles",
-    "text_decontam",
-    "pipeline_assemble",
-    "text_gopher_rules",
-    "docs_span_lang_mix",
-    "events_funnel",
-    "text_inverted_index",
-    "crawl_rank_budget",
-    "agg_pricing_rollup",
-    "dedup_agreement",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_simhash_pairs",
-    "dedup_survivorship",
-    "dedup_lsh_quality",
-    "multimodal_frames",
-    "docs_dataset_card",
-    "events_asof_join",
-    "events_anomaly",
-    "events_interval_join",
-    "events_retention",
-    "multimodal_assemble",
-    "pipeline_curate",
-    "docs_quantile_sketch",
-    "events_hll_registers",
-    "text_idf_drift",
-    "dedup_cascade",
-    "dedup_band_sweep",
-    "docs_chunking",
-    "crawl_robots_decision",
-    "events_gap_profile",
-    "crawl_sitemap_freshness",
-    "events_type_overlap",
+    # round-5 addition (never checked by anyone) — first, always
+    "pipeline_clean_pack",
+    # the 14 backlog queries with NO driver-signed row after rounds 1-4
+    # (r4 VERDICT item 1 — explicitly including crawl_e2e_order and
+    # multimodal_decode, whose oracles were added after their r1 no_oracle
+    # rows and which were never re-windowed)
+    "crawl_e2e_order",
+    "multimodal_decode",
     "dedup_cluster_sizes",
     "sim_norm_histogram",
     "events_peak_hour",
@@ -2470,6 +2454,64 @@ _CHECK_WINDOW = [
     "text_dup_ngram_coverage",
     "crawl_anchor_text",
     "crawl_domain_budget",
+    # standing FRESHNESS rotation (r4 VERDICT item 2): remaining slots go
+    # to the queries with the OLDEST driver evidence — first the three r1
+    # rows (three edit-rounds stale), then the r2 cohort in registry order.
+    # Positions 51+ are the next rotation's queue (the rest of the r2
+    # cohort), nothing more.
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_ann_lsh",
+    "crawl_canonical_keys",
+    "crawl_seen_antijoin",
+    "crawl_wave_topk",
+    "crawl_round_metrics",
+    "crawl_priority_order",
+    "crawl_retry_union",
+    "crawl_proxy_rotation",
+    "crawl_content_filter",
+    "crawl_field_extraction",
+    "crawl_body_validity",
+    "crawl_budget_math",
+    "events_json_extract",
+    "events_sessionize",
+    "agg_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "crawl_typed_results",
+    "dedup_clusters",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_bm25_topk",
+    "docs_profile",
+    "events_cube",
+    "events_rfm",
+    "events_transitions",
+    "text_langid_confusion",
+    "text_countmin",
+    "text_cooccurrence",
+    "text_quality_agreement",
+    "text_novelty",
+    "text_tfidf_topterms",
+    "text_vocab_topk",
+    "text_segment_dedup",
+    "text_lm_score",
+    "docs_template_stats",
+    "crawl_robots_parse",
+    "crawl_sitemap_parse",
+    "dedup_winnow",
+    "text_bpe_pairs",
+    "docs_mixture_weights",
+    "docs_interleave_spans",
+    "docs_interleave_stats",
+    "docs_interleave_render",
+    "text_quality_model",
 ]
 
 
@@ -2613,6 +2655,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_clean_docs": q_pipeline_clean_docs,
+        "pipeline_clean_pack": q_pipeline_clean_pack,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
         "stream_dedup": q_stream_dedup,
@@ -3628,6 +3671,33 @@ def _pipeline_clean_docs_sql() -> str:
             SELECT f.doc_id, f.source, s.ctext AS clean_text, f.n_words
             FROM flags f JOIN c4out s ON s.doc_id = f.doc_id
             WHERE f.exact_kept AND f.near_keep AND f.gopher_keep"""
+
+
+def _pipeline_clean_pack_sql(capacity: int = 512) -> str:
+    """Export -> packing: the cascade CTE chain's survivors tokenized
+    (BPE regex over the fully-cleaned text) and run through the same
+    doc_id-ordered running-sum prefix the docs_pack_sequences oracle
+    uses, at the query's capacity."""
+    return _pipeline_clean_ctes() + f""",
+            packsurv AS (
+                SELECT f.doc_id, f.source, f.n_words,
+                       CAST(len(regexp_extract_all(s.ctext, '{_BPE_PAT}', 1)) AS BIGINT) AS n_tok
+                FROM flags f JOIN c4out s ON s.doc_id = f.doc_id
+                WHERE f.exact_kept AND f.near_keep AND f.gopher_keep
+            ),
+            packcum AS (
+                SELECT doc_id, source, n_words, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) - n_tok AS start_off
+                FROM packsurv
+            )
+            SELECT doc_id, source, n_words, n_tok, start_off,
+                   start_off // {capacity} AS first_bin,
+                   CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // {capacity}
+                        ELSE start_off // {capacity} END AS last_bin,
+                   (CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // {capacity}
+                         ELSE start_off // {capacity} END) - start_off // {capacity} + 1 AS n_bins
+            FROM packcum"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5724,6 +5794,7 @@ def oracle_sql() -> dict[str, str]:
         # chained in the Spark cascade's order
         "pipeline_clean": _pipeline_clean_sql(),
         "pipeline_clean_docs": _pipeline_clean_docs_sql(),
+        "pipeline_clean_pack": _pipeline_clean_pack_sql(capacity=512),
         # streaming windowed metrics: complete-mode availableNow output ==
         # the plain batch window aggregation (stream/batch parity); the
         # deterministic event mapping is re-derived here, windows via

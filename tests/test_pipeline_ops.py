@@ -1940,7 +1940,7 @@ def test_curation_cascade_stage_attribution(spark):
     d = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    out = curation_cascade(d, substr_n=5).collect()
+    out = curation_cascade(d, substr_n=5, min_words=30, min_stop_hits=1).collect()
     assert len(out) == 1
     r = out[0].asDict()
     assert r == {
@@ -1995,10 +1995,10 @@ def test_curation_cascade_accounting_identities(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     roll = {r["source"]: r.asDict() for r in
-            curation_cascade(docs, substr_n=5).collect()}
+            curation_cascade(docs, substr_n=5, min_words=30, min_stop_hits=1).collect()}
     exp = {
         r["source"]: (r["n"], r["w"])
-        for r in cleaned_corpus(docs, substr_n=5)
+        for r in cleaned_corpus(docs, substr_n=5, min_words=30, min_stop_hits=1)
         .groupBy("source")
         .agg(F.count("*").alias("n"), F.sum("n_words").alias("w"))
         .collect()

@@ -12,6 +12,18 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _pristine_plan_session(spark):
+    """Plan-string assertions must see the session as a fresh reader
+    would: another module's cached relation over the same parquet files
+    (e.g. test_similarity_scale's module fixtures) would swap the
+    parquet scan for an InMemoryRelation and break every scan-shape
+    pin below. Clear the relation cache before each plan test — cheap
+    (metadata only) and makes this module order-independent."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -478,10 +490,35 @@ def test_pipeline_clean_materialized_boundaries(spark):
     from crawler_spark.pipeline.clean import curation_cascade
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(curation_cascade(docs, substr_n=5))
+    plan = _plan(curation_cascade(docs, substr_n=5, min_words=30, min_stop_hits=1))
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pipeline_clean_pack_single_flag_computation(spark):
+    """Export -> packing composition (cleaned_corpus_packed): the
+    cascade's flag relation is computed ONCE — the export is
+    materialized (localCheckpoint = the production Iceberg corpus-table
+    commit) before the packer's bound probe / totals pass / final
+    projection, so the composed plan contains ZERO parquet scans (the
+    raw corpus was read exactly once, by cascade stage 1) and nothing
+    cartesian. Without the boundary the packer's three consumers would
+    re-execute the whole cascade each."""
+    from crawler_spark.pipeline.clean import cleaned_corpus_packed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        cleaned_corpus_packed(
+            docs, capacity=512, substr_n=5, min_words=30, min_stop_hits=1
+        )
+    )
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the prefix-sum window must ride the bucket repartition, never a
+    # single-partition global window
+    assert "WindowExec: No Partition Defined" not in plan
 
 
 def test_ivf_pq_topk_probes_broadcast_no_cartesian(spark):

@@ -169,3 +169,43 @@ def test_plan_derived_from_history_feeds_engine(spark, tmp_path):
     # groups: politeness floor(60000/5000) = 12, plan floor(0) -> floor 1
     assert budgets["books.example.com"] == 1
     assert budgets["groups.example.com"] == 1
+
+
+def test_gated_query_proration_matches_operator(spark):
+    """ADVICE r4: q_crawl_budget_from_revisit INLINES
+    revisit_budget_per_round's proration (so all derived columns come
+    out of one projection over the expensive revisit_bandwidth rollup).
+    Pin the inlined expression equal to the operator's output on the
+    same plan, per host — if the operator's formula ever changes, this
+    fails before the driver gate can silently drift from what
+    CrawlEngine(revisit_plan=...) actually computes."""
+    import __spark_entry__ as entry
+
+    from crawler_spark.pipeline.frontier import revisit_budget_per_round
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.q_crawl_budget_from_revisit(spark, sf)
+    got = {r["host"]: r["revisit_budget"] for r in q.collect()}
+
+    # rebuild the query's own revisit_bandwidth plan and run it through
+    # the OPERATOR at the query's round_s (one macro-round = 86400 s)
+    from crawler_spark.pipeline.frontier import revisit_bandwidth
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        F.col("event_id").alias("fetch_id"),
+        F.col("event_type").isin("purchase", "view", "click").alias("changed"),
+    )
+    hosts = ev.select(F.col("user_id").alias("url_id")).distinct().select(
+        "url_id",
+        F.concat(F.lit("h"), (F.col("url_id") % 20).cast("string")).alias("host"),
+    )
+    want = {
+        r["host"]: r["_budget"]
+        for r in revisit_budget_per_round(
+            revisit_bandwidth(hist, hosts), round_s=86400
+        ).collect()
+    }
+    assert got == want and got, (got, want)

@@ -13,12 +13,20 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def embeddings(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    # unpersist at module teardown: a cached relation over these parquet
+    # files would otherwise replace the parquet scan with an
+    # InMemoryRelation in EVERY later plan in the shared session, and
+    # the plan-pin suite (test_plans.py) asserts on scan shapes
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def documents(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def _topk_map(df):
