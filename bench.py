@@ -33,6 +33,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
+    # round-5 op
+    "pipeline_clean_pack",
     # round-4 ops
     "pipeline_clean",
     "pipeline_clean_docs",
@@ -344,6 +346,25 @@ def main() -> None:
         n = df.count()  # materialize
         qtimes[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {qtimes[name]}s", file=sys.stderr)
+
+    # the curation cascade at the PRODUCTION minhash config (128 hashes,
+    # 8-row bands — vs the oracle-tractable 9/3 the gated query pins;
+    # VERDICT r4 item 4). Stage accounting consistency vs 9/3 is pinned
+    # by tests/test_pipeline_ops.py; this row prices the config.
+    from crawler_spark.pipeline.clean import curation_cascade
+
+    t0 = time.time()
+    n = curation_cascade(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        num_hashes=128, band_size=8, substr_n=5,
+        min_words=30, min_stop_hits=1,
+    ).count()
+    qtimes["pipeline_clean@128x8"] = round(time.time() - t0, 3)
+    print(
+        f"# pipeline_clean@128x8: {n} rows in "
+        f"{qtimes['pipeline_clean@128x8']}s",
+        file=sys.stderr,
+    )
 
     # north-star crawl throughput at local[CPUS] (in-process)
     crawl = run_crawl_bench_inproc(spark)
