@@ -207,3 +207,51 @@ def bench_seeds(spark: SparkSession) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, schemas.FRONTIER)
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int = 2000,
+    dim: int = 64,
+    k_clusters: int = 32,
+    sigma: float = 0.05,
+    seed: int = 20260821,
+) -> DataFrame:
+    """(vec_id, embedding float[], label): a deterministic
+    mixture-of-Gaussians embedding corpus — the CLUSTERED counterpart of
+    the isotropic /root/testdata embeddings table (same schema, matched
+    N/dim by default), for the ANN index-selection study's second
+    measurement regime (VERDICT r4 item 3).
+
+    Real embedding corpora live on clustered manifolds; the published
+    IVFPQ result that residual encoding beats shared codebooks (Jégou et
+    al., PAMI 2011 §V-A) holds in exactly this regime, while SCALE.md's
+    isotropic table measures the regime where it loses. Geometry:
+    ``k_clusters`` unit-norm centers drawn from an isotropic Gaussian
+    (pairwise distance concentrates at sqrt(2)), points = center +
+    per-dim N(0, sigma^2) noise; at the sigma=0.05/dim=64 defaults the
+    expected within-cluster distance is sqrt(2*dim)*sigma ~ 0.57 —
+    compact clusters with overlapping tails, so nearest neighbors are
+    intra-cluster but cell boundaries still matter. Cluster sizes are
+    round-robin (n/k each), labels carry ground truth.
+
+    Determinism: a single seeded NumPy generator; same (n, dim,
+    k_clusters, sigma, seed) -> byte-identical corpus on every call, so
+    studies and tests reproduce exactly. Generated driver-side (n*dim
+    floats — a fixture, not an operator; the 10^10-scale corpus this
+    stands in for arrives as a parquet/Iceberg table, not from a
+    generator)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % k_clusters
+    pts = centers[labels] + sigma * rng.standard_normal((n, dim))
+    pts = pts.astype("float32")
+    rows = [
+        (int(i), [float(x) for x in pts[i]], int(labels[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )

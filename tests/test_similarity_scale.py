@@ -204,3 +204,46 @@ def test_multiprobe_dominates_single_bucket_recall(spark):
         for q in queries:
             assert multi.get(q, 0) >= single.get(q, 0), (p, q, single, multi)
         assert sum(multi.values()) > sum(single.values()), (p, single, multi)
+
+
+def test_clustered_embeddings_fixture(spark):
+    """The MoG study corpus is deterministic and actually clustered:
+    same seed -> identical vectors; mean within-cluster cosine far above
+    mean cross-cluster cosine (centers are near-orthogonal random unit
+    vectors, so cross-cluster cosine ~ 0); schema matches the testdata
+    embeddings table so every ANN operator runs unchanged."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.fixtures_big import clustered_embeddings
+
+    a = clustered_embeddings(spark, n=256, dim=32, k_clusters=8)
+    b = clustered_embeddings(spark, n=256, dim=32, k_clusters=8)
+    ra = a.orderBy("vec_id").collect()
+    rb = b.orderBy("vec_id").collect()
+    assert [r["embedding"] for r in ra] == [r["embedding"] for r in rb]
+    assert a.schema.simpleString() == (
+        "struct<vec_id:bigint,embedding:array<float>,label:int>"
+    )
+
+    import math
+
+    vecs = {r["vec_id"]: (r["label"], r["embedding"]) for r in ra}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (
+            math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))
+        )
+
+    within, cross = [], []
+    ids = sorted(vecs)
+    for i in ids[:64]:
+        for j in ids[64:128]:
+            (li, ui), (lj, uj) = vecs[i], vecs[j]
+            (within if li == lj else cross).append(cos(ui, uj))
+    assert within and cross
+    mw = sum(within) / len(within)
+    mc = sum(cross) / len(cross)
+    assert mw > 0.8, mw          # compact clusters
+    assert abs(mc) < 0.35, mc    # near-orthogonal centers
+    assert mw - mc > 0.5, (mw, mc)

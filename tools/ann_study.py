@@ -21,7 +21,19 @@ scale-up, unlike wall time on a 2000-vector sandbox corpus:
                     one mult-equivalent (it is cheaper — DRAM-bound,
                     which is the point of PQ)
 
-Usage: python tools/ann_study.py [sf_dir]   (default /root/testdata/sf0.1)
+Corpus regimes (VERDICT r4 item 3): the default corpus is the testdata
+embeddings table — ISOTROPIC random vectors, the documented worst case
+for every partition-based index (no cluster structure to exploit, so
+recalls are LOWER BOUNDS and the residual-IVFPQ variant loses to shared
+codebooks). ``--clustered`` swaps in the deterministic
+mixture-of-Gaussians corpus (fixtures_big.clustered_embeddings, matched
+N/dim, k=32 clusters) — the regime real embedding corpora live in, where
+cell-local structure exists, IVF recalls become production-plausible,
+and the published residual-beats-shared inequality (Jégou et al. §V-A)
+can show its other side. SCALE.md carries BOTH tables.
+
+Usage: python tools/ann_study.py [sf_dir] [--clustered]
+       (default corpus /root/testdata/sf0.1/embeddings.parquet)
 """
 
 from __future__ import annotations
@@ -35,12 +47,21 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    clustered = "--clustered" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from crawler_spark.session import get_spark
     from crawler_spark.pipeline import similarity as S
 
     spark = get_spark("ann_study")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    if clustered:
+        from crawler_spark.fixtures_big import clustered_embeddings
+
+        print("# corpus regime: CLUSTERED (mixture-of-Gaussians, k=32)")
+        emb = clustered_embeddings(spark).localCheckpoint()
+    else:
+        print("# corpus regime: ISOTROPIC (testdata embeddings)")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     n = emb.count()
     dim = len(emb.select("embedding").head()[0])
     queries = [int(x) for x in range(3, n, max(1, n // 32))][:32]
