@@ -213,11 +213,20 @@ def main() -> None:
     for fam, fn, cents, nprobe, m, kc in (
         ("ivf-pq", S.ivf_pq_topk, tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
         ("ivf-pq", S.ivf_pq_topk, tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
+        ("ivf-pq", S.ivf_pq_topk, cents32, 4, 8, 64),
         ("ivf-pq", S.ivf_pq_topk, cents32, 8, 8, 64),
         ("ivf-pq-res", S.ivf_pq_residual_topk,
          tuple(7 + 37 * i for i in range(8)), 2, 8, 64),
         ("ivf-pq-res", S.ivf_pq_residual_topk,
          tuple(7 + 37 * i for i in range(8)), 4, 8, 64),
+        # cells=32 composite rows: on the CLUSTERED corpus this is the
+        # cells~clusters regime where residual encoding shows its
+        # published win (coarse centroids explain the variance, so
+        # per-cell residuals are unimodal and the codebooks quantize a
+        # far smaller support); on the isotropic corpus the same rows
+        # keep losing — the two tables bracket the Jegou §V-A line
+        ("ivf-pq-res", S.ivf_pq_residual_topk, cents32, 4, 8, 64),
+        ("ivf-pq-res", S.ivf_pq_residual_topk, cents32, 8, 8, 64),
     ):
         t0 = time.time()
         approx = fn(emb, queries, nprobe, cents, m, kc, 2, k)
