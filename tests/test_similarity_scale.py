@@ -247,3 +247,36 @@ def test_clustered_embeddings_fixture(spark):
     assert mw > 0.8, mw          # compact clusters
     assert abs(mc) < 0.35, mc    # near-orthogonal centers
     assert mw - mc > 0.5, (mw, mc)
+
+
+def test_kmeans_and_semdedup_recover_planted_clusters(spark):
+    """Ground-truth recovery on the labeled MoG corpus: the integer-exact
+    Lloyd k-means must recover the PLANTED partition exactly — seeds are
+    the k lowest vec_ids, and the fixture's round-robin labels put ids
+    0..k-1 one per planted cluster, so cluster i converges onto label i
+    (sigma=0.05 clusters are linearly separable; no permutation matching
+    needed). SemDeDup at cosine >= 0.9 must then collapse every planted
+    cluster to exactly its rank-1 representative: within-cluster cosine
+    is ~0.99 >> 0.9 >> cross-cluster ~0 — the semantic-redundancy case
+    the operator exists for, now verified against known truth rather
+    than only against the DuckDB replica."""
+    from crawler_spark.fixtures_big import clustered_embeddings
+    from crawler_spark.pipeline.similarity import (
+        kmeans_quantized,
+        semantic_dedup,
+    )
+
+    emb = clustered_embeddings(spark, n=512, dim=32, k_clusters=8)
+    emb = emb.localCheckpoint()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+
+    km = {r["vec_id"]: r["cluster"] for r in kmeans_quantized(emb, k=8, iters=4).collect()}
+    assert len(km) == 512
+    assert all(km[v] == labels[v] for v in km)
+
+    sd = semantic_dedup(emb, k=8, iters=4, threshold_num=9, threshold_den=10).collect()
+    keeps = [r for r in sd if r["keep"]]
+    assert len(sd) == 512
+    assert len(keeps) == 8
+    # exactly one survivor per planted cluster
+    assert sorted(labels[r["vec_id"]] for r in keeps) == list(range(8))
