@@ -33,8 +33,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
-    # round-5 op
+    # round-5 ops
     "pipeline_clean_pack",
+    "text_exact_substring_bytes",
     # round-4 ops
     "pipeline_clean",
     "pipeline_clean_docs",

@@ -1469,6 +1469,25 @@ def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
             "gram",
         )
     )
+    docs_c = documents.select(
+        "doc_id", F.array_join(tokens_col(), " ").alias("body")
+    ).withColumn("clen", F.length("body").cast("long"))
+    return _cut_spans(docs_c, spans)
+
+
+def _cut_spans(docs_body: DataFrame, spans: DataFrame) -> DataFrame:
+    """Shared removal machinery for the exact-substring dedup family
+    (word-gram and byte-gram variants): given per-doc bodies
+    ``(doc_id, body, clen)`` and candidate gram spans
+    ``(doc_id, start, end, gram)``, cut every non-FIRST corpus-wide
+    occurrence of each duplicated gram (global (doc_id, start) order,
+    within-doc repeats included), merge overlapping cuts into maximal
+    islands, and rebuild ``(doc_id, n_removed_spans, removed_chars,
+    clean_text)``. Scale shape as documented on the callers: min-struct
+    keeper agg (map-side combine, skew-safe), 1-keeper-row join back,
+    doc-keyed island sweep + complement slicing windows."""
+    from pyspark.sql import Window
+
     keeper = spans.groupBy("gram").agg(
         F.min(F.struct("doc_id", "start")).alias("_k"),
         F.count("*").alias("_occ"),
@@ -1496,14 +1515,11 @@ def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
         )
         .select("doc_id", "isl_s", "isl_e", F.lit(False).alias("_sentinel"))
     )
-    docs_c = documents.select(
-        "doc_id", F.array_join(tokens_col(), " ").alias("canon")
-    ).withColumn("clen", F.length("canon").cast("long"))
     # one sentinel island at (clen, clen) per doc closes the complement:
     # the piece BEFORE each island (prev island end -> this island start)
     # enumerates every kept segment including the tail
     marks = islands.unionByName(
-        docs_c.select(
+        docs_body.select(
             "doc_id",
             F.col("clen").alias("isl_s"),
             F.col("clen").alias("isl_e"),
@@ -1512,10 +1528,10 @@ def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
     )
     mw = Window.partitionBy("doc_id").orderBy("isl_s", "isl_e")
     prev_e = F.coalesce(F.lag("isl_e").over(mw), F.lit(0))
-    pieces = marks.withColumn("_prev_e", prev_e).join(docs_c, "doc_id").select(
+    pieces = marks.withColumn("_prev_e", prev_e).join(docs_body, "doc_id").select(
         "doc_id", "isl_s", "isl_e", "_sentinel",
         F.expr(
-            "substring(canon, CAST(_prev_e + 1 AS INT),"
+            "substring(body, CAST(_prev_e + 1 AS INT),"
             " CAST(isl_s - _prev_e AS INT))"
         ).alias("piece"),
     )
@@ -1532,6 +1548,63 @@ def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
             "",
         ).alias("clean_text"),
     )
+
+
+def exact_substring_dedup_bytes(documents: DataFrame, n: int = 50) -> DataFrame:
+    """(doc_id, n_removed_spans, removed_chars, clean_text): exact
+    duplicate-substring removal at BYTE (character) granularity — the
+    full-resolution Lee et al. 2022 ExactSubstr semantics, closing the
+    gram-boundary rounding the word-n-gram variant
+    (``exact_substring_dedup``) accepts. A character ``n``-gram is taken
+    at EVERY offset of the raw text; every corpus-wide occurrence of a
+    duplicated gram except the first (global (doc_id, start) order,
+    within-doc repeats included) is cut, overlapping cuts merging into
+    maximal islands — so any duplicated run of length L >= n is removed
+    from all but its first occurrence exactly (its L-n+1 overlapping
+    grams union into one island), with boundaries exact to the
+    character, not the word.
+
+    Scale shape — and the honest cost difference from the paper: the
+    reference algorithm builds a single-node suffix array, which
+    enumerates duplicated substrings implicitly but cannot shard past
+    one machine's memory; this operator materializes the candidate set
+    explicitly as O(total bytes) span rows — embarrassingly parallel
+    (one shuffle keyed on gram with a map-side-combined min-struct
+    keeper agg; islands and slicing are doc-keyed windows; nothing
+    quadratic, nothing global). At 100 TB the span relation is ~10^14
+    narrow rows, the real price of exactness at byte resolution;
+    production mitigations (documented, not silently applied): (a) key
+    the shuffle on xxhash64(gram) instead of the gram text — shuffle
+    width drops to 8 bytes/row at a ~2^-64 per-pair collision risk;
+    (b) winnowing-style minimizer sampling of offsets (the
+    ``dedup_winnow`` scheme): selecting the minimal gram hash per
+    (w)-window at both copies of any duplicated run >= n+w picks the
+    SAME offsets, so candidate density drops to ~2/(w+1) while any run
+    >= n+w-1 is still caught — recovering near-word-gram cost with
+    byte-exact boundaries on everything long enough to matter. The
+    default n=50 is the paper's removal threshold; the gated query runs
+    n=40 so the stage is active on the synthetic corpus.
+    """
+    body = documents.select("doc_id", F.col("text").alias("body")).withColumn(
+        "clen", F.length("body").cast("long")
+    )
+    spans = (
+        body.filter(F.col("clen") >= int(n))
+        .select(
+            "doc_id",
+            "body",
+            F.explode(
+                F.expr(f"sequence(0, length(body) - {int(n)})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("start"),
+            (F.col("s") + int(n)).cast("long").alias("end"),
+            F.expr(f"substring(body, s + 1, {int(n)})").alias("gram"),
+        )
+    )
+    return _cut_spans(body.select("doc_id", "body", "clen"), spans)
 
 
 def hll_registers(df: DataFrame, value_col: str, m: int = 256) -> DataFrame:

@@ -2054,3 +2054,41 @@ def test_curation_cascade_production_lsh_config_consistent(spark):
             assert s[c] == p[c], (src, c, s[c], p[c])
         # measured identity on this corpus (clone-grade near-dups)
         assert s == p, (src, s, p)
+
+
+def test_exact_substring_dedup_bytes_char_exact(spark):
+    """Byte-level ExactSubstr semantics on a hand corpus: a shared run
+    is cut from every copy but the first with boundaries exact to the
+    CHARACTER (the word-level variant would round to word boundaries);
+    a doc with no >=n-char duplicated run is untouched; within-doc
+    repeats of a duplicated run are cut too; and the word-level
+    operator's refactor onto the shared _cut_spans helper changes
+    nothing (its gated oracle row re-verified separately)."""
+    from crawler_spark.pipeline.textstats import exact_substring_dedup_bytes
+
+    SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, SHARED, "en", "s", 0),
+        (2, "XX " + SHARED + " YY", "en", "s", 0),
+        (3, "unique text entirely different content here", "en", "s", 0),
+        (4, "ZZ " + SHARED + " mm " + SHARED, "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in exact_substring_dedup_bytes(d, n=20).collect()}
+    # doc 1 is the global first occurrence: untouched
+    assert out[1]["clean_text"] == SHARED and out[1]["removed_chars"] == 0
+    # doc 2: the shared 62-char run cut EXACTLY (both frame spaces
+    # survive — the island is precisely the duplicated region)
+    assert out[2]["clean_text"] == "XX  YY"
+    assert out[2]["removed_chars"] == len(SHARED)
+    # doc 3: no duplicated >=20-char substring
+    assert out[3]["removed_chars"] == 0
+    # doc 4: BOTH of its copies cut (within-doc repeat included)
+    assert SHARED not in out[4]["clean_text"]
+    assert out[4]["n_removed_spans"] >= 1
+    # determinism
+    again = {r["doc_id"]: r["clean_text"]
+             for r in exact_substring_dedup_bytes(d, n=20).collect()}
+    assert again == {k: v["clean_text"] for k, v in out.items()}
