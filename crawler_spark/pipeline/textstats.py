@@ -1550,7 +1550,9 @@ def _cut_spans(docs_body: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
-def exact_substring_dedup_bytes(documents: DataFrame, n: int = 50) -> DataFrame:
+def exact_substring_dedup_bytes(
+    documents: DataFrame, n: int = 50, hash_keys: bool = False
+) -> DataFrame:
     """(doc_id, n_removed_spans, removed_chars, clean_text): exact
     duplicate-substring removal at BYTE (character) granularity — the
     full-resolution Lee et al. 2022 ExactSubstr semantics, closing the
@@ -1581,7 +1583,13 @@ def exact_substring_dedup_bytes(documents: DataFrame, n: int = 50) -> DataFrame:
     (w)-window at both copies of any duplicated run >= n+w picks the
     SAME offsets, so candidate density drops to ~2/(w+1) while any run
     >= n+w-1 is still caught — recovering near-word-gram cost with
-    byte-exact boundaries on everything long enough to matter. The
+    byte-exact boundaries on everything long enough to matter.
+    Mitigation (a) is SHIPPED here as ``hash_keys=True``: the keeper
+    shuffle and join key the 8-byte ``xxhash64(gram)`` instead of the
+    n-char gram text (tested result-identical on the test corpora —
+    a collision would need two distinct n-grams sharing a 64-bit hash);
+    it stays opt-in because the raw-gram default is what the DuckDB
+    oracle replays exactly, with zero probabilistic caveat. The
     default n=50 is the paper's removal threshold; the gated query runs
     n=40 so the stage is active on the synthetic corpus.
     """
@@ -1604,6 +1612,8 @@ def exact_substring_dedup_bytes(documents: DataFrame, n: int = 50) -> DataFrame:
             F.expr(f"substring(body, s + 1, {int(n)})").alias("gram"),
         )
     )
+    if hash_keys:
+        spans = spans.withColumn("gram", F.xxhash64("gram"))
     return _cut_spans(body.select("doc_id", "body", "clen"), spans)
 
 

@@ -2092,3 +2092,23 @@ def test_exact_substring_dedup_bytes_char_exact(spark):
     again = {r["doc_id"]: r["clean_text"]
              for r in exact_substring_dedup_bytes(d, n=20).collect()}
     assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_exact_substring_bytes_hash_keys_identical(spark):
+    """The shipped shuffle-width mitigation: keying the keeper shuffle on
+    xxhash64(gram) (8 bytes/row) instead of the n-char gram text must be
+    result-IDENTICAL on real corpora — a difference would need two
+    distinct n-grams colliding in a 64-bit hash. Pinned on the sf0.001
+    documents at two gram widths."""
+    from crawler_spark.pipeline.textstats import exact_substring_dedup_bytes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for n in (30, 60):
+        raw = sorted(
+            map(tuple, exact_substring_dedup_bytes(docs, n=n).collect())
+        )
+        hashed = sorted(
+            map(tuple, exact_substring_dedup_bytes(docs, n=n, hash_keys=True).collect())
+        )
+        assert raw == hashed
+        assert any(r[2] > 0 for r in raw)  # the stage is active
