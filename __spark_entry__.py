@@ -2056,6 +2056,19 @@ def q_text_exact_substring_bytes(spark, sf_dir):
     return exact_substring_dedup_bytes(_t(spark, sf_dir, "documents"), n=40)
 
 
+def q_text_exact_substring_winnow(spark, sf_dir):
+    """Winnowing-sampled byte-level exact-substring removal (round 5):
+    every w=8-offset window selects its (md5-32bit-hash, offset)-argmin
+    char-40-gram; only selected spans enter the keeper shuffle (~2/(w+1)
+    candidate density), every duplicated run >= n+w-1 still detected and
+    interior-cut byte-exactly. The hash is engine-portable (first 8 hex
+    chars of md5), so the oracle replays the exact minimizer selection:
+    same combined min(h*2^30+offset) window, same keeper/island chain."""
+    from crawler_spark.pipeline.textstats import exact_substring_dedup_winnow
+
+    return exact_substring_dedup_winnow(_t(spark, sf_dir, "documents"), n=40, w=8)
+
+
 def q_text_host_boilerplate(spark, sf_dir):
     """Per-source boilerplate REMOVAL (CCNet line-dedup analog at 10-token
     segment granularity): a segment repeated in >= 30% of a source's docs
@@ -2452,6 +2465,7 @@ _CHECK_WINDOW = [
     # round-5 additions (never checked by anyone) — first, always
     "pipeline_clean_pack",
     "text_exact_substring_bytes",
+    "text_exact_substring_winnow",
     # the 14 backlog queries with NO driver-signed row after rounds 1-4
     # (r4 VERDICT item 1 — explicitly including crawl_e2e_order and
     # multimodal_decode, whose oracles were added after their r1 no_oracle
@@ -2706,6 +2720,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train_batched": q_text_bpe_train_batched,
         "text_exact_substring_dedup": q_text_exact_substring_dedup,
         "text_exact_substring_bytes": q_text_exact_substring_bytes,
+        "text_exact_substring_winnow": q_text_exact_substring_winnow,
         "text_host_boilerplate": q_text_host_boilerplate,
         "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
         "crawl_anchor_text": q_crawl_anchor_text,
@@ -6415,6 +6430,90 @@ def oracle_sql() -> dict[str, str]:
                            ), 0) AS prev_e
                     FROM marks
                 ) m JOIN canon USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN NOT sent THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans,
+                   CAST(sum(CASE WHEN NOT sent THEN isl_e - isl_s ELSE 0 END) AS BIGINT) AS removed_chars,
+                   string_agg(piece, '' ORDER BY isl_s, isl_e) AS clean_text
+            FROM pieces GROUP BY doc_id
+        """,
+        "text_exact_substring_winnow": """
+            WITH bodies AS (
+                SELECT doc_id, text AS body, CAST(length(text) AS BIGINT) AS clen
+                FROM documents
+            ),
+            soffs0 AS (
+                SELECT doc_id, body,
+                       unnest(range(CAST(length(body) - 39 AS BIGINT))) AS o
+                FROM bodies WHERE length(body) >= 40
+            ),
+            soffs AS (
+                SELECT doc_id,
+                       CAST(o AS BIGINT) AS s,
+                       CAST(o + 40 AS BIGINT) AS e,
+                       substr(body, CAST(o + 1 AS INT), 40) AS gram
+                FROM soffs0
+            ),
+            combed AS (
+                SELECT doc_id, s, e, gram,
+                       ('0x' || substr(md5(gram), 1, 8))::BIGINT * 1073741824 + s AS comb
+                FROM soffs
+            ),
+            winmin AS (
+                SELECT doc_id,
+                       min(comb) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn
+                FROM combed
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, mn % 1073741824 AS s FROM winmin
+            ),
+            picked AS (
+                SELECT c.doc_id, c.s, c.e, c.gram
+                FROM combed c JOIN sel USING (doc_id, s)
+            ),
+            rem AS (
+                SELECT doc_id, s, e FROM (
+                    SELECT doc_id, s, e,
+                           row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn,
+                           count(*) OVER (PARTITION BY gram) AS occ
+                    FROM picked
+                ) WHERE occ >= 2 AND rn > 1
+            ),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS newi
+                FROM rem
+            ),
+            isl2 AS (
+                SELECT doc_id, s, e,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e) AS islid
+                FROM isl
+            ),
+            islands AS (
+                SELECT doc_id, CAST(min(s) AS BIGINT) AS isl_s,
+                       CAST(max(e) AS BIGINT) AS isl_e, FALSE AS sent
+                FROM isl2 GROUP BY doc_id, islid
+            ),
+            marks AS (
+                SELECT doc_id, isl_s, isl_e, sent FROM islands
+                UNION ALL
+                SELECT doc_id, clen, clen, TRUE FROM bodies
+            ),
+            pieces AS (
+                SELECT m.doc_id, isl_s, isl_e, sent,
+                       substring(body, CAST(prev_e + 1 AS INT),
+                                 CAST(isl_s - prev_e AS INT)) AS piece
+                FROM (
+                    SELECT doc_id, isl_s, isl_e, sent,
+                           coalesce(lag(isl_e) OVER (
+                               PARTITION BY doc_id ORDER BY isl_s, isl_e
+                           ), 0) AS prev_e
+                    FROM marks
+                ) m JOIN bodies USING (doc_id)
             )
             SELECT doc_id,
                    CAST(sum(CASE WHEN NOT sent THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     # round-5 ops
     "pipeline_clean_pack",
     "text_exact_substring_bytes",
+    "text_exact_substring_winnow",
     # round-4 ops
     "pipeline_clean",
     "pipeline_clean_docs",

@@ -1617,6 +1617,92 @@ def exact_substring_dedup_bytes(
     return _cut_spans(body.select("doc_id", "body", "clen"), spans)
 
 
+def exact_substring_dedup_winnow(
+    documents: DataFrame, n: int = 50, w: int = 8
+) -> DataFrame:
+    """(doc_id, n_removed_spans, removed_chars, clean_text): byte-level
+    exact-substring removal with WINNOWING-SAMPLED candidates — the
+    scale path ``exact_substring_dedup_bytes`` documents, shipped: the
+    keeper shuffle carries only each window's minimizer gram instead of
+    every offset, dropping shuffled candidate density to ~2/(w+1) while
+    keeping a hard detection guarantee.
+
+    Selection rule (classic winnowing, Schleimer et al. 2003): over the
+    every-offset char-``n``-gram sequence, every window of ``w``
+    consecutive offsets selects its (hash, offset)-argmin; the selected
+    spans then run the shared keeper/island/cut machinery
+    (``_cut_spans``). The hash is the first 8 hex chars of md5(gram) —
+    32 bits, ENGINE-PORTABLE, so the DuckDB oracle replays the exact
+    selection; argmin is one integer ``min(h * 2^30 + offset)`` per
+    window (lexicographic (h, offset): hash ties break to the leftmost
+    offset — within any window the comparison is between offsets under
+    one shift, so the decision is content-relative, as the guarantee
+    needs; offsets must fit 2^30 chars/doc — 1 GiB documents, not a
+    constraint).
+
+    Guarantees (and the one trade): selection of an offset depends only
+    on the gram hashes within w-1 positions either side, so two copies
+    of any duplicated run of length >= n + w - 1 select IDENTICAL
+    relative offsets everywhere the dependency window sits inside the
+    run — every such run is DETECTED (a fully-interior window exists),
+    and its interior is cut exactly; what is sampled away is up to
+    ~(w + n) chars of slack at each END of the run (edge windows see
+    differing context between copies). Runs shorter than n + w - 1 may
+    be missed entirely. Every removal the sampled pass makes, the
+    full-resolution pass also makes (selected spans are a subset of all
+    spans and a gram's global occurrence count can only drop) — pinned
+    as a containment property test.
+
+    Scale shape: the every-offset explode and both selection windows
+    are doc-keyed (map-side after one repartition by doc); ONLY the
+    ~2/(w+1)-density selected spans enter the gram-keyed keeper
+    shuffle — at 100 TB that is the difference between shuffling
+    10^14 rows and ~10^13 at w=8, with byte-exact interior boundaries
+    preserved. Reference analog: none (beyond the crawler's scope);
+    public algorithm, cited above.
+    """
+    from pyspark.sql import Window
+
+    shift = 1 << 30
+    body = documents.select("doc_id", F.col("text").alias("body")).withColumn(
+        "clen", F.length("body").cast("long")
+    )
+    spans = (
+        body.filter(F.col("clen") >= int(n))
+        .select(
+            "doc_id",
+            "body",
+            F.explode(
+                F.expr(f"sequence(0, length(body) - {int(n)})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("start"),
+            (F.col("s") + int(n)).cast("long").alias("end"),
+            F.expr(f"substring(body, s + 1, {int(n)})").alias("gram"),
+        )
+    )
+    comb = (
+        F.expr("CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)")
+        * F.lit(shift)
+        + F.col("start")
+    )
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.currentRow, int(w) - 1)
+    )
+    sel = (
+        spans.withColumn("_comb", comb)
+        .withColumn("_min", F.min("_comb").over(wnd))
+        .select("doc_id", (F.col("_min") % shift).alias("start"))
+        .distinct()
+    )
+    picked = spans.join(sel, ["doc_id", "start"], "left_semi")
+    return _cut_spans(body.select("doc_id", "body", "clen"), picked)
+
+
 def hll_registers(df: DataFrame, value_col: str, m: int = 256) -> DataFrame:
     """(register, max_rank, n_distinct): the register table of an
     HLL-style cardinality sketch over ``value_col`` — the constant-memory,

