@@ -1652,6 +1652,23 @@ def q_pipeline_clean_docs(spark, sf_dir):
     )
 
 
+def q_pipeline_clean_bytes(spark, sf_dir):
+    """The curation cascade at PAPER FIDELITY for stage 4: RefinedWeb's
+    exact-substring pass is Lee et al. ExactSubstr at byte resolution,
+    and substr_mode="bytes" runs exactly that (char-40-grams at every
+    offset of each dedup survivor, islands cut byte-exactly) in place of
+    the shuffle-cheap word-5-gram default the pipeline_clean query pins.
+    Same rollup shape, same per-doc flag relation; the oracle swaps one
+    CTE stage in the shared cascade chain and recomputes everything
+    downstream (Gopher gates now see the byte-cut text)."""
+    from crawler_spark.pipeline.clean import curation_cascade
+
+    return curation_cascade(
+        _t(spark, sf_dir, "documents"), substr_n=30, substr_mode="bytes",
+        min_words=30, min_stop_hits=1,
+    )
+
+
 def q_pipeline_clean_pack(spark, sf_dir):
     """The last mile raw crawl -> training-ready sequences (VERDICT r4
     next-round item 6): the curation cascade's cleaned-corpus export fed
@@ -2466,6 +2483,7 @@ _CHECK_WINDOW = [
     "pipeline_clean_pack",
     "text_exact_substring_bytes",
     "text_exact_substring_winnow",
+    "pipeline_clean_bytes",
     # the 14 backlog queries with NO driver-signed row after rounds 1-4
     # (r4 VERDICT item 1 — explicitly including crawl_e2e_order and
     # multimodal_decode, whose oracles were added after their r1 no_oracle
@@ -2686,6 +2704,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": q_pipeline_clean,
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "pipeline_clean_pack": q_pipeline_clean_pack,
+        "pipeline_clean_bytes": q_pipeline_clean_bytes,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_rate_limit": q_stream_rate_limit,
         "stream_dedup": q_stream_dedup,
@@ -3639,11 +3658,84 @@ def _gopher_bp_cte(src: str, p: str) -> str:
             )"""
 
 
-def _pipeline_clean_ctes() -> str:
+def _substr_bytes_cte(src: str, p: str, n: int = 40) -> str:
+    """Parameterized BYTE-level exact_substring_dedup stage — the
+    "text_exact_substring_bytes" oracle modulo (source relation, CTE
+    prefix, gram width), emitting ``{p}out(doc_id, removed_chars,
+    ctext)``. ``src`` must provide (doc_id, text)."""
+    return f"""{p}bodies AS (
+                SELECT doc_id, text AS body, CAST(length(text) AS BIGINT) AS clen
+                FROM {src}
+            ), {p}soffs0 AS (
+                SELECT doc_id, body,
+                       unnest(range(CAST(length(body) - {n - 1} AS BIGINT))) AS o
+                FROM {p}bodies WHERE length(body) >= {n}
+            ), {p}soffs AS (
+                SELECT doc_id,
+                       CAST(o AS BIGINT) AS s,
+                       CAST(o + {n} AS BIGINT) AS e,
+                       substr(body, CAST(o + 1 AS INT), {n}) AS gram
+                FROM {p}soffs0
+            ), {p}rem AS (
+                SELECT doc_id, s, e FROM (
+                    SELECT doc_id, s, e,
+                           row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn,
+                           count(*) OVER (PARTITION BY gram) AS occ
+                    FROM {p}soffs
+                ) WHERE occ >= 2 AND rn > 1
+            ), {p}isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS newi
+                FROM {p}rem
+            ), {p}isl2 AS (
+                SELECT doc_id, s, e,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e) AS islid
+                FROM {p}isl
+            ), {p}islands AS (
+                SELECT doc_id, CAST(min(s) AS BIGINT) AS isl_s,
+                       CAST(max(e) AS BIGINT) AS isl_e, FALSE AS sent
+                FROM {p}isl2 GROUP BY doc_id, islid
+            ), {p}marks AS (
+                SELECT doc_id, isl_s, isl_e, sent FROM {p}islands
+                UNION ALL
+                SELECT doc_id, clen, clen, TRUE FROM {p}bodies
+            ), {p}pieces AS (
+                SELECT m.doc_id, isl_s, isl_e, sent,
+                       substring(body, CAST(prev_e + 1 AS INT),
+                                 CAST(isl_s - prev_e AS INT)) AS piece
+                FROM (
+                    SELECT doc_id, isl_s, isl_e, sent,
+                           coalesce(lag(isl_e) OVER (
+                               PARTITION BY doc_id ORDER BY isl_s, isl_e
+                           ), 0) AS prev_e
+                    FROM {p}marks
+                ) m JOIN {p}bodies USING (doc_id)
+            ), {p}out AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN NOT sent THEN isl_e - isl_s ELSE 0 END) AS BIGINT) AS removed_chars,
+                       string_agg(piece, '' ORDER BY isl_s, isl_e) AS ctext
+                FROM {p}pieces GROUP BY doc_id
+            )"""
+
+
+def _pipeline_clean_ctes(substr_mode: str = "words") -> str:
     """The composed curation-cascade CTE chain shared by the rollup
-    (pipeline_clean) and export (pipeline_clean_docs) oracles: the
-    per-stage fragments chained in the Spark cascade's order (clean.py),
-    each stage's output relation feeding the next as its corpus."""
+    (pipeline_clean), export (pipeline_clean_docs), and byte-substring
+    (pipeline_clean_bytes) oracles: the per-stage fragments chained in
+    the Spark cascade's order (clean.py), each stage's output relation
+    feeding the next as its corpus. ``substr_mode`` swaps stage 4
+    between the word-5-gram and byte-30-gram variants (30 chars is the
+    active-and-comparable width on the synthetic corpus: 307 vs the
+    word default's 314 removed chars at sf0.01), mirroring the
+    cascade's ``substr_mode`` parameter."""
+    substr = (
+        _substr_bytes_cte("surv", "c4", n=30)
+        if substr_mode == "bytes"
+        else _substr_clean_cte("surv", "c4", n=5)
+    )
     frags = ",\n            ".join([
         _boiler_clean_cte("documents", "c1"),
         "docs1 AS MATERIALIZED (SELECT doc_id, source, n_boiler, text FROM c1out)",
@@ -3662,7 +3754,7 @@ def _pipeline_clean_ctes() -> str:
                 FROM exflag f LEFT JOIN c3mins m ON m.u = f.doc_id
             )""",
         "surv AS (SELECT doc_id, text FROM nearflag WHERE exact_kept AND near_keep)",
-        _substr_clean_cte("surv", "c4", n=5),
+        substr,
         "gin AS (SELECT doc_id, ctext AS text FROM c4out)",
         _gopher_bp_cte("gin", "c5"),
         """flags AS (
@@ -3680,8 +3772,8 @@ def _pipeline_clean_ctes() -> str:
     return f"WITH RECURSIVE {frags}"
 
 
-def _pipeline_clean_sql() -> str:
-    return _pipeline_clean_ctes() + """
+def _pipeline_clean_sql(substr_mode: str = "words") -> str:
+    return _pipeline_clean_ctes(substr_mode) + """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_raw,
                    CAST(sum(n_boiler) AS BIGINT) AS boiler_segs_removed,
@@ -5827,6 +5919,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clean": _pipeline_clean_sql(),
         "pipeline_clean_docs": _pipeline_clean_docs_sql(),
         "pipeline_clean_pack": _pipeline_clean_pack_sql(capacity=512),
+        "pipeline_clean_bytes": _pipeline_clean_sql(substr_mode="bytes"),
         # streaming windowed metrics: complete-mode availableNow output ==
         # the plain batch window aggregation (stream/batch parity); the
         # deterministic event mapping is re-derived here, windows via

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "pipeline_clean_pack",
     "text_exact_substring_bytes",
     "text_exact_substring_winnow",
+    "pipeline_clean_bytes",
     # round-4 ops
     "pipeline_clean",
     "pipeline_clean_docs",

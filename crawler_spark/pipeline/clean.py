@@ -65,6 +65,7 @@ def curation_cascade(
     boiler_share_bp: int = 3000,
     min_words: int = 50,
     min_stop_hits: int = 2,
+    substr_mode: str = "words",
 ) -> DataFrame:
     """(source, n_raw, boiler_segs_removed, n_exact_removed,
     n_near_removed, substr_chars_removed, n_quality_removed, n_final,
@@ -105,7 +106,7 @@ def curation_cascade(
     """
     flags = _cascade_flags(
         documents, num_hashes, band_size, k, seg_k, substr_n,
-        boiler_share_bp, min_words, min_stop_hits,
+        boiler_share_bp, min_words, min_stop_hits, substr_mode,
     )
     survived = F.col("exact_kept") & F.col("near_keep")
     final = survived & F.col("gopher_keep")
@@ -141,6 +142,7 @@ def _cascade_flags(
     boiler_share_bp: int,
     min_words: int,
     min_stop_hits: int,
+    substr_mode: str = "words",
 ) -> DataFrame:
     """The cascade's per-doc decision relation: (doc_id, source,
     n_boiler, exact_kept, near_keep, removed_chars, ctext, n_words,
@@ -186,9 +188,19 @@ def _cascade_flags(
     ).select("doc_id", F.col("keep").alias("near_keep"))
     flagged = flagged.join(near, "doc_id", "left").localCheckpoint()
     # stage 4: corpus-wide exact-substring removal over the dedup
-    # survivors (AFTER fuzzy dedup — see module docstring on order)
+    # survivors (AFTER fuzzy dedup — see module docstring on order).
+    # substr_mode selects granularity: "words" = the shuffle-cheap
+    # word-n-gram default; "bytes" = the paper-fidelity byte-level pass
+    # (RefinedWeb's exact-substring stage IS Lee et al. ExactSubstr at
+    # byte resolution) — substr_n then counts CHARACTERS, not words.
+    from crawler_spark.pipeline.textstats import exact_substring_dedup_bytes
+
     surv = flagged.filter("exact_kept AND near_keep").select("doc_id", "text")
-    e = exact_substring_dedup(surv, n=substr_n).select(
+    substr_op = (
+        exact_substring_dedup_bytes if substr_mode == "bytes"
+        else exact_substring_dedup
+    )
+    e = substr_op(surv, n=substr_n).select(
         "doc_id", "removed_chars", F.col("clean_text").alias("ctext")
     ).localCheckpoint()
     # stage 5: quality gates on the fully-cleaned survivor text
@@ -226,6 +238,7 @@ def cleaned_corpus(
     boiler_share_bp: int = 3000,
     min_words: int = 50,
     min_stop_hits: int = 2,
+    substr_mode: str = "words",
 ) -> DataFrame:
     """(doc_id, source, clean_text, n_words): the cascade's EXPORT — the
     cleaned, deduplicated, quality-gated corpus a curation run actually
@@ -237,7 +250,7 @@ def cleaned_corpus(
     dataset-card rollup can never disagree."""
     flags = _cascade_flags(
         documents, num_hashes, band_size, k, seg_k, substr_n,
-        boiler_share_bp, min_words, min_stop_hits,
+        boiler_share_bp, min_words, min_stop_hits, substr_mode,
     )
     return flags.filter(
         F.col("exact_kept") & F.col("near_keep") & F.col("gopher_keep")

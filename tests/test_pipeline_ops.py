@@ -2163,3 +2163,41 @@ def test_exact_substring_winnow_containment_and_guarantee(spark):
     again = {r["doc_id"]: r["clean_text"]
              for r in exact_substring_dedup_winnow(d, n=n, w=w).collect()}
     assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_curation_cascade_bytes_mode_consistent(spark):
+    """The byte-mode cascade (substr_mode="bytes" — RefinedWeb's
+    paper-fidelity ExactSubstr stage) must agree with word mode on every
+    stage UPSTREAM of the substring pass (boiler/exact/near counts are
+    substring-granularity-independent by construction), be ACTIVE on the
+    sf0.01 corpus at the gated n=30 width, and keep the per-doc outcome
+    partition (n_raw == exact + near + quality + final per source)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from crawler_spark.pipeline.clean import curation_cascade
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def roll(mode, n):
+        return {
+            r["source"]: r.asDict()
+            for r in curation_cascade(
+                docs, substr_n=n, substr_mode=mode,
+                min_words=30, min_stop_hits=1,
+            ).collect()
+        }
+
+    words, bytes_ = roll("words", 5), roll("bytes", 30)
+    assert set(words) == set(bytes_) and words
+    total_cut = 0
+    for src in words:
+        wr, br = words[src], bytes_[src]
+        for c in ("n_raw", "boiler_segs_removed", "n_exact_removed",
+                  "n_near_removed"):
+            assert wr[c] == br[c], (src, c)
+        assert br["n_raw"] == (
+            br["n_exact_removed"] + br["n_near_removed"]
+            + br["n_quality_removed"] + br["n_final"]
+        )
+        total_cut += br["substr_chars_removed"]
+    assert total_cut > 0  # the byte stage actually fires at n=30
