@@ -826,6 +826,22 @@ def q_crawl_bloom_audit(spark, sf_dir):
     return bloom_fpr_audit(build, probe, m_bits=1 << 18, k_hashes=5)
 
 
+def q_crawl_cuckoo_audit(spark, sf_dir):
+    """Cuckoo-filter sizing audit (round 5 — the cuckoo side of the
+    survey's "bloom/cuckoo" URL-seen design space): EXACT measured FPR
+    of a partial-key cuckoo filter (8-bit fingerprints, 2^14 XOR-linked
+    buckets) over disjoint build/probe key sets. Exactness rests on the
+    partial-key property (probe visibility is placement-independent —
+    frontier.cuckoo_fpr_audit docstring); the oracle replays the same
+    md5 hash arithmetic relationally."""
+    from crawler_spark.pipeline.frontier import cuckoo_fpr_audit
+
+    o = _t(spark, sf_dir, "orders")
+    build = o.select(F.concat(F.lit("b"), F.col("o_orderkey").cast("string")).alias("key"))
+    probe = o.select(F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("key"))
+    return cuckoo_fpr_audit(build, probe, m_buckets=1 << 14, f_bits=8)
+
+
 def q_crawl_redirects(spark, sf_dir):
     """Redirect-alias resolution by pointer doubling (6 rounds resolve
     chains to 64 hops): synthetic 8-hop alias chains over doc ids."""
@@ -2484,6 +2500,7 @@ _CHECK_WINDOW = [
     "text_exact_substring_bytes",
     "text_exact_substring_winnow",
     "pipeline_clean_bytes",
+    "crawl_cuckoo_audit",
     # the 14 backlog queries with NO driver-signed row after rounds 1-4
     # (r4 VERDICT item 1 — explicitly including crawl_e2e_order and
     # multimodal_decode, whose oracles were added after their r1 no_oracle
@@ -2635,6 +2652,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_scorecard": q_docs_source_scorecard,
         "text_kn_bigram": q_text_kn_bigram,
         "crawl_bloom_audit": q_crawl_bloom_audit,
+        "crawl_cuckoo_audit": q_crawl_cuckoo_audit,
         "docs_caption_pairs": q_docs_caption_pairs,
         "docs_modality_mix": q_docs_modality_mix,
         "docs_span_dedup": q_docs_span_dedup,
@@ -4814,6 +4832,44 @@ def oracle_sql() -> dict[str, str]:
                              6)
                    END AS lambda_per_day
             FROM p
+        """,
+        "crawl_cuckoo_audit": """
+            WITH b AS (SELECT 'b' || o_orderkey AS k FROM orders),
+            p AS (SELECT 'p' || o_orderkey AS k FROM orders),
+            br AS (
+                SELECT k,
+                       ('0x' || substr(md5(k), 1, 8))::BIGINT % 16384 AS i1,
+                       ('0x' || substr(md5(k), 9, 8))::BIGINT % 255 + 1 AS fp
+                FROM b
+            ),
+            stored AS (SELECT DISTINCT i1 AS bk, fp FROM br),
+            pr AS (
+                SELECT k,
+                       ('0x' || substr(md5(k), 1, 8))::BIGINT % 16384 AS i1,
+                       ('0x' || substr(md5(k), 9, 8))::BIGINT % 255 + 1 AS fp
+                FROM p
+            ),
+            pr2 AS (
+                SELECT k, i1, fp,
+                       xor(i1, ('0x' || substr(md5(CAST(fp AS VARCHAR)), 1, 8))::BIGINT % 16384) AS i2
+                FROM pr
+            ),
+            cand AS (
+                SELECT k, fp, i1 AS bk FROM pr2
+                UNION ALL
+                SELECT k, fp, i2 AS bk FROM pr2
+            ),
+            fps AS (
+                SELECT DISTINCT c.k FROM cand c
+                JOIN stored s ON s.bk = c.bk AND s.fp = c.fp
+            )
+            SELECT CAST(16384 AS BIGINT) AS m_buckets,
+                   CAST(8 AS INT) AS f_bits,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_build,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_probe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM stored) AS n_slots,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fps) AS n_false_pos,
+                   (SELECT (10000 * (SELECT count(*) FROM fps)) // count(*) FROM p) AS fpr_bp
         """,
         "crawl_bloom_audit": """
             WITH bkeys AS (

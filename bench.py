@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "text_exact_substring_bytes",
     "text_exact_substring_winnow",
     "pipeline_clean_bytes",
+    "crawl_cuckoo_audit",
     # round-4 ops
     "pipeline_clean",
     "pipeline_clean_docs",

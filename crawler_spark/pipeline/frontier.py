@@ -362,6 +362,97 @@ def bloom_fpr_audit(
     )
 
 
+def cuckoo_fpr_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    key: str = "key",
+    m_buckets: int = 1 << 14,
+    f_bits: int = 8,
+) -> DataFrame:
+    """One-row audit of cuckoo-filter sizing: (m_buckets, f_bits,
+    n_build, n_probe, n_slots, n_false_pos, fpr_bp) — the EXACT measured
+    false-positive rate of a partial-key cuckoo filter (Fan et al.,
+    CoNEXT 2014) over ``build`` keys probed with disjoint ``probe``
+    keys. The cuckoo side of the URL-seen design space the survey names
+    ("bloom/cuckoo shards"): same pre-filter role as the engine's Bloom
+    shards (operators/dedup.py, sized by ``bloom_fpr_audit``), but with
+    f-bit fingerprints in 2-choice buckets — FPR ~ 2b/2^f at the same
+    ~f bits/key, plus deletability (remove a fingerprint when a frontier
+    entry is re-armed for recrawl), which a Bloom bitmap cannot do.
+
+    Why a RELATIONAL simulation is exact here (and not for eviction
+    dynamics): membership stores fp(x) in one of two buckets
+    i1(x) or i2(x) = i1(x) XOR H(fp(x)) — which one depends on insertion
+    order and evictions. But a probe y checks BOTH of its buckets
+    {i1(y), i1(y) XOR H(fp(y))}, and when fp(x) = fp(y) the XOR offsets
+    coincide, so x's fingerprint is visible to y's probe in EITHER
+    placement iff i1(x) ∈ {i1(y), i1(y) XOR H(fp(y))}. Probe visibility
+    is PLACEMENT-INDEPENDENT — the defining property of the partial-key
+    construction (it is what makes eviction possible without the
+    original key) — so the i1-canonical stored set gives the real
+    filter's exact membership answers, independent of eviction history
+    (assuming all build keys inserted, i.e. occupancy below the
+    capacity knee; occupancy itself is the n_slots/(m*b) read-off).
+
+    All hashes md5-derived (engine-portable, DuckDB-checkable);
+    ``m_buckets`` must be a power of two so XOR stays in range. Scale
+    shape: stored set = one distinct keyed on (bucket, fp) (cardinality
+    <= n_build); probes explode 2 candidate rows each; the verdict is a
+    semi-join on (bucket, fp) + per-key distinct — nothing quadratic,
+    nothing collected.
+    """
+    assert m_buckets & (m_buckets - 1) == 0, "m_buckets must be a power of 2"
+    fmask = (1 << f_bits) - 1
+
+    def rows(df):
+        h1 = F.expr(
+            f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT)"
+        )
+        fp = (
+            F.expr(
+                f"CAST(conv(substring(md5({key}), 9, 8), 16, 10) AS BIGINT)"
+            )
+            % fmask
+            + 1
+        )
+        d = df.select(
+            F.col(key).alias("k"),
+            (h1 % m_buckets).alias("i1"),
+            fp.cast("long").alias("fp"),
+        )
+        hf = F.expr(
+            "CAST(conv(substring(md5(CAST(fp AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {m_buckets}"
+        )
+        return d.withColumn("i2", F.col("i1").bitwiseXOR(hf))
+
+    stored = rows(build).select(F.col("i1").alias("b"), "fp").distinct()
+    cand = rows(probe).select(
+        "k", "fp", F.explode(F.array("i1", "i2")).alias("b")
+    )
+    fps = (
+        cand.join(stored, ["b", "fp"], "left_semi").select("k").distinct()
+    )
+    n_build = build.select(F.count("*").cast("long").alias("n_build"))
+    n_probe = probe.select(F.count("*").cast("long").alias("n_probe"))
+    n_slots = stored.select(F.count("*").cast("long").alias("n_slots"))
+    n_fp = fps.select(F.count("*").cast("long").alias("n_false_pos"))
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_slots)
+        .crossJoin(n_fp)
+        .select(
+            F.lit(m_buckets).cast("long").alias("m_buckets"),
+            F.lit(f_bits).cast("int").alias("f_bits"),
+            "n_build",
+            "n_probe",
+            "n_slots",
+            "n_false_pos",
+            F.expr("(10000 * n_false_pos) div n_probe").alias("fpr_bp"),
+        )
+    )
+
+
 def anchor_text(links: DataFrame) -> DataFrame:
     """(dst, n_links, n_anchors, top_anchor, top_count): aggregate the
     anchor texts pointing at each target — the classic web-search signal

@@ -282,3 +282,29 @@ def test_revisit_bandwidth_plan(spark):
         "host": "b", "n_urls": 1, "n_cold": 1,
         "fetches_per_day": 0, "min_interval_s_host": 604800,
     }
+
+
+def test_cuckoo_audit_no_false_negatives_and_sane_fpr(spark):
+    """The cuckoo membership model must never miss a build key (probe
+    the build set itself -> every key positive: n_false_pos == n_probe
+    when probe == build, since each key's own (i1, fp) slot is stored),
+    and on a disjoint probe set the measured FPR must be positive but
+    far below the Bloom-equivalent saturation — the 2b/2^f regime
+    (here ~2*2000/16384 buckets occupancy x 2/255 fp match ~ tens of
+    bp, assert < 500 bp)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.pipeline.frontier import cuckoo_fpr_audit
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    build = o.select(
+        F.concat(F.lit("b"), F.col("o_orderkey").cast("string")).alias("key")
+    )
+    probe = o.select(
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("key")
+    )
+    self_row = cuckoo_fpr_audit(build, build, m_buckets=1 << 14, f_bits=8).first()
+    assert self_row["n_false_pos"] == self_row["n_probe"]  # no false negatives
+    row = cuckoo_fpr_audit(build, probe, m_buckets=1 << 14, f_bits=8).first()
+    assert row["n_probe"] > 0 and row["n_slots"] <= row["n_build"]
+    assert 0 <= row["fpr_bp"] < 500, row
